@@ -1,22 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline: a deterministic synthetic EDGAR
+page corpus (sized off the sf0.001 ``documents`` table, plus the reference's
+own sample pages as a golden company) is crawled by the wave scheduler
+(politeness-bucketed frontier, bloom URL-seen, icelite checkpoints) and the
+extracted facts are consolidated into the wide ``filings`` table.
+
+``queries()``/``oracle_sql()`` expose the engine's relational operators over
+the driver's generic testdata tables for DuckDB cross-checking.
 """
 
 from __future__ import annotations
 
+import pathlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+_SAMPLES = pathlib.Path(__file__).parent / "tests" / "fixtures" / "samples"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: crawl the synthetic corpus and return consolidated
+    filings (one row per (cik, filing_type, filing_date, accession) with the
+    27-getter surface; driver checks rows>0)."""
+    from pyspark.sql import functions as F
+
+    from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+    from edgar_spark.synth import corpus
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_companies = max(2, min(4, docs.count() // 200))
+    samples = str(_SAMPLES) if _SAMPLES.exists() else None
+    pages = corpus.build_pages(
+        spark, n_companies, n_filings=2, samples_dir=samples
+    )
+    seeds = corpus.build_seeds(spark, n_companies, include_golden=samples is not None)
+    cfg = CrawlConfig(max_waves=4)
+    result = Crawler(spark, pages, seeds, config=cfg).run()
+    from edgar_spark.model.consolidate import getters_view
+
+    return getters_view(result.filings).orderBy(
+        "ticker", "filing_type", F.col("filing_date").desc()
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -25,14 +52,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from edgar_spark.operators import oracle_queries
+
+    return oracle_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents for each ``queries()`` key."""
+    from edgar_spark.operators import oracle_queries
+
+    return oracle_queries.oracle_sql()

@@ -1,0 +1,193 @@
+"""Sharded Bloom filter URL-seen set (+ a cuckoo filter for deletable
+entries), built distributively with mapInPandas.
+
+Design scale (north rule: 10^10-URL frontier): a single bloom at 1% fpp for
+10^10 keys needs ~12 GB — too big for one broadcast. We shard by
+``crc32(url) % n_shards``: each shard covers ~N/n_shards keys, shards are
+built per-partition as numpy bit arrays and OR-merged (associative, so the
+merge tree can run on executors at scale; at sandbox scale the driver OR is
+fine and exact). Probing broadcasts only the shards a partition needs.
+
+Usage contract (exactness): ``contains == False`` ⇒ definitely unseen (skip
+the expensive anti-join); ``contains == True`` ⇒ maybe seen ⇒ exact
+``left_anti`` join against the frontier decides. The bloom is a prefilter,
+never the source of truth — byte-exact URL-seen membership per the rule.
+
+Hashes: blake2b(url) → two independent 64-bit values → k double-hashed probes
+(Kirsch–Mitzenmacher). No external hash libs needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import zlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+
+def _hash_pair(url: str) -> tuple:
+    d = hashlib.blake2b(url.encode("utf-8"), digest_size=16).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
+
+
+def optimal_bits(n_keys: int, fpp: float) -> int:
+    return max(64, int(-n_keys * math.log(fpp) / (math.log(2) ** 2)))
+
+
+def optimal_hashes(bits: int, n_keys: int) -> int:
+    return max(1, int(round(bits / max(n_keys, 1) * math.log(2))))
+
+
+class ShardedBloom:
+    def __init__(self, n_shards: int, bits_per_shard: int, n_hashes: int) -> None:
+        self.n_shards = n_shards
+        self.bits = bits_per_shard
+        self.k = n_hashes
+        self.shards: List[np.ndarray] = [
+            np.zeros((bits_per_shard + 7) // 8, dtype=np.uint8)
+            for _ in range(n_shards)
+        ]
+
+    # -- core bit ops -------------------------------------------------
+    def _positions(self, url: str) -> tuple:
+        h1, h2 = _hash_pair(url)
+        shard = zlib.crc32(url.encode("utf-8")) % self.n_shards
+        return shard, [(h1 + i * h2) % self.bits for i in range(self.k)]
+
+    def add(self, url: str) -> None:
+        shard, pos = self._positions(url)
+        arr = self.shards[shard]
+        for p in pos:
+            arr[p >> 3] |= 1 << (p & 7)
+
+    def contains(self, url: str) -> bool:
+        shard, pos = self._positions(url)
+        arr = self.shards[shard]
+        return all(arr[p >> 3] & (1 << (p & 7)) for p in pos)
+
+    def merge(self, other: "ShardedBloom") -> "ShardedBloom":
+        assert (self.n_shards, self.bits, self.k) == (
+            other.n_shards,
+            other.bits,
+            other.k,
+        )
+        for i in range(self.n_shards):
+            np.bitwise_or(self.shards[i], other.shards[i], out=self.shards[i])
+        return self
+
+    # -- spark build / probe -------------------------------------------
+    @classmethod
+    def build(cls, df, url_col: str, n_shards: int, bits_per_shard: int, n_hashes: int):
+        """Distributed build: per-partition partial filters, OR-merged."""
+        params = (n_shards, bits_per_shard, n_hashes)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            partial = cls(*params)
+            seen_any = False
+            for pdf in batches:
+                for u in pdf[url_col]:
+                    if u is not None:
+                        partial.add(u)
+                        seen_any = True
+            if seen_any:
+                yield pd.DataFrame(
+                    {
+                        "shard": list(range(n_shards)),
+                        "bits": [s.tobytes() for s in partial.shards],
+                    }
+                )
+
+        parts = df.select(url_col).mapInPandas(
+            gen, schema="shard int, bits binary"
+        )
+        out = cls(*params)
+        for row in parts.collect():  # shard bitmaps only, never URLs
+            arr = np.frombuffer(row["bits"], dtype=np.uint8)
+            np.bitwise_or(out.shards[row["shard"]], arr, out=out.shards[row["shard"]])
+        return out
+
+    def probe(self, df, url_col: str, flag_col: str = "maybe_seen"):
+        """Append a boolean ``maybe_seen`` column (vectorized per batch; the
+        filter shards ride to executors inside the closure — at design scale
+        this becomes a broadcast variable per shard group)."""
+        bloom = self
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[flag_col] = [
+                    bool(u is not None and bloom.contains(u)) for u in pdf[url_col]
+                ]
+                yield pdf
+
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        schema = StructType(df.schema.fields + [StructField(flag_col, BooleanType())])
+        return df.mapInPandas(gen, schema=schema)
+
+
+class CuckooFilter:
+    """Minimal cuckoo filter (Fan et al., CoNEXT'14 public algorithm):
+    4-slot buckets, 16-bit fingerprints, supports delete — the fallback the
+    north rule names for re-crawlable URL-seen entries."""
+
+    def __init__(self, n_buckets: int = 1 << 16, max_kicks: int = 500) -> None:
+        self.n = n_buckets
+        self.max_kicks = max_kicks
+        self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
+
+    def _fp(self, item: str) -> int:
+        return (zlib.crc32(item.encode("utf-8")) & 0xFFFF) or 1
+
+    def _i1(self, item: str) -> int:
+        h, _ = _hash_pair(item)
+        return h % self.n
+
+    def _i2(self, i1: int, fp: int) -> int:
+        h, _ = _hash_pair(str(fp))
+        return (i1 ^ h) % self.n
+
+    def _insert_at(self, i: int, fp: int) -> bool:
+        row = self.table[i]
+        for s in range(4):
+            if row[s] == 0:
+                row[s] = fp
+                return True
+        return False
+
+    def add(self, item: str) -> bool:
+        fp = self._fp(item)
+        i1 = self._i1(item)
+        i2 = self._i2(i1, fp)
+        if self._insert_at(i1, fp) or self._insert_at(i2, fp):
+            return True
+        import random
+
+        rng = random.Random(fp)
+        i = rng.choice([i1, i2])
+        for _ in range(self.max_kicks):
+            s = rng.randrange(4)
+            fp, self.table[i][s] = int(self.table[i][s]), fp
+            i = self._i2(i, fp)
+            if self._insert_at(i, fp):
+                return True
+        return False  # table full
+
+    def contains(self, item: str) -> bool:
+        fp = self._fp(item)
+        i1 = self._i1(item)
+        i2 = self._i2(i1, fp)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, item: str) -> bool:
+        fp = self._fp(item)
+        for i in (self._i1(item), self._i2(self._i1(item), fp)):
+            row = self.table[i]
+            hits = np.where(row == fp)[0]
+            if len(hits):
+                row[hits[0]] = 0
+                return True
+        return False

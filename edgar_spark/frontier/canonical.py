@@ -1,0 +1,41 @@
+"""URL canonicalization as UDF-free column expressions.
+
+The reference stores relative hrefs and naively prepends ``baseURL``
+(page.go:59, parser.go:384), producing double-slash URLs like
+``https://www.sec.gov//Archives/…`` (visible in its own live tests,
+parser_test.go:331). Our canonical form resolves site-relative paths,
+lowercases scheme+host, strips fragments, and collapses duplicate slashes in
+the path — so the reference's URL-seen set maps 1:1 onto ours modulo this
+normalization (documented target semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SEC_BASE = "https://www.sec.gov"
+
+
+def canonicalize(url: Column, base: str = SEC_BASE) -> Column:
+    absolute = F.when(
+        url.startswith("/"), F.concat(F.lit(base), url)
+    ).otherwise(url)
+    no_frag = F.regexp_replace(absolute, r"#.*$", "")
+    scheme_host = F.lower(F.regexp_extract(no_frag, r"^(https?://[^/]+)", 1))
+    rest = F.regexp_extract(no_frag, r"^https?://[^/]+(.*)$", 1)
+    # collapse duplicate slashes in the path only (host already split off)
+    rest = F.regexp_replace(rest, r"//+", "/")
+    return F.when(scheme_host == "", no_frag).otherwise(F.concat(scheme_host, rest))
+
+
+def host_of(url: Column) -> Column:
+    return F.regexp_extract(url, r"^https?://([^/]+)", 1)
+
+
+def politeness_bucket(url: Column, n_buckets: int) -> Column:
+    """Salted politeness bucket: EDGAR is a single host, so a plain
+    ``hash(host)`` key would send the whole frontier through one reducer.
+    Salting by url hash spreads the per-host token accounting across
+    ``n_buckets`` partitions (tokens are budgeted per (host, bucket))."""
+    return F.pmod(F.xxhash64(url), F.lit(n_buckets)).cast("int")

@@ -1,0 +1,89 @@
+"""Versioned Parquet snapshots with an atomic JSON manifest.
+
+Layout::
+
+    <root>/_manifest.json              # {"current": 3, "snapshots": {...}}
+    <root>/snap-000001/<table>/*.parquet
+    <root>/snap-000002/<table>/*.parquet
+
+A snapshot commit writes all table directories first, then atomically
+replaces the manifest (``os.replace`` — POSIX-atomic on the same filesystem),
+so readers either see the previous snapshot or the complete new one: the same
+reader guarantee an Iceberg snapshot commit provides. Rollback = pointing
+``current`` at an older id; old snapshots are retained for time travel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+from typing import Dict, Optional
+
+
+class IceliteCatalog:
+    def __init__(self, root: str) -> None:
+        self.root = pathlib.Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> pathlib.Path:
+        return self.root / "_manifest.json"
+
+    def _read_manifest(self) -> dict:
+        if not self._manifest_path.exists():
+            return {"current": 0, "snapshots": {}}
+        return json.loads(self._manifest_path.read_text())
+
+    def current_snapshot_id(self) -> int:
+        return self._read_manifest()["current"]
+
+    def snapshot_meta(self, snap_id: Optional[int] = None) -> dict:
+        m = self._read_manifest()
+        sid = snap_id or m["current"]
+        if sid == 0:
+            return {}
+        return m["snapshots"][str(sid)].get("meta", {})
+
+    def commit_snapshot(self, dfs: Dict[str, "object"], meta: Optional[dict] = None) -> int:
+        """Write every table of the snapshot, then atomically publish it."""
+        m = self._read_manifest()
+        sid = m["current"] + 1
+        snap_dir = self.root / f"snap-{sid:06d}"
+        tables = {}
+        for name, df in dfs.items():
+            path = snap_dir / name
+            df.write.mode("overwrite").parquet(str(path))
+            tables[name] = str(path)
+        m["snapshots"][str(sid)] = {"tables": tables, "meta": meta or {}}
+        m["current"] = sid
+        tmp = self._manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(m, indent=2))
+        os.replace(tmp, self._manifest_path)  # atomic publish
+        return sid
+
+    def read(self, spark, name: str, snap_id: Optional[int] = None):
+        m = self._read_manifest()
+        sid = snap_id or m["current"]
+        if sid == 0:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        snap = m["snapshots"][str(sid)]
+        if name not in snap["tables"]:
+            raise KeyError(f"table {name} not in snapshot {sid}")
+        return spark.read.parquet(snap["tables"][name])
+
+    def tables(self, snap_id: Optional[int] = None) -> list:
+        m = self._read_manifest()
+        sid = snap_id or m["current"]
+        if sid == 0:
+            return []
+        return sorted(m["snapshots"][str(sid)]["tables"])
+
+    def rollback(self, snap_id: int) -> None:
+        m = self._read_manifest()
+        if str(snap_id) not in m["snapshots"]:
+            raise KeyError(f"unknown snapshot {snap_id}")
+        m["current"] = snap_id
+        tmp = self._manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(m, indent=2))
+        os.replace(tmp, self._manifest_path)

@@ -1,0 +1,239 @@
+"""End-to-end crawl tests: golden filing assembly, synthetic-oracle
+consolidation, crawl ordering, URL-seen membership, robots gating, resume.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+from edgar_spark.frontier.robots import ROBOTS_SCHEMA
+from edgar_spark.parse import meta
+from edgar_spark.synth import corpus
+from tests.conftest import SAMPLES
+
+N_COMPANIES = 2
+N_FILINGS = 2
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    pages = corpus.build_pages(
+        spark, N_COMPANIES, n_filings=N_FILINGS, samples_dir=str(SAMPLES)
+    ).cache()
+    seeds = corpus.build_seeds(spark, N_COMPANIES, include_golden=True)
+    cfg = CrawlConfig(
+        max_waves=5,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt")),
+    )
+    res = Crawler(spark, pages, seeds, config=cfg).run()
+    res.filings.cache().count()
+    res.frontier.cache().count()
+    return pages, seeds, res
+
+
+def test_three_waves_and_no_pending(crawl):
+    _, _, res = crawl
+    assert len(res.metrics) == 3  # query → index → report
+    assert res.frontier.filter("state = 'pending'").count() == 0
+
+
+def test_golden_filing_assembled(crawl):
+    """The AAPL 10-Q assembled from the reference's own sample pages matches
+    the per-document goldens of parser_test.go under consolidation."""
+    _, _, res = crawl
+    row = res.filings.filter(
+        (F.col("ticker") == "AAPL")
+        & (F.col("accession") == corpus.GOLDEN_ACCESSION)
+    ).collect()
+    assert len(row) == 1
+    r = row[0].asDict()
+    assert r["filing_date"] == "2018-08-01"
+    expected = {
+        "sharecount": 4829926000.0,
+        "revenue": 53265000000.0,
+        "cost_of_revenue": 32844000000.0,
+        "gross_margin": 20421000000.0,
+        "op_income": 12612000000.0,
+        "op_expense": 7809000000.0,
+        "net_income": 11519000000.0,  # from the Operations doc, not CF/Income
+        "op_cashflow": 57911000000.0,
+        "capex": -10272000000.0,
+        "cliab": 88548000000.0,
+        "ldebt": 97128000000.0,
+        "retained": 79436000000.0,
+        "cash": 31971000000.0,
+        "liab": 234248000000.0,
+        "assets": 349197000000.0,
+    }
+    for k, v in expected.items():
+        assert r[k] == v, f"{k}: {r[k]} != {v}"
+
+
+def test_synthetic_filings_match_oracle(crawl):
+    """Every synthetic filing's consolidated row equals the independent
+    expectation computed from the corpus value model."""
+    _, _, res = crawl
+    rows = {
+        (r["ticker"], r["accession"]): r.asDict()
+        for r in res.filings.filter(F.col("ticker") != "AAPL").collect()
+    }
+    n_checked = 0
+    for i in range(N_COMPANIES):
+        for ftype in corpus.FILING_TYPES:
+            for date in corpus.filing_dates(ftype, N_FILINGS):
+                an = corpus.accession_of(i, ftype, date)
+                key = (corpus.ticker_of(i), an)
+                assert key in rows, f"missing filing {key}"
+                got = rows[key]
+                exp = corpus.expected_filing(i, an)
+                for col, v in exp.items():
+                    g = got[col]
+                    if v is None:
+                        assert g is None, f"{key} {col}: {g} != None"
+                    else:
+                        assert g == pytest.approx(v, rel=1e-12), f"{key} {col}: {g} != {v}"
+                # collected array = non-null fields in Entity,Bs,Cf,Ops order
+                exp_collected = [
+                    f.go_name for f in meta.COLLECTED_ORDER if exp[f.col] is not None
+                ]
+                assert got["collected"] == exp_collected
+                n_checked += 1
+    assert n_checked == N_COMPANIES * len(corpus.FILING_TYPES) * N_FILINGS
+
+
+def test_crawl_ordering(crawl):
+    """Fetched order = (wave, seed order, type order, dates DESC, canonical
+    doc order) — the reference's AvailableFilings DESC enumeration
+    (folder.go:128-131) plus pinned doc order."""
+    _, _, res = crawl
+    fetched = (
+        res.frontier.filter(F.col("state") == "fetched")
+        .orderBy("wave", "seed_seq", "type_seq", "date_sort", "doc_seq", "url")
+        .select("wave", "kind", "ticker", "filing_type", "filing_date", "doc_type")
+        .collect()
+    )
+    # wave 0: query pages in seed order, type order
+    w0 = [r for r in fetched if r["wave"] == 0]
+    # (AAPL's 10-K query page is not in the corpus → it lands in 'missing')
+    assert [(r["ticker"], r["filing_type"]) for r in w0] == [
+        (corpus.ticker_of(i), t) for i in range(N_COMPANIES) for t in corpus.FILING_TYPES
+    ] + [("AAPL", "10-Q")]
+    # wave 1 (index pages): per company/type, filing dates DESC
+    w1 = [r for r in fetched if r["wave"] == 1]
+    for i in range(N_COMPANIES):
+        for t in corpus.FILING_TYPES:
+            dates = [
+                r["filing_date"]
+                for r in w1
+                if r["ticker"] == corpus.ticker_of(i) and r["filing_type"] == t
+            ]
+            assert dates == sorted(dates, reverse=True)
+    # wave 2 (report pages): docs in canonical order per filing
+    w2 = [r for r in fetched if r["wave"] == 2]
+    from edgar_spark.model.schemas import DOC_PRIORITY
+
+    for i in range(N_COMPANIES):
+        for t in corpus.FILING_TYPES:
+            for date in corpus.filing_dates(t, N_FILINGS):
+                docs = [
+                    DOC_PRIORITY[r["doc_type"]]
+                    for r in w2
+                    if r["ticker"] == corpus.ticker_of(i)
+                    and r["filing_type"] == t
+                    and r["filing_date"] == date
+                ]
+                assert docs == sorted(docs)
+
+
+def test_url_seen_membership(crawl):
+    """Final URL-seen set = exactly the canonical URLs the reference would
+    enumerate: seeded queries + discovered viewers + classified doc pages."""
+    _, _, res = crawl
+    seen = {r["url"] for r in res.frontier.select("url").collect()}
+    # spot-check golden chain
+    assert (
+        "https://www.sec.gov/cgi-bin/browse-edgar?action=getcompany&CIK=AAPL"
+        "&type=10-Q&dateb=&owner=exclude&count=10" in seen
+    )
+    assert (
+        "https://www.sec.gov/cgi-bin/viewer?action=view&cik=320193"
+        "&accession_number=0000320193-18-000100&xbrl_type=v" in seen
+    )
+    assert (
+        "https://www.sec.gov/Archives/edgar/data/320193/000032019318000100/R5.htm"
+        in seen
+    )
+    # unclassified reports (R4 parenthetical / R6 extra) are never enqueued
+    assert not any(u.endswith("/R4.htm") or u.endswith("/R6.htm") for u in seen)
+    # frontier urls are unique (the URL-seen invariant)
+    assert res.frontier.count() == res.frontier.select("url").distinct().count()
+
+
+def test_missing_income_pages_marked(crawl):
+    _, _, res = crawl
+    missing = res.frontier.filter(F.col("state") == "missing")
+    # AAPL: the 10-K query page + 9 of 10 viewer links + any classified doc
+    # pages (e.g. notes) that aren't among the embedded samples
+    from edgar_spark.parse.docs import filing_index_parse
+    from tests.conftest import read_sample
+
+    docs = filing_index_parse(read_sample("sample_10Q.html"), "10-Q")
+    in_corpus = {"R1.htm", "R2.htm", "R3.htm", "R5.htm", "R7.htm"}
+    n_missing_docs = sum(1 for u in docs.values() if u.rsplit("/", 1)[1] not in in_corpus)
+    assert missing.filter(F.col("ticker") == "AAPL").count() == 10 + n_missing_docs
+    # synthetic companies: withheld income pages (h-dependent, may be 0)
+    for r in missing.filter(F.col("ticker") != "AAPL").collect():
+        assert r["doc_type"] == "Income"
+
+
+def test_robots_gating(spark, tmp_path):
+    pages = corpus.build_pages(spark, 1, n_filings=1)
+    seeds = corpus.build_seeds(spark, 1)
+    robots = spark.createDataFrame(
+        [("www.sec.gov", "/Archives/", False, 1000)], ROBOTS_SCHEMA
+    )
+    cfg = CrawlConfig(max_waves=4, checkpoint_dir=str(tmp_path / "r"))
+    res = Crawler(spark, pages, seeds, robots=robots, config=cfg).run()
+    blocked = res.frontier.filter(F.col("state") == "robots_blocked")
+    assert blocked.count() > 0
+    assert all(
+        r["url"].startswith("https://www.sec.gov/Archives/")
+        for r in blocked.collect()
+    )
+    assert res.facts.count() == 0  # report pages never fetched
+    assert sum(m["robots_blocked"] for m in res.metrics) == blocked.count()
+
+
+def test_resume_equivalence(spark, tmp_path):
+    """EP3: run 1 wave, resume from the snapshot, finish — identical filings
+    and frontier vs an uninterrupted run."""
+    pages = corpus.build_pages(spark, 1, n_filings=2).cache()
+    seeds = corpus.build_seeds(spark, 1)
+
+    full = Crawler(
+        spark, pages, seeds, config=CrawlConfig(max_waves=5, checkpoint_dir=str(tmp_path / "full"))
+    ).run()
+
+    interrupted_dir = str(tmp_path / "part")
+    Crawler(
+        spark, pages, seeds, config=CrawlConfig(max_waves=1, checkpoint_dir=interrupted_dir)
+    ).run()
+    resumed = Crawler.resume(
+        spark, interrupted_dir, pages, seeds, config=CrawlConfig(max_waves=5)
+    )
+
+    def norm_filings(df):
+        return sorted(
+            (tuple((None if isinstance(v, float) and math.isnan(v) else v) for v in r)
+             for r in df.drop("collected").collect())
+        )
+
+    assert norm_filings(full.filings) == norm_filings(resumed.filings)
+    cols = ["url", "kind", "state", "doc_type", "filing_date"]
+    a = sorted(map(tuple, full.frontier.select(*cols).collect()))
+    b = sorted(map(tuple, resumed.frontier.select(*cols).collect()))
+    assert a == b

@@ -1,0 +1,77 @@
+"""Unit tests: canonicalization, bloom/cuckoo, icelite snapshots."""
+
+from __future__ import annotations
+
+from edgar_spark.frontier.bloom import CuckooFilter, ShardedBloom
+
+
+def test_sharded_bloom_basics():
+    b = ShardedBloom(n_shards=4, bits_per_shard=1 << 14, n_hashes=5)
+    urls = [f"https://www.sec.gov/Archives/edgar/data/1/{i}/R1.htm" for i in range(500)]
+    for u in urls:
+        b.add(u)
+    assert all(b.contains(u) for u in urls)  # no false negatives, ever
+    fresh = [f"https://www.sec.gov/other/{i}" for i in range(2000)]
+    fp = sum(b.contains(u) for u in fresh) / len(fresh)
+    assert fp < 0.05  # generous bound for this sizing
+
+
+def test_sharded_bloom_merge():
+    a = ShardedBloom(2, 1 << 12, 3)
+    b = ShardedBloom(2, 1 << 12, 3)
+    a.add("x")
+    b.add("y")
+    a.merge(b)
+    assert a.contains("x") and a.contains("y")
+
+
+def test_cuckoo_filter_delete():
+    c = CuckooFilter(n_buckets=1 << 10)
+    urls = [f"u{i}" for i in range(300)]
+    for u in urls:
+        assert c.add(u)
+    assert all(c.contains(u) for u in urls)
+    assert c.delete("u0")
+    assert not c.contains("u0")
+    assert c.contains("u1")
+
+
+def test_canonicalize_and_bucket(spark):
+    from pyspark.sql import functions as F
+
+    from edgar_spark.frontier.canonical import canonicalize, host_of, politeness_bucket
+
+    df = spark.createDataFrame(
+        [
+            ("/cgi-bin/viewer?action=view&cik=1",),
+            ("https://WWW.SEC.gov//Archives//edgar/data/1/R1.htm#frag",),
+            ("https://www.sec.gov/ok/path",),
+        ],
+        ["u"],
+    ).select(
+        canonicalize(F.col("u")).alias("c"),
+        host_of(canonicalize(F.col("u"))).alias("h"),
+        politeness_bucket(F.col("u"), 8).alias("b"),
+    )
+    rows = df.collect()
+    assert rows[0]["c"] == "https://www.sec.gov/cgi-bin/viewer?action=view&cik=1"
+    assert rows[1]["c"] == "https://www.sec.gov/Archives/edgar/data/1/R1.htm"
+    assert rows[2]["c"] == "https://www.sec.gov/ok/path"
+    assert rows[1]["h"] == "www.sec.gov"
+    assert all(0 <= r["b"] < 8 for r in rows)
+
+
+def test_icelite_snapshot_roundtrip(spark, tmp_path):
+    from edgar_spark.icelite import IceliteCatalog
+
+    cat = IceliteCatalog(str(tmp_path / "tbl"))
+    df1 = spark.range(5).toDF("x")
+    sid1 = cat.commit_snapshot({"t": df1}, meta={"wave": 0})
+    df2 = spark.range(9).toDF("x")
+    sid2 = cat.commit_snapshot({"t": df2}, meta={"wave": 1})
+    assert (sid1, sid2) == (1, 2)
+    assert cat.read(spark, "t").count() == 9
+    assert cat.read(spark, "t", snap_id=1).count() == 5  # time travel
+    assert cat.snapshot_meta()["wave"] == 1
+    cat.rollback(1)
+    assert cat.read(spark, "t").count() == 5
