@@ -144,13 +144,16 @@ class Crawler:
             F.lit(0).alias("doc_seq"),
             F.lit("pending").alias("state"),
             F.lit(None).cast("int").alias("wave"),
+            F.lit(-1).alias("wave_added"),
             host_of(url).alias("host"),
             politeness_bucket(url, self.cfg.politeness_buckets).alias("bucket"),
         )
 
     # ------------------------------------------------------------ one wave
 
-    def _frontier_row(self, df: DataFrame, kind: str, url_col, extra: dict) -> DataFrame:
+    def _frontier_row(
+        self, df: DataFrame, kind: str, url_col, extra: dict, wave_no: int
+    ) -> DataFrame:
         url = canonicalize(url_col)
         cols = {
             "url": url,
@@ -167,6 +170,7 @@ class Crawler:
             "doc_seq": extra["doc_seq"],
             "state": F.lit("pending"),
             "wave": F.lit(None).cast("int"),
+            "wave_added": F.lit(wave_no),
             "host": host_of(url),
             "bucket": politeness_bucket(url, self.cfg.politeness_buckets),
         }
@@ -190,9 +194,13 @@ class Crawler:
         due = ranked.filter(F.col("_rn") <= cfg.tokens_per_bucket).drop("_rn")
         deferred = ranked.filter(F.col("_rn") > cfg.tokens_per_bucket).drop("_rn")
 
-        # "fetch": resolve due URLs against the corpus
-        fetched = due.join(self.pages.select("url", "text"), "url", "inner")
-        missing = due.join(self.pages.select("url"), "url", "left_anti")
+        # "fetch": one outer join resolves hits and misses together; persist —
+        # three parse kinds + the state update all reuse it
+        resolved = due.join(
+            self.pages.select("url", "text"), "url", "left"
+        ).persist()
+        fetched = resolved.filter(F.col("text").isNotNull())
+        missing = resolved.filter(F.col("text").isNull()).drop("text")
 
         # parse per kind (Sparser-style cheap prefilters before Python)
         q_out = parse_query_pages(
@@ -223,6 +231,7 @@ class Crawler:
                 "date_sort": -F.unix_date(F.to_date(F.col("filing_date"))).cast("long"),
                 "doc_seq": F.lit(0),
             },
+            wave_no,
         )
         new_reports = self._frontier_row(
             ix_out,
@@ -235,6 +244,7 @@ class Crawler:
                 "date_sort": -F.unix_date(F.to_date(F.col("filing_date"))).cast("long"),
                 "doc_seq": F.col("doc_seq"),
             },
+            wave_no,
         )
         candidates = new_index.unionByName(new_reports)
 
@@ -250,7 +260,11 @@ class Crawler:
         n_candidates = candidates.count()
 
         # URL-seen: bloom prefilter, exact anti-join for the maybes
-        if self._bloom is not None:
+        probed = None
+        if n_candidates == 0:
+            n_bloom_passed = 0
+            new_rows = candidates  # empty — skip probe/anti-join jobs entirely
+        elif self._bloom is not None:
             probed = self._bloom.probe(candidates, "url").persist()
             definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybe_seen = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -292,41 +306,49 @@ class Crawler:
         frontier_next = self.catalog.read(spark, "frontier")
         facts_next = self.catalog.read(spark, "facts")
 
-        # metrics from the materialized snapshot (column-pruned scans)
-        state_counts = {
-            r["state"]: r["n"]
-            for r in frontier_next.filter(F.col("wave") == wave_no)
-            .groupBy("state")
+        # metrics: one groupBy pass over the materialized snapshot
+        counts = {
+            (r["state"], r["wave"], r["wave_added"]): r["n"]
+            for r in frontier_next.groupBy("state", "wave", "wave_added")
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        n_new = frontier_next.filter(F.col("state") == "pending").join(
-            candidates.select("url"), "url", "left_semi"
-        ).count()
+        n_new = sum(
+            n for (s, _, wa), n in counts.items() if s == "pending" and wa == wave_no
+        )
+        n_pending_next = sum(n for (s, _, _), n in counts.items() if s == "pending")
+
+        def _wave_count(state: str) -> int:
+            return sum(n for (s, w, _), n in counts.items() if s == state and w == wave_no)
         metrics = {
             "wave": wave_no,
-            "fetched": state_counts.get("fetched", 0),
-            "missing": state_counts.get("missing", 0),
-            "robots_blocked": state_counts.get("robots_blocked", 0),
+            "fetched": _wave_count("fetched"),
+            "missing": _wave_count("missing"),
+            "robots_blocked": _wave_count("robots_blocked"),
             "discovered": n_candidates,
             "deduped": n_candidates - n_new,
             "bloom_candidates": n_candidates,
             "bloom_passed": n_bloom_passed,
             "facts": facts_next.count(),
+            "pending_next": n_pending_next,
         }
 
         # incremental bloom maintenance: hash only this wave's new URLs
-        if self._bloom is not None:
+        if self._bloom is not None and n_new > 0:
             added = ShardedBloom.build(
-                new_rows.select("url"),
+                frontier_next.filter(
+                    (F.col("state") == "pending") & (F.col("wave_added") == wave_no)
+                ).select("url"),
                 "url",
                 self.cfg.bloom_shards,
                 self.cfg.bloom_bits_per_shard,
                 self.cfg.bloom_hashes,
             )
             self._bloom.merge(added)
+        if probed is not None:
             probed.unpersist()
         candidates.unpersist()
+        resolved.unpersist()
         return frontier_next, facts_next, metrics
 
     # ------------------------------------------------------------ full runs
@@ -380,12 +402,11 @@ class Crawler:
         self, frontier: DataFrame, facts: DataFrame, start_wave: int, metrics: List[dict]
     ) -> CrawlResult:
         wave = start_wave
-        while wave < self.cfg.max_waves:
-            n_pending = frontier.filter(F.col("state") == "pending").count()
-            if n_pending == 0:
-                break
+        n_pending = frontier.filter(F.col("state") == "pending").count()
+        while wave < self.cfg.max_waves and n_pending > 0:
             frontier, facts, m = self.run_wave(frontier, facts, wave)
             metrics.append(m)
+            n_pending = m["pending_next"]
             wave += 1
         filings = consolidate_facts(facts)
         self.catalog.commit_snapshot(

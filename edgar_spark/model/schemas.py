@@ -61,6 +61,7 @@ FRONTIER_SCHEMA = StructType(
         StructField("doc_seq", IntegerType(), True),
         StructField("state", StringType(), False),  # pending|fetched|missing|robots_blocked
         StructField("wave", IntegerType(), True),  # wave the url was fetched in
+        StructField("wave_added", IntegerType(), True),  # wave the url was discovered in (-1 = seed)
         StructField("host", StringType(), True),
         StructField("bucket", IntegerType(), True),  # politeness bucket (salted)
     ]

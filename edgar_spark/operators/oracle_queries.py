@@ -133,6 +133,123 @@ def q_filing_year_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- training-data operators
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from edgar_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from edgar_spark.operators.dedup import ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard(docs, docs, n=3)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from edgar_spark.operators.text import token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from edgar_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_tokens",
+        F.round("q_stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("q_punct_ratio", 6).alias("punct_ratio"),
+        "quality_score",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from edgar_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "pred_lang")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from edgar_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors; ranked on the
+    6-dp-rounded similarity so float ulp differences between engines cannot
+    flip the ordering (ties break on neighbor_id)."""
+    from edgar_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("_cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_r").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only check: LSH banding is not
+    SQL-expressible in the oracle)."""
+    from edgar_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, n_hashes=64, bands=16
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only: 64-bit majority vote not practical
+    in the SQL oracle)."""
+    from edgar_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: approximate by design)."""
+    from edgar_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return ann_topk(emb, emb.filter(F.col("vec_id") < 10), dim=dim, k=5)
+
+
+def q_mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column stats: documents text re-encoded as an opaque
+    payload, length + content hash computed JVM-side."""
+    from edgar_spark.operators.multimodal import byte_stats
+
+    media = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return byte_stats(media).select("doc_id", "n_bytes", "payload_md5")
+
+
 _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_wins_dedup": q_first_wins_dedup,
     "pivot_agg": q_pivot_agg,
@@ -142,6 +259,17 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "broadcast_dim_join": q_broadcast_dim_join,
     "number_normalize": q_number_normalize,
     "filing_year_filter": q_filing_year_filter,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "minhash_near_dups": q_minhash_near_dups,  # rows-only
+    "simhash": q_simhash,  # rows-only
+    "ann_topk": q_ann_topk,  # rows-only
+    "mm_byte_stats": q_mm_byte_stats,
 }
 
 _ORACLES: Dict[str, str] = {
@@ -212,6 +340,132 @@ _ORACLES: Dict[str, str] = {
         FROM orders
         WHERE year(o_orderdate) >= 1995
         GROUP BY year(o_orderdate)
+    """,
+    "exact_dedup": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "ngram_jaccard": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                   )) AS shingles
+            FROM (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+    """,
+    "token_count": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS n_tokens
+        FROM documents
+    """,
+    "quality_score": """
+        WITH f AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok,
+                   len(list_filter(
+                       list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      w -> lower(w)),
+                       w -> list_contains(
+                           ['the','and','of','to','a','in','is','it','that','for',
+                            'on','with','as','was','at','by','an','be','this','are'],
+                           w)
+                   )) AS n_stop,
+                   len(regexp_split_to_array(text, '[\\.,;:!\\?]')) - 1 AS n_punct
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_chars, n_tok,
+                   CASE WHEN n_tok > 0
+                        THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END AS stop_r,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_r,
+                   CASE WHEN n_tok > 0
+                        THEN CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok
+                        ELSE 0.0 END AS mwl
+            FROM f
+        )
+        SELECT doc_id,
+               n_chars AS q_n_chars,
+               n_tok AS q_n_tokens,
+               round(stop_r, 6) AS stopword_ratio,
+               round(punct_r, 6) AS punct_ratio,
+               round(
+                   least(n_tok / 100.0, 1.0) * 0.3
+                   + least(stop_r * 3.0, 1.0) * 0.4
+                   + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2
+                   + (CASE WHEN punct_r <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.1,
+               6) AS quality_score
+        FROM r
+    """,
+    "lang_id": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                  w -> lower(w)) AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(list_filter(toks, w -> list_contains(
+                       ['the','and','of','to','is'], w))) AS s_en,
+                   len(list_filter(toks, w -> list_contains(
+                       ['der','die','und','nicht','ist'], w))) AS s_de,
+                   len(list_filter(toks, w -> list_contains(
+                       ['le','la','les','et','est'], w))) AS s_fr,
+                   len(list_filter(toks, w -> list_contains(
+                       ['el','los','que','es','una'], w))) AS s_es
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                    ELSE 'es'
+               END AS pred_lang
+        FROM s
+    """,
+    "fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    """,
+    "cosine_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id,
+                   CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6)
+                       AS cos_sim_r
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim_r, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim_r DESC, neighbor_id
+            ) AS rank FROM scored
+        ) WHERE rank <= 5
+    """,
+    "mm_byte_stats": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
     """,
 }
 

@@ -1,0 +1,177 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* **brute-force cosine top-k** — the exact baseline: query set × corpus via
+  a crossJoin pruned to the broadcastable query side, dot/norm computed with
+  ``F.zip_with``/``F.aggregate`` (stays in codegen, no Python), window top-k.
+* **LSH-bucketed ANN** — the scale path: deterministic random-hyperplane
+  signs bucket the corpus; queries only scan their bucket (plus optional
+  multi-probe neighbors). At 100 TB the corpus side shuffles once on bucket;
+  queries broadcast.
+* **embedding near-dup** — same machinery at threshold: pairs with cosine ≥
+  t inside a bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query row.
+
+    ``queries`` must be small (it is broadcast); the corpus streams through
+    one codegen stage — no Python in the loop. Self-matches excluded.
+    Output: (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: unit-free sign projections
+    seeded by (plane, dim) splitmix — identical on every executor with no
+    RNG state shipped."""
+    from edgar_spark.operators.dedup import _splitmix64
+
+    idx = np.arange(n_planes * dim, dtype=np.uint64)
+    vals = _splitmix64(idx).astype(np.float64) / 2**64 - 0.5
+    return vals.reshape(n_planes, dim)
+
+
+def lsh_bucket_ids(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket): sign-pattern of the vector against n_planes hyperplanes,
+    computed vectorized per Arrow batch (one matmul per batch)."""
+    planes = _hyperplanes(dim, n_planes)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy())
+            proj = mat @ planes.T  # (rows, n_planes)
+            bits = (proj > 0).astype(np.int64)
+            bucket = (bits * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, bucket long"
+    )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    exact cosine within the bucket. Output shape = brute_force_topk."""
+    cb = lsh_bucket_ids(corpus, dim, n_planes, vec_col, id_col)
+    qb = lsh_bucket_ids(queries, dim, n_planes, vec_col, id_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).join(cb.select(F.col(id_col).alias("neighbor_id"), "bucket"), "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).join(qb.select(F.col(id_col).alias("query_id"), "bucket"), "query_id")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, bucketed by LSH so only
+    same-bucket pairs are scored."""
+    b = lsh_bucket_ids(corpus, dim, n_planes, vec_col, id_col)
+    v = corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v")).join(
+        b, id_col
+    )
+    left = v.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "bucket"
+    )
+    right = v.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

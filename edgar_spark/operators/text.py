@@ -1,0 +1,135 @@
+"""Text-analysis operators for training-data pipelines — all pure column
+expressions (JVM-side, SQL-oracle-able): language ID, quality scoring, token
+counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (n-gram/stopword heuristic)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+EN_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """A BPE-ish proxy: count word pieces split on non-alphanumerics plus
+    length/4 continuation pieces for long words (a cheap, deterministic
+    stand-in for subword tokenizers — no tokenizer libs in this sandbox)."""
+    words = F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != "")
+    pieces = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.lit(1) + (F.length(w) / F.lit(4)).cast("int"),
+    )
+    return pieces
+
+
+def _count_matches(c: Column, pattern: str) -> Column:
+    # number of regex matches = size of split minus 1 (on non-empty text)
+    return F.size(F.split(c, pattern)) - F.lit(1)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: length, token count, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(
+        F.filter(F.transform(toks, lambda w: F.lower(w)), lambda w: F.array_contains(stop_arr, w))
+    )
+    n_punct = _count_matches(c, r"[\.,;:!\?]")
+    n_upper = _count_matches(c, r"[A-Z]")
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        F.when(n_tok > 0, (n_chars - n_tok + 1).cast("double") / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("q_mean_word_len"),
+        F.when(n_chars > 0, n_punct.cast("double") / n_chars)
+        .otherwise(F.lit(0.0))
+        .alias("q_punct_ratio"),
+        F.when(n_tok > 0, n_stop.cast("double") / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("q_stopword_ratio"),
+        F.when(n_chars > 0, n_upper.cast("double") / n_chars)
+        .otherwise(F.lit(0.0))
+        .alias("q_upper_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from the features (monotone, clamped):
+    rewards stopword presence and moderate word length, penalizes extreme
+    punctuation density and very short docs."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.least(F.col("q_n_tokens") / F.lit(100.0), F.lit(1.0)) * F.lit(0.3)
+        + F.least(F.col("q_stopword_ratio") * F.lit(3.0), F.lit(1.0)) * F.lit(0.4)
+        + F.when(
+            (F.col("q_mean_word_len") >= 3) & (F.col("q_mean_word_len") <= 10),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        * F.lit(0.2)
+        + F.when(F.col("q_punct_ratio") <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+        * F.lit(0.1)
+    )
+    return feats.withColumn("quality_score", F.round(score, 6))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker hits over
+    the lowercased token set; 'und' (undetermined) when all score 0.
+    Ties break by fixed language order en, de, fr, es."""
+    toks = F.transform(tokens(F.col(text_col)), lambda w: F.lower(w))
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out = out.withColumn(
+            f"_s_{lang}",
+            F.size(F.filter(toks, lambda w: F.array_contains(marker_arr, w))),
+        )
+    best = F.greatest(*[F.col(f"_s_{l}") for l in LANG_MARKERS])
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when(
+            (F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("pred_lang", pred).drop(
+        *[f"_s_{l}" for l in LANG_MARKERS]
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercased text
+    (stable across both engines; the rolling-hash variant lives in
+    dedup.simhash_signatures)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))
