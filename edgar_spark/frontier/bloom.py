@@ -80,33 +80,73 @@ class ShardedBloom:
 
     # -- spark build / probe -------------------------------------------
     @classmethod
-    def build(cls, df, url_col: str, n_shards: int, bits_per_shard: int, n_hashes: int):
-        """Distributed build: per-partition partial filters, OR-merged."""
-        params = (n_shards, bits_per_shard, n_hashes)
+    def build(
+        cls,
+        df,
+        url_col: str,
+        n_shards: int,
+        bits_per_shard: int,
+        n_hashes: int,
+        n_hint: int | None = None,
+    ):
+        """Distributed build with two strategies picked by expected key count:
 
-        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            partial = cls(*params)
-            seen_any = False
-            for pdf in batches:
-                for u in pdf[url_col]:
+        * **positions** (default): each partition emits the (shard, bit)
+          pairs its URLs set — cost ∝ n_urls·k, independent of partition
+          count. Right for incremental per-wave maintenance (a wave adds
+          thousands-to-millions of URLs).
+        * **bitmaps**: each partition emits full shard bitmaps, OR-merged —
+          cost ∝ n_partitions·n_shards·bits/8. Only wins for bulk builds
+          where n_urls·k approaches the total bitmap size (≳ bits·n_shards/64
+          keys, e.g. rebuilding the seen-set from a 10^9-row frontier); at
+          that scale the merge runs as an RDD ``treeReduce`` so the driver
+          sees one bitmap set, not one per partition.
+        """
+        params = (n_shards, bits_per_shard, n_hashes)
+        use_bitmaps = (
+            n_hint is not None and n_hint * n_hashes > (n_shards * bits_per_shard) // 64
+        )
+        if use_bitmaps:
+            def to_filter(it):
+                partial = cls(*params)
+                for row in it:
+                    u = row[0]
                     if u is not None:
                         partial.add(u)
-                        seen_any = True
-            if seen_any:
-                yield pd.DataFrame(
-                    {
-                        "shard": list(range(n_shards)),
-                        "bits": [s.tobytes() for s in partial.shards],
-                    }
-                )
+                yield partial.shards
 
-        parts = df.select(url_col).mapInPandas(
-            gen, schema="shard int, bits binary"
-        )
+            def or_shards(a, b):
+                for x, y in zip(a, b):
+                    np.bitwise_or(x, y, out=x)
+                return a
+
+            merged = (
+                df.select(url_col)
+                .rdd.mapPartitions(to_filter)
+                .treeReduce(or_shards, depth=3)
+            )
+            out = cls(*params)
+            out.shards = list(merged)
+            return out
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            probe = cls(*params)
+            for pdf in batches:
+                shards, bits = [], []
+                for u in pdf[url_col]:
+                    if u is not None:
+                        shard, pos = probe._positions(u)
+                        for p in pos:
+                            shards.append(shard)
+                            bits.append(p)
+                yield pd.DataFrame({"shard": shards, "pos": np.array(bits, dtype=np.int64)})
+
+        parts = df.select(url_col).mapInPandas(gen, schema="shard int, pos long")
         out = cls(*params)
-        for row in parts.collect():  # shard bitmaps only, never URLs
-            arr = np.frombuffer(row["bits"], dtype=np.uint8)
-            np.bitwise_or(out.shards[row["shard"]], arr, out=out.shards[row["shard"]])
+        for row in parts.collect():  # (shard, bit-position) pairs, never URLs
+            arr = out.shards[row["shard"]]
+            p = row["pos"]
+            arr[p >> 3] |= 1 << (p & 7)
         return out
 
     def probe(self, df, url_col: str, flag_col: str = "maybe_seen"):

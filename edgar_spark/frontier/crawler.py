@@ -71,6 +71,10 @@ class CrawlConfig:
     politeness_buckets: int = 32
     tokens_per_bucket: int = 100_000
     max_waves: int = 12
+    # snapshot file fan-in: small fixed file count at sandbox scale (coalesce
+    # before the parquet write); at 10^10 scale this becomes write-partitioning
+    # by politeness bucket instead of a coalesce
+    snapshot_partitions: int = 8
     checkpoint_dir: Optional[str] = None
     use_bloom: bool = True
     bloom_shards: int = 4
@@ -194,13 +198,14 @@ class Crawler:
         due = ranked.filter(F.col("_rn") <= cfg.tokens_per_bucket).drop("_rn")
         deferred = ranked.filter(F.col("_rn") > cfg.tokens_per_bucket).drop("_rn")
 
-        # "fetch": one outer join resolves hits and misses together; persist —
-        # three parse kinds + the state update all reuse it
-        resolved = due.join(
-            self.pages.select("url", "text"), "url", "left"
-        ).persist()
-        fetched = resolved.filter(F.col("text").isNotNull())
-        missing = resolved.filter(F.col("text").isNull()).drop("text")
+        # "fetch": inner join for hits (AQE can broadcast the small due wave —
+        # a left-outer here would force a sort-merge shuffle of the whole
+        # corpus every wave since only the big side could be broadcast) and a
+        # url-only left-anti for misses (right side is one pruned column, so
+        # it broadcasts). Persist — three parse kinds + the state update all
+        # reuse the fetched rows.
+        fetched = due.join(self.pages.select("url", "text"), "url", "inner").persist()
+        missing = due.join(self.pages.select("url"), "url", "left_anti")
 
         # parse per kind (Sparser-style cheap prefilters before Python)
         q_out = parse_query_pages(
@@ -256,26 +261,38 @@ class Crawler:
             candidates.withColumn("_rn", F.row_number().over(wd))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-        ).persist()
-        n_candidates = candidates.count()
+        )
 
-        # URL-seen: bloom prefilter, exact anti-join for the maybes
+        # URL-seen: bloom prefilter, exact anti-join for the maybes.
+        # One action covers both control-flow counts (candidates, bloom-new).
         probed = None
-        if n_candidates == 0:
-            n_bloom_passed = 0
-            new_rows = candidates  # empty — skip probe/anti-join jobs entirely
-        elif self._bloom is not None:
+        if self._bloom is not None:
             probed = self._bloom.probe(candidates, "url").persist()
-            definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            maybe_seen = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-            n_bloom_passed = definitely_new.count()
-            confirmed_new = maybe_seen.join(
-                frontier.select("url"), "url", "left_anti"
-            )
-            new_rows = definitely_new.unionByName(confirmed_new)
+            stats = probed.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.sum(F.when(~F.col("maybe_seen"), 1).otherwise(0)), F.lit(0)
+                ).alias("new"),
+            ).collect()[0]
+            n_candidates, n_bloom_passed = stats["n"], int(stats["new"])
+            candidates = probed.drop("maybe_seen")
+            if n_candidates == 0:
+                new_rows = candidates  # empty — skip anti-join jobs entirely
+            else:
+                definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+                maybe_seen = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+                confirmed_new = maybe_seen.join(
+                    frontier.select("url"), "url", "left_anti"
+                )
+                new_rows = definitely_new.unionByName(confirmed_new)
         else:
+            candidates = candidates.persist()
+            n_candidates = candidates.count()
             n_bloom_passed = 0
-            new_rows = candidates.join(frontier.select("url"), "url", "left_anti")
+            if n_candidates == 0:
+                new_rows = candidates
+            else:
+                new_rows = candidates.join(frontier.select("url"), "url", "left_anti")
 
         due_fetched = (
             fetched.drop("text")
@@ -299,8 +316,9 @@ class Crawler:
         facts_next = facts.unionByName(new_facts)
 
         # snapshot commit = materialization + resume point
+        nsp = cfg.snapshot_partitions
         self.catalog.commit_snapshot(
-            {"frontier": frontier_next, "facts": facts_next},
+            {"frontier": frontier_next.coalesce(nsp), "facts": facts_next.coalesce(nsp)},
             meta={"wave": wave_no},
         )
         frontier_next = self.catalog.read(spark, "frontier")
@@ -343,12 +361,14 @@ class Crawler:
                 self.cfg.bloom_shards,
                 self.cfg.bloom_bits_per_shard,
                 self.cfg.bloom_hashes,
+                n_hint=n_new,
             )
             self._bloom.merge(added)
         if probed is not None:
             probed.unpersist()
-        candidates.unpersist()
-        resolved.unpersist()
+        else:
+            candidates.unpersist()
+        fetched.unpersist()
         return frontier_next, facts_next, metrics
 
     # ------------------------------------------------------------ full runs
@@ -409,8 +429,13 @@ class Crawler:
             n_pending = m["pending_next"]
             wave += 1
         filings = consolidate_facts(facts)
+        nsp = self.cfg.snapshot_partitions
         self.catalog.commit_snapshot(
-            {"frontier": frontier, "facts": facts, "filings": filings},
+            {
+                "frontier": frontier.coalesce(nsp),
+                "facts": facts.coalesce(nsp),
+                "filings": filings.coalesce(nsp),
+            },
             meta={"wave": wave - 1, "final": True},
         )
         filings = self.catalog.read(self.spark, "filings")
