@@ -89,6 +89,8 @@ OPERATOR_KEYS = [
     "minhash_near_dups",
     "quality_score",
     "cosine_topk",
+    "events_window_agg",
+    "sessionize_gap",
 ]
 
 

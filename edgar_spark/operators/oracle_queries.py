@@ -250,6 +250,42 @@ def q_mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_stats(media).select("doc_id", "n_bytes", "payload_md5")
 
 
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event-time aggregation (streaming/pipeline.py shares
+    this exact definition with the watermarked streaming mode). Window bounds
+    rendered as wall-clock strings so the compare is timezone-proof."""
+    from edgar_spark.streaming.pipeline import windowed_event_agg
+
+    out = windowed_event_agg(_t(spark, sf_dir, "events"), window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch form (lag → flag → cumsum → agg);
+    the streaming form (applyInPandasWithState) is asserted equivalent in
+    tests/test_streaming.py."""
+    from edgar_spark.streaming.pipeline import sessionize_batch
+
+    out = sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+        "sum_value",
+    )
+
+
 _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_wins_dedup": q_first_wins_dedup,
     "pivot_agg": q_pivot_agg,
@@ -270,6 +306,8 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,  # rows-only
     "ann_topk": q_ann_topk,  # rows-only
     "mm_byte_stats": q_mm_byte_stats,
+    "events_window_agg": q_events_window_agg,
+    "sessionize_gap": q_sessionize_gap,
 }
 
 _ORACLES: Dict[str, str] = {
@@ -466,6 +504,39 @@ _ORACLES: Dict[str, str] = {
                octet_length(encode(text)) AS n_bytes,
                md5(text) AS payload_md5
         FROM documents
+    """,
+    "events_window_agg": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                        '%Y-%m-%d %H:%M:%S') AS window_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "sessionize_gap": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING
+            ) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM sess GROUP BY user_id, sess_id
     """,
 }
 
