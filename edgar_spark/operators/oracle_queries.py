@@ -39,11 +39,16 @@ def q_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """facts→filings widen analog: conditional aggregation per user."""
+    """facts→filings widen analog: conditional aggregation per user.
+
+    Values are quantized to decimal(18,6) before summing so the sum is
+    associative — Spark's partial-agg merge order and DuckDB's sequential
+    sum then agree bit-for-bit (double sums are order-dependent)."""
     ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
     return ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("event_type") == "click", F.col("value"))).alias("click_sum"),
-        F.sum(F.when(F.col("event_type") == "view", F.col("value"))).alias("view_sum"),
+        F.sum(F.when(F.col("event_type") == "click", dec)).alias("click_sum"),
+        F.sum(F.when(F.col("event_type") == "view", dec)).alias("view_sum"),
         F.count("*").alias("n_events"),
     )
 
@@ -96,7 +101,7 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum("c_acctbal").alias("sum_acctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_acctbal"),
         )
     )
 
@@ -129,7 +134,10 @@ def q_filing_year_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.filter(F.year("o_orderdate") >= 1995)
         .groupBy(F.year("o_orderdate").alias("order_year"))
-        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("sum_price"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        )
     )
 
 
@@ -286,6 +294,121 @@ def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic pricing-summary report (TPC-H Q1 shape) over lineitem:
+    map-side partial agg → 4-group final agg; sums on decimal-quantized
+    inputs so the result is order-independent; averages derived from the
+    exact decimal sums (never a double re-sum)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(24,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(24,6)")
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.sum(F.col("l_discount").cast("decimal(18,6)")).alias("_sum_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(
+            F.col("sum_base_price").cast("double") / F.col("count_order"), 6
+        ).alias("avg_price"),
+        F.round(F.col("_sum_disc").cast("double") / F.col("count_order"), 6).alias(
+            "avg_disc"
+        ),
+        "count_order",
+    )
+
+
+def q_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'view' event picks up the value of the user's most
+    recent 'click' at-or-before it (union+window composition — one shuffle,
+    no range-join explosion; operators/asof.py)."""
+    from edgar_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        views, clicks, key="user_id", ts="ts", value_col="value",
+        out_col="last_click_value",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round("last_click_value", 6).alias("last_click_value"),
+    )
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from edgar_spark.operators.text import bpe_ish_token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_pieces")
+    )
+
+
+def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs: cosine ≥ threshold over all id_a <
+    id_b pairs (the brute-force baseline; the LSH-bucketed scale path is
+    ``embedding_near_dups_lsh``). Rounded to 6 dp before thresholding so
+    both engines make the same boundary call."""
+    from edgar_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("_va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("_vb"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim_r"),
+        )
+        .filter(F.col("cos_sim_r") >= 0.35)
+    )
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (rows-only: bucketing is approximate by
+    design — at 100 TB only same-bucket pairs are ever scored)."""
+    from edgar_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return embedding_near_dups(emb, dim=dim, threshold=0.35, n_planes=8)
+
+
 _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_wins_dedup": q_first_wins_dedup,
     "pivot_agg": q_pivot_agg,
@@ -308,6 +431,11 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_byte_stats": q_mm_byte_stats,
     "events_window_agg": q_events_window_agg,
     "sessionize_gap": q_sessionize_gap,
+    "tpch_q1": q_tpch_q1,
+    "asof_join_last_click": q_asof_join_last_click,
+    "bpe_token_count": q_bpe_token_count,
+    "cosine_near_dups": q_cosine_near_dups,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only
 }
 
 _ORACLES: Dict[str, str] = {
@@ -323,8 +451,10 @@ _ORACLES: Dict[str, str] = {
     """,
     "pivot_agg": """
         SELECT user_id,
-               sum(CASE WHEN event_type = 'click' THEN value END) AS click_sum,
-               sum(CASE WHEN event_type = 'view' THEN value END) AS view_sum,
+               sum(CASE WHEN event_type = 'click'
+                        THEN CAST(value AS DECIMAL(18,6)) END) AS click_sum,
+               sum(CASE WHEN event_type = 'view'
+                        THEN CAST(value AS DECIMAL(18,6)) END) AS view_sum,
                count(*) AS n_events
         FROM events GROUP BY user_id
     """,
@@ -351,7 +481,7 @@ _ORACLES: Dict[str, str] = {
     """,
     "broadcast_dim_join": """
         SELECT r_name, n_name, count(*) AS n_customers,
-               sum(c_acctbal) AS sum_acctbal
+               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -374,7 +504,7 @@ _ORACLES: Dict[str, str] = {
     "filing_year_filter": """
         SELECT year(o_orderdate) AS order_year,
                count(*) AS n_orders,
-               sum(o_totalprice) AS sum_price
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
         FROM orders
         WHERE year(o_orderdate) >= 1995
         GROUP BY year(o_orderdate)
@@ -537,6 +667,64 @@ _ORACLES: Dict[str, str] = {
                count(*) AS n_events,
                round(sum(value), 6) AS sum_value
         FROM sess GROUP BY user_id, sess_id
+    """,
+    "tpch_q1": """
+        WITH agg AS (
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(24,6))) AS sum_disc_price,
+                   sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                            AS DECIMAL(24,6))) AS sum_charge,
+                   sum(CAST(l_discount AS DECIMAL(18,6))) AS sum_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus,
+               sum_qty, sum_base_price, sum_disc_price, sum_charge,
+               round(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty,
+               round(CAST(sum_base_price AS DOUBLE) / count_order, 6) AS avg_price,
+               round(CAST(sum_disc AS DOUBLE) / count_order, 6) AS avg_disc,
+               count_order
+        FROM agg
+    """,
+    "asof_join_last_click": """
+        WITH clicks AS (
+            SELECT user_id, ts, value FROM (
+                SELECT user_id, ts, value, row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY value DESC
+                ) AS rn
+                FROM events WHERE event_type = 'click'
+            ) WHERE rn = 1
+        ), views AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        )
+        SELECT v.event_id, v.user_id,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               round(c.value, 6) AS last_click_value
+        FROM views v ASOF LEFT JOIN clicks c
+          ON v.user_id = c.user_id AND v.ts >= c.ts
+    """,
+    "bpe_token_count": """
+        SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               w -> w != ''),
+                   w -> 1 + CAST(length(w) // 4 AS INT))), 0) AS INT) AS n_pieces
+        FROM documents
+    """,
+    "cosine_near_dups": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim_r
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
     """,
 }
 

@@ -141,3 +141,36 @@ def test_multimodal_plumbing(spark):
     assert stats[1] == 400 and stats[2] == 64
     plan = frame_sample_plan(media.filter("media_id = 2"), every_ms=1000)
     assert [r["frame_ts_ms"] for r in plan.collect()] == [0, 1000, 2000, 3000]
+
+
+def test_asof_join(spark):
+    from datetime import datetime as dt
+
+    from edgar_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, dt(2024, 1, 1, 0, 0)),   # before any right row -> NULL
+            (2, 10, dt(2024, 1, 1, 1, 0)),   # exactly at right ts -> inclusive
+            (3, 10, dt(2024, 1, 1, 3, 0)),   # between -> earlier right wins
+            (4, 20, dt(2024, 1, 1, 5, 0)),   # other key
+            (5, 30, dt(2024, 1, 1, 5, 0)),   # key with no right rows -> NULL
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, dt(2024, 1, 1, 1, 0), 100.0),
+            (10, dt(2024, 1, 1, 1, 0), 150.0),  # same-ts dup: max value wins
+            (10, dt(2024, 1, 1, 2, 0), 200.0),
+            (20, dt(2024, 1, 1, 4, 0), 300.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, key="user_id", ts="ts", value_col="value"
+        ).collect()
+    }
+    assert out == {1: None, 2: 150.0, 3: 200.0, 4: 300.0, 5: None}
