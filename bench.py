@@ -35,6 +35,10 @@ def build_session(cpus: str):
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE re-coalesce downstream of persisted plans (off by default;
+        # without it every stage below the cached fetch join keeps the full
+        # static shuffle-partition count even when the wave is tiny)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
@@ -91,6 +95,9 @@ OPERATOR_KEYS = [
     "cosine_topk",
     "events_window_agg",
     "sessionize_gap",
+    "tpch_q1",
+    "asof_join_last_click",
+    "cosine_near_dups",
 ]
 
 

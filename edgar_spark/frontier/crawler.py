@@ -42,7 +42,7 @@ import tempfile
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edgar_spark.frontier.bloom import ShardedBloom
@@ -71,15 +71,22 @@ class CrawlConfig:
     politeness_buckets: int = 32
     tokens_per_bucket: int = 100_000
     max_waves: int = 12
-    # snapshot file fan-in: small fixed file count at sandbox scale (coalesce
-    # before the parquet write); at 10^10 scale this becomes write-partitioning
-    # by politeness bucket instead of a coalesce
+    # snapshot file fan-in: small fixed file count at sandbox scale; at 10^10
+    # scale this becomes write-partitioning by politeness bucket
     snapshot_partitions: int = 8
+    # parse stages are CPU-bound Python work on byte-small inputs, so AQE's
+    # byte-based coalescing under-parallelizes them (400 MB of HTML is ~7
+    # post-shuffle partitions but hours of tokenizer CPU at scale). None ⇒
+    # 2 × defaultParallelism.
+    parse_partitions: Optional[int] = None
     checkpoint_dir: Optional[str] = None
     use_bloom: bool = True
     bloom_shards: int = 4
     bloom_bits_per_shard: int = 1 << 22  # ~4 Mbit/shard; size up per SURVEY §7.5
     bloom_hashes: int = 5
+    # waves adding fewer URLs than this hash them driver-side (one scan job,
+    # no Python stage); larger waves use the distributed position build
+    driver_bloom_threshold: int = 100_000
 
 
 @dataclass
@@ -92,7 +99,14 @@ class CrawlResult:
 
 
 def _empty(spark: SparkSession, schema) -> DataFrame:
-    return spark.createDataFrame([], schema)
+    # JVM-native single-partition empty. createDataFrame([], schema) builds a
+    # Python-RDD-backed plan whose partitions each need a Python worker
+    # handshake on every re-execution — at local[32] a coalesce(1) over it
+    # drains 32 of those serially (~5 s) in every job that touches the
+    # lineage. range(0) is a LocalTableScan-style JVM relation: zero Python.
+    return spark.range(0, 0, 1, 1).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
 
 
 class Crawler:
@@ -181,12 +195,29 @@ class Crawler:
         return df.select(*[c.alias(n) for n, c in cols.items()])
 
     def run_wave(
-        self, frontier: DataFrame, facts: DataFrame, wave_no: int
+        self,
+        frontier: DataFrame,
+        facts: DataFrame,
+        wave_no: int,
+        pending_kinds: Optional[set] = None,
     ) -> Tuple[DataFrame, DataFrame, dict]:
+        """One fetch wave.
+
+        ``pending_kinds`` — the set of ``kind`` values present among pending
+        frontier rows (known for free from the previous wave's metrics, or
+        ``{'query'}`` after seeding). Parse branches, the candidate dedup
+        window, and the bloom probe are all Python/shuffle stages; skipping
+        the ones that cannot match avoids ~2/3 of the per-wave fixed cost
+        (Python worker fan-out scales with cores, so at high parallelism
+        dead stages are what kills scaling efficiency)."""
         spark = self.spark
         cfg = self.cfg
+        kinds = (
+            pending_kinds
+            if pending_kinds is not None
+            else {"query", "index", "report"}
+        )
         pending = frontier.filter(F.col("state") == "pending")
-        settled = frontier.filter(F.col("state") != "pending")
 
         if self.robots is not None:
             allowed, blocked = split_robots(pending, self.robots)
@@ -196,178 +227,281 @@ class Crawler:
         w = Window.partitionBy("host", "bucket").orderBy(*PRIORITY_COLS)
         ranked = allowed.withColumn("_rn", F.row_number().over(w))
         due = ranked.filter(F.col("_rn") <= cfg.tokens_per_bucket).drop("_rn")
-        deferred = ranked.filter(F.col("_rn") > cfg.tokens_per_bucket).drop("_rn")
 
-        # "fetch": inner join for hits (AQE can broadcast the small due wave —
-        # a left-outer here would force a sort-merge shuffle of the whole
-        # corpus every wave since only the big side could be broadcast) and a
-        # url-only left-anti for misses (right side is one pruned column, so
-        # it broadcasts). Persist — three parse kinds + the state update all
-        # reuse the fetched rows.
-        fetched = due.join(self.pages.select("url", "text"), "url", "inner").persist()
-        missing = due.join(self.pages.select("url"), "url", "left_anti")
+        # "fetch": broadcast the due wave (bounded by the politeness budget)
+        # against the big pages corpus — the corpus is never shuffled, the
+        # stream side scales with cores. Misses are computed against the
+        # (small, persisted) fetched set, not the corpus, so the anti-join
+        # broadcasts too. At 10^10 scale with due waves beyond broadcast
+        # size, flip to a bucketed sort-merge join on url (Iceberg
+        # write-distribution on the pages table makes it shuffle-free).
+        fetched = (
+            F.broadcast(due)
+            .join(self.pages.select("url", "text"), "url", "inner")
+            .persist()
+        )
+        missing = due.join(
+            F.broadcast(fetched.select("url")), "url", "left_anti"
+        )
 
-        # parse per kind (Sparser-style cheap prefilters before Python)
-        q_out = parse_query_pages(
-            fetched.filter(
-                (F.col("kind") == "query")
-                & F.col("text").contains("interactiveDataBtn")
+        # parse per kind (Sparser-style cheap prefilters before Python),
+        # gated on the kinds actually pending this wave. Each parse input is
+        # explicitly repartitioned: the tokenizer is CPU-bound, so its
+        # parallelism must track cores, not AQE's bytes-per-partition target.
+        n_parse = cfg.parse_partitions or spark.sparkContext.defaultParallelism * 2
+        q_out = (
+            parse_query_pages(
+                fetched.filter(
+                    (F.col("kind") == "query")
+                    & F.col("text").contains("interactiveDataBtn")
+                ).repartition(n_parse)
             )
+            if "query" in kinds
+            else None
         )
-        ix_out = parse_index_pages(
-            fetched.filter(
-                (F.col("kind") == "index") & F.col("text").contains("var reports")
+        ix_out = (
+            parse_index_pages(
+                fetched.filter(
+                    (F.col("kind") == "index") & F.col("text").contains("var reports")
+                ).repartition(n_parse)
             )
+            if "index" in kinds
+            else None
         )
-        new_facts = parse_report_pages(
-            fetched.filter((F.col("kind") == "report") & F.col("text").contains("defref"))
-        )
-
-        new_index = self._frontier_row(
-            q_out,
-            "index",
-            F.col("viewer_url"),
-            {
-                "accession": F.regexp_extract(
-                    F.col("viewer_url"), r"accession_number=([0-9\-]+)", 1
-                ),
-                "filing_date": F.col("filing_date"),
-                "doc_type": F.lit(None).cast("string"),
-                "date_sort": -F.unix_date(F.to_date(F.col("filing_date"))).cast("long"),
-                "doc_seq": F.lit(0),
-            },
-            wave_no,
-        )
-        new_reports = self._frontier_row(
-            ix_out,
-            "report",
-            F.col("report_url"),
-            {
-                "accession": F.col("accession"),
-                "filing_date": F.col("filing_date"),
-                "doc_type": F.col("doc_type"),
-                "date_sort": -F.unix_date(F.to_date(F.col("filing_date"))).cast("long"),
-                "doc_seq": F.col("doc_seq"),
-            },
-            wave_no,
-        )
-        candidates = new_index.unionByName(new_reports)
-
-        # in-batch dedup: best (highest-priority) row per canonical URL
-        wd = Window.partitionBy("url").orderBy(
-            "seed_seq", "type_seq", "date_sort", "doc_seq"
-        )
-        candidates = (
-            candidates.withColumn("_rn", F.row_number().over(wd))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        new_facts = (
+            parse_report_pages(
+                fetched.filter(
+                    (F.col("kind") == "report") & F.col("text").contains("defref")
+                ).repartition(n_parse)
+            )
+            if "report" in kinds
+            else _empty(spark, FACTS_SCHEMA)
         )
 
-        # URL-seen: bloom prefilter, exact anti-join for the maybes.
-        # One action covers both control-flow counts (candidates, bloom-new).
-        probed = None
-        if self._bloom is not None:
-            probed = self._bloom.probe(candidates, "url").persist()
-            stats = probed.agg(
-                F.count("*").alias("n"),
-                F.coalesce(
-                    F.sum(F.when(~F.col("maybe_seen"), 1).otherwise(0)), F.lit(0)
-                ).alias("new"),
-            ).collect()[0]
-            n_candidates, n_bloom_passed = stats["n"], int(stats["new"])
-            candidates = probed.drop("maybe_seen")
-            if n_candidates == 0:
-                new_rows = candidates  # empty — skip anti-join jobs entirely
-            else:
-                definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-                maybe_seen = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-                confirmed_new = maybe_seen.join(
-                    frontier.select("url"), "url", "left_anti"
+        cand_parts = []
+        if q_out is not None:
+            cand_parts.append(
+                self._frontier_row(
+                    q_out,
+                    "index",
+                    F.col("viewer_url"),
+                    {
+                        "accession": F.regexp_extract(
+                            F.col("viewer_url"), r"accession_number=([0-9\-]+)", 1
+                        ),
+                        "filing_date": F.col("filing_date"),
+                        "doc_type": F.lit(None).cast("string"),
+                        "date_sort": -F.unix_date(
+                            F.to_date(F.col("filing_date"))
+                        ).cast("long"),
+                        "doc_seq": F.lit(0),
+                    },
+                    wave_no,
                 )
-                new_rows = definitely_new.unionByName(confirmed_new)
+            )
+        if ix_out is not None:
+            cand_parts.append(
+                self._frontier_row(
+                    ix_out,
+                    "report",
+                    F.col("report_url"),
+                    {
+                        "accession": F.col("accession"),
+                        "filing_date": F.col("filing_date"),
+                        "doc_type": F.col("doc_type"),
+                        "date_sort": -F.unix_date(
+                            F.to_date(F.col("filing_date"))
+                        ).cast("long"),
+                        "doc_seq": F.col("doc_seq"),
+                    },
+                    wave_no,
+                )
+            )
+
+        probed = None
+        if not cand_parts:
+            # report-only wave: no link-bearing pages, so no discovery
+            # machinery at all (no window, no probe, no anti-join)
+            n_candidates = n_bloom_passed = 0
+            new_rows = _empty(spark, FRONTIER_SCHEMA)
         else:
-            candidates = candidates.persist()
-            n_candidates = candidates.count()
-            n_bloom_passed = 0
-            if n_candidates == 0:
-                new_rows = candidates
+            candidates = cand_parts[0]
+            for extra_part in cand_parts[1:]:
+                candidates = candidates.unionByName(extra_part)
+
+            # in-batch dedup: best (highest-priority) row per canonical URL
+            wd = Window.partitionBy("url").orderBy(
+                "seed_seq", "type_seq", "date_sort", "doc_seq"
+            )
+            candidates = (
+                candidates.withColumn("_rn", F.row_number().over(wd))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+
+            # URL-seen: bloom prefilter, exact anti-join for the maybes.
+            # One collect drives the control flow AND maintains the bloom:
+            # for waves under driver_bloom_threshold the candidate URL
+            # column comes back with the probe flags and is hashed into the
+            # filter driver-side on the spot (adding the few rows the exact
+            # anti-join later rejects is harmless — the bloom is a superset
+            # prefilter, membership truth stays with the anti-join).
+            if self._bloom is not None:
+                probed = self._bloom.probe(candidates, "url").persist()
+                thr = cfg.driver_bloom_threshold
+                head = (
+                    probed.select("url", "maybe_seen").limit(thr + 1).collect()
+                )
+                if len(head) <= thr:
+                    n_candidates = len(head)
+                    n_bloom_passed = sum(1 for r in head if not r["maybe_seen"])
+                    for r in head:
+                        self._bloom.add(r["url"])
+                    self._bloom_dirty = False
+                else:  # huge wave: count-only pass + distributed build later
+                    stats = probed.agg(
+                        F.count("*").alias("n"),
+                        F.coalesce(
+                            F.sum(F.when(~F.col("maybe_seen"), 1).otherwise(0)),
+                            F.lit(0),
+                        ).alias("new"),
+                    ).collect()[0]
+                    n_candidates, n_bloom_passed = stats["n"], int(stats["new"])
+                    self._bloom_dirty = True
+                if n_candidates == 0:
+                    new_rows = probed.drop("maybe_seen")  # empty
+                else:
+                    definitely_new = probed.filter(~F.col("maybe_seen")).drop(
+                        "maybe_seen"
+                    )
+                    maybe_seen = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+                    confirmed_new = maybe_seen.join(
+                        frontier.select("url"), "url", "left_anti"
+                    )
+                    new_rows = definitely_new.unionByName(confirmed_new)
             else:
-                new_rows = candidates.join(frontier.select("url"), "url", "left_anti")
+                candidates = candidates.persist()
+                probed = candidates
+                n_candidates = candidates.count()
+                n_bloom_passed = 0
+                if n_candidates == 0:
+                    new_rows = candidates
+                else:
+                    new_rows = candidates.join(
+                        frontier.select("url"), "url", "left_anti"
+                    )
 
-        due_fetched = (
-            fetched.drop("text")
-            .withColumn("state", F.lit("fetched"))
-            .withColumn("wave", F.lit(wave_no))
+        # state transitions as one broadcast join of a small (url → state)
+        # update set against the whole frontier — NOT a many-way union of
+        # re-derived window branches (that plan re-embeds the ranking
+        # subtree per branch; Catalyst planning of it dominated small
+        # waves). Deferred/settled rows simply receive no update row. At
+        # 10^10 scale with waves beyond broadcast size this join flips to a
+        # hash shuffle on url, which is the MERGE INTO plan Iceberg runs.
+        updates = (
+            fetched.select("url")
+            .withColumn("_new_state", F.lit("fetched"))
+            .unionByName(
+                missing.select("url").withColumn("_new_state", F.lit("missing"))
+            )
+            .unionByName(
+                blocked.select("url").withColumn(
+                    "_new_state", F.lit("robots_blocked")
+                )
+            )
         )
-        due_missing = missing.withColumn("state", F.lit("missing")).withColumn(
-            "wave", F.lit(wave_no)
-        )
-        blocked_rows = blocked.withColumn("state", F.lit("robots_blocked")).withColumn(
-            "wave", F.lit(wave_no)
-        )
-
         frontier_next = (
-            settled.unionByName(due_fetched)
-            .unionByName(due_missing)
-            .unionByName(blocked_rows)
-            .unionByName(deferred)
+            frontier.join(F.broadcast(updates), "url", "left")
+            .withColumn("state", F.coalesce(F.col("_new_state"), F.col("state")))
+            .withColumn(
+                "wave",
+                F.when(
+                    F.col("_new_state").isNotNull(), F.lit(wave_no)
+                ).otherwise(F.col("wave")),
+            )
+            .drop("_new_state")
             .unionByName(new_rows)
         )
         facts_next = facts.unionByName(new_facts)
 
-        # snapshot commit = materialization + resume point
+        # snapshot commit = materialization + resume point. repartition, NOT
+        # coalesce: coalesce(n) would collapse the parse lineage (the real
+        # per-wave work) to n-way parallelism inside the write job; the
+        # repartition shuffle keeps parsing at full width and only narrows
+        # the file fan-in afterwards. All wave metrics ride the write jobs
+        # as observe() aggregates — zero extra actions per wave.
+        def _cnt(cond) -> F.Column:
+            return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+
+        pend = F.col("state") == "pending"
+        this_wave = F.col("wave") == F.lit(wave_no)
+        f_obs = Observation()
+        frontier_instr = frontier_next.observe(
+            f_obs,
+            _cnt((F.col("state") == "fetched") & this_wave).alias("fetched"),
+            _cnt((F.col("state") == "missing") & this_wave).alias("missing"),
+            _cnt((F.col("state") == "robots_blocked") & this_wave).alias(
+                "robots_blocked"
+            ),
+            _cnt(pend & (F.col("wave_added") == F.lit(wave_no))).alias("n_new"),
+            _cnt(pend).alias("pending_next"),
+            _cnt(pend & (F.col("kind") == "query")).alias("p_query"),
+            _cnt(pend & (F.col("kind") == "index")).alias("p_index"),
+            _cnt(pend & (F.col("kind") == "report")).alias("p_report"),
+        )
+        a_obs = Observation()
+        facts_instr = facts_next.observe(a_obs, F.count(F.lit(1)).alias("facts"))
+
         nsp = cfg.snapshot_partitions
         self.catalog.commit_snapshot(
-            {"frontier": frontier_next.coalesce(nsp), "facts": facts_next.coalesce(nsp)},
+            {
+                "frontier": frontier_instr.repartition(nsp),
+                "facts": facts_instr.repartition(nsp),
+            },
             meta={"wave": wave_no},
         )
         frontier_next = self.catalog.read(spark, "frontier")
         facts_next = self.catalog.read(spark, "facts")
 
-        # metrics: one groupBy pass over the materialized snapshot
-        counts = {
-            (r["state"], r["wave"], r["wave_added"]): r["n"]
-            for r in frontier_next.groupBy("state", "wave", "wave_added")
-            .agg(F.count("*").alias("n"))
-            .collect()
+        fm, am = f_obs.get, a_obs.get
+        n_new = int(fm["n_new"])
+        pending_kinds_next = {
+            k for k in ("query", "index", "report") if fm[f"p_{k}"] > 0
         }
-        n_new = sum(
-            n for (s, _, wa), n in counts.items() if s == "pending" and wa == wave_no
-        )
-        n_pending_next = sum(n for (s, _, _), n in counts.items() if s == "pending")
-
-        def _wave_count(state: str) -> int:
-            return sum(n for (s, w, _), n in counts.items() if s == state and w == wave_no)
         metrics = {
             "wave": wave_no,
-            "fetched": _wave_count("fetched"),
-            "missing": _wave_count("missing"),
-            "robots_blocked": _wave_count("robots_blocked"),
+            "fetched": int(fm["fetched"]),
+            "missing": int(fm["missing"]),
+            "robots_blocked": int(fm["robots_blocked"]),
             "discovered": n_candidates,
             "deduped": n_candidates - n_new,
             "bloom_candidates": n_candidates,
             "bloom_passed": n_bloom_passed,
-            "facts": facts_next.count(),
-            "pending_next": n_pending_next,
+            "facts": int(am["facts"]),
+            "pending_next": int(fm["pending_next"]),
+            "pending_kinds": sorted(pending_kinds_next),
         }
 
-        # incremental bloom maintenance: hash only this wave's new URLs
-        if self._bloom is not None and n_new > 0:
-            added = ShardedBloom.build(
-                frontier_next.filter(
-                    (F.col("state") == "pending") & (F.col("wave_added") == wave_no)
-                ).select("url"),
-                "url",
-                self.cfg.bloom_shards,
-                self.cfg.bloom_bits_per_shard,
-                self.cfg.bloom_hashes,
-                n_hint=n_new,
+        # huge-wave bloom maintenance: the candidate collect above already
+        # fed the filter for normal waves; only an over-threshold wave
+        # (bloom left dirty) pays a distributed position build here
+        if self._bloom is not None and getattr(self, "_bloom_dirty", False) and n_new > 0:
+            self._bloom.merge(
+                ShardedBloom.build(
+                    frontier_next.filter(
+                        (F.col("state") == "pending")
+                        & (F.col("wave_added") == wave_no)
+                    ).select("url"),
+                    "url",
+                    self.cfg.bloom_shards,
+                    self.cfg.bloom_bits_per_shard,
+                    self.cfg.bloom_hashes,
+                    n_hint=n_new,
+                )
             )
-            self._bloom.merge(added)
+            self._bloom_dirty = False
         if probed is not None:
             probed.unpersist()
-        else:
-            candidates.unpersist()
         fetched.unpersist()
         return frontier_next, facts_next, metrics
 
@@ -377,16 +511,14 @@ class Crawler:
         frontier = self.seed_frontier()
         facts = _empty(self.spark, FACTS_SCHEMA)
         if self._bloom is not None:
-            self._bloom.merge(
-                ShardedBloom.build(
-                    frontier.select("url"),
-                    "url",
-                    self.cfg.bloom_shards,
-                    self.cfg.bloom_bits_per_shard,
-                    self.cfg.bloom_hashes,
-                )
-            )
-        return self._loop(frontier, facts, start_wave=0, metrics=[])
+            # seed list is small by design (a fixed CIK list): hash the seed
+            # query-URLs driver-side — no distributed build for a few
+            # hundred rows
+            for row in frontier.select("url").collect():
+                self._bloom.add(row["url"])
+        return self._loop(
+            frontier, facts, start_wave=0, metrics=[], pending_kinds={"query"}
+        )
 
     @classmethod
     def resume(
@@ -419,22 +551,36 @@ class Crawler:
         return self._loop(frontier, facts, start_wave=last_wave + 1, metrics=[])
 
     def _loop(
-        self, frontier: DataFrame, facts: DataFrame, start_wave: int, metrics: List[dict]
+        self,
+        frontier: DataFrame,
+        facts: DataFrame,
+        start_wave: int,
+        metrics: List[dict],
+        pending_kinds: Optional[set] = None,
     ) -> CrawlResult:
         wave = start_wave
-        n_pending = frontier.filter(F.col("state") == "pending").count()
+        kind_counts = (
+            frontier.filter(F.col("state") == "pending")
+            .groupBy("kind")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        n_pending = sum(r["n"] for r in kind_counts)
+        if pending_kinds is None:
+            pending_kinds = {r["kind"] for r in kind_counts if r["n"] > 0}
         while wave < self.cfg.max_waves and n_pending > 0:
-            frontier, facts, m = self.run_wave(frontier, facts, wave)
+            frontier, facts, m = self.run_wave(frontier, facts, wave, pending_kinds)
             metrics.append(m)
             n_pending = m["pending_next"]
+            pending_kinds = set(m["pending_kinds"])
             wave += 1
         filings = consolidate_facts(facts)
         nsp = self.cfg.snapshot_partitions
         self.catalog.commit_snapshot(
             {
-                "frontier": frontier.coalesce(nsp),
-                "facts": facts.coalesce(nsp),
-                "filings": filings.coalesce(nsp),
+                "frontier": frontier.repartition(nsp),
+                "facts": facts.repartition(nsp),
+                "filings": filings.repartition(nsp),
             },
             meta={"wave": wave - 1, "final": True},
         )

@@ -3,12 +3,14 @@
 
 Spark-first design — no range-join explosion, no per-row Python:
 
-1. dedup the right side to one row per (key, ts) (deterministic winner);
-2. union left and right with a ``side`` tag (right sorts *before* left at
+1. union left and right with a ``side`` tag (right sorts *before* left at
    equal ts, giving inclusive at-or-before semantics);
-3. one window per key ordered by (ts, side): ``last(value, ignorenulls)``
-   over ``rowsBetween(unboundedPreceding, currentRow)`` carries the latest
-   right value forward onto each left row.
+2. ONE window per key ordered by (ts, side, order_col):
+   ``last(value, ignorenulls)`` over ``rowsBetween(unboundedPreceding,
+   currentRow)`` carries the latest right value forward onto each left
+   row. Right rows sharing (key, ts) sort ascending by the tie-break
+   column, so the greatest-tie-break row is the one ``last`` sees — the
+   same winner an explicit dedup would pick, without its extra shuffle.
 
 Cost at scale: a single hash shuffle on the key + one sort — the same
 price as the sort-merge join Spark would pick anyway, with no candidate
@@ -41,15 +43,11 @@ def asof_join(
     the row with the greatest value wins (deterministic across engines).
     """
     order = right_order_col or value_col
-    w_dedup = Window.partitionBy(key, ts).orderBy(F.col(order).desc())
-    r = (
-        right.withColumn("_rn", F.row_number().over(w_dedup))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col(key).alias("_k"),
-            F.col(ts).alias("_ts"),
-            F.col(value_col).alias("_rv"),
-        )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.col(value_col).alias("_rv"),
+        F.col(order).alias("_ord"),
     )
 
     lcols = left.columns
@@ -58,15 +56,23 @@ def asof_join(
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        F.lit(None).cast(r.schema["_ord"].dataType).alias("_ord"),
         F.struct(*lcols).alias("_row"),
     )
     r_tagged = r.select(
-        "_k", "_ts", F.lit(0).alias("_side"), "_rv", F.lit(None).cast(l_tagged.schema["_row"].dataType).alias("_row")
+        "_k",
+        "_ts",
+        F.lit(0).alias("_side"),
+        "_rv",
+        "_ord",
+        F.lit(None).cast(l_tagged.schema["_row"].dataType).alias("_row"),
     )
     unioned = l_tagged.unionByName(r_tagged)
+    # right rows at equal (_k, _ts) sort ascending by _ord, so last() sees
+    # the greatest tie-break row — the dedup winner, minus the dedup shuffle
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", F.col("_ord").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("_asof", F.last("_rv", ignorenulls=True).over(w))

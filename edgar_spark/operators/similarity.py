@@ -149,6 +149,78 @@ def ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def blocked_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_blocks: int = 16,
+    round_dp: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via block outer products.
+
+    The naive pairwise plan (crossJoin + per-pair higher-order-function
+    cosine) evaluates O(n²·d) scalar lambda calls — tens of seconds for
+    5k×64 on 8 cores. This operator is algebraically identical but runs the
+    O(n²·d) flops as numpy matmuls: rows are packed into ``n_blocks``
+    row-blocks, the B·(B+1)/2 block pairs become DataFrame rows, and one
+    Arrow-batched matmul per block pair emits the qualifying (id_a, id_b,
+    cos) triples. This is also the 100 TB shape: block size is the memory
+    knob, block pairs are the parallelism unit, and each task is a dense
+    GEMM instead of n² tuple evaluations.
+
+    Output: (id_a, id_b, cos_sim_r) with id_a < id_b, cosine rounded to
+    ``round_dp`` before thresholding (same boundary call as the oracle).
+    """
+    packed = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.pmod(F.col(id_col), F.lit(n_blocks)).alias("_b"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.collect_list("_id").alias("_ids"),
+            F.collect_list("_v").alias("_vecs"),
+        )
+    )
+    a = packed.select(
+        F.col("_b").alias("_ba"), F.col("_ids").alias("_ids_a"), F.col("_vecs").alias("_vecs_a")
+    )
+    b = packed.select(
+        F.col("_b").alias("_bb"), F.col("_ids").alias("_ids_b"), F.col("_vecs").alias("_vecs_b")
+    )
+    pairs = a.crossJoin(b).filter(F.col("_ba") <= F.col("_bb"))
+
+    thr = float(threshold)
+    dp = int(round_dp)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["_ids_a"], dtype=np.int64)
+                ids_b = np.asarray(row["_ids_b"], dtype=np.int64)
+                ma = np.vstack(row["_vecs_a"])
+                mb = np.vstack(row["_vecs_b"])
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                # cosine denominator exactly as the scalar form: ||a||*||b||
+                sims = (ma @ mb.T) / np.outer(na, nb)
+                sims = np.round(sims, dp)
+                keep = sims >= thr
+                if row["_ba"] == row["_bb"]:
+                    # intra-block: the full matrix holds each pair twice
+                    keep &= ids_a[:, None] < ids_b[None, :]
+                ii, jj = np.nonzero(keep)
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cos_sim_r": sims[ii, jj]}
+                )
+
+    return pairs.mapInPandas(gen, schema="id_a long, id_b long, cos_sim_r double")
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     dim: int,

@@ -571,7 +571,13 @@ def build_pages(
         .mapInPandas(gen, schema=PAGES_SCHEMA)
     )
     if samples_dir is not None:
-        golden = spark.createDataFrame(golden_pages(samples_dir), PAGES_SCHEMA)
+        # pandas + Arrow conversion ⇒ JVM LocalTableScan (a plain list would
+        # become a Python-RDD plan re-executing Python workers per job)
+        gp = pd.DataFrame(
+            golden_pages(samples_dir),
+            columns=["url", "warc_ts", "html", "text", "lang"],
+        )
+        golden = spark.createDataFrame(gp, PAGES_SCHEMA)
         df = df.unionByName(golden)
     return df
 
@@ -582,4 +588,8 @@ def build_seeds(spark, n_companies: int, include_golden: bool = False):
     rows = [(ticker_of(i), cik_of(i), i) for i in range(n_companies)]
     if include_golden:
         rows.append((GOLDEN_TICKER, GOLDEN_CIK, n_companies))
-    return spark.createDataFrame(rows, SEEDS_SCHEMA)
+    # pandas + Arrow conversion ⇒ JVM LocalTableScan: the seed table is pure
+    # JVM data, so the (unpersisted) seed-frontier lineage never re-runs a
+    # Python stage in the wave jobs that touch it
+    pdf = pd.DataFrame(rows, columns=["ticker", "cik", "seed_seq"])
+    return spark.createDataFrame(pdf, SEEDS_SCHEMA)
