@@ -203,20 +203,24 @@ class Crawler:
     ) -> Tuple[DataFrame, DataFrame, dict]:
         """One fetch wave.
 
-        ``pending_kinds`` — the set of ``kind`` values present among pending
-        frontier rows (known for free from the previous wave's metrics, or
-        ``{'query'}`` after seeding). Parse branches, the candidate dedup
-        window, and the bloom probe are all Python/shuffle stages; skipping
-        the ones that cannot match avoids ~2/3 of the per-wave fixed cost
-        (Python worker fan-out scales with cores, so at high parallelism
-        dead stages are what kills scaling efficiency)."""
+        ``pending_kinds`` — the ``kind`` values present among pending
+        frontier rows, as a dict ``{kind: count-or-None}`` or a plain set
+        (known for free from the previous wave's metrics). Parse branches,
+        the candidate dedup window, and the bloom probe are all
+        Python/shuffle stages; skipping the ones that cannot match avoids
+        ~2/3 of the per-wave fixed cost, and the counts size each parse
+        repartition so a 200-page wave doesn't fan out over 64 mostly-empty
+        Python tasks (Python worker fan-out scales with cores, so at high
+        parallelism dead stages/tasks are what kills scaling efficiency)."""
         spark = self.spark
         cfg = self.cfg
-        kinds = (
-            pending_kinds
-            if pending_kinds is not None
-            else {"query", "index", "report"}
-        )
+        if pending_kinds is None:
+            kind_counts = {"query": None, "index": None, "report": None}
+        elif isinstance(pending_kinds, dict):
+            kind_counts = pending_kinds
+        else:
+            kind_counts = {k: None for k in pending_kinds}
+        kinds = set(kind_counts)
         pending = frontier.filter(F.col("state") == "pending")
 
         if self.robots is not None:
@@ -247,14 +251,22 @@ class Crawler:
         # parse per kind (Sparser-style cheap prefilters before Python),
         # gated on the kinds actually pending this wave. Each parse input is
         # explicitly repartitioned: the tokenizer is CPU-bound, so its
-        # parallelism must track cores, not AQE's bytes-per-partition target.
+        # parallelism must track cores, not AQE's bytes-per-partition
+        # target — capped by the known pending count (~64 pages/task keeps
+        # tasks ≳0.3 s instead of scheduling empty Python round-trips).
         n_parse = cfg.parse_partitions or spark.sparkContext.defaultParallelism * 2
+
+        def parse_parts(count: Optional[int]) -> int:
+            if count is None:
+                return n_parse
+            return max(1, min(n_parse, (count + 63) // 64))
+
         q_out = (
             parse_query_pages(
                 fetched.filter(
                     (F.col("kind") == "query")
                     & F.col("text").contains("interactiveDataBtn")
-                ).repartition(n_parse)
+                ).repartition(parse_parts(kind_counts.get("query")))
             )
             if "query" in kinds
             else None
@@ -263,7 +275,7 @@ class Crawler:
             parse_index_pages(
                 fetched.filter(
                     (F.col("kind") == "index") & F.col("text").contains("var reports")
-                ).repartition(n_parse)
+                ).repartition(parse_parts(kind_counts.get("index")))
             )
             if "index" in kinds
             else None
@@ -272,7 +284,7 @@ class Crawler:
             parse_report_pages(
                 fetched.filter(
                     (F.col("kind") == "report") & F.col("text").contains("defref")
-                ).repartition(n_parse)
+                ).repartition(parse_parts(kind_counts.get("report")))
             )
             if "report" in kinds
             else _empty(spark, FACTS_SCHEMA)
@@ -466,7 +478,9 @@ class Crawler:
         fm, am = f_obs.get, a_obs.get
         n_new = int(fm["n_new"])
         pending_kinds_next = {
-            k for k in ("query", "index", "report") if fm[f"p_{k}"] > 0
+            k: int(fm[f"p_{k}"])
+            for k in ("query", "index", "report")
+            if fm[f"p_{k}"] > 0
         }
         metrics = {
             "wave": wave_no,
@@ -480,6 +494,7 @@ class Crawler:
             "facts": int(am["facts"]),
             "pending_next": int(fm["pending_next"]),
             "pending_kinds": sorted(pending_kinds_next),
+            "pending_kind_counts": pending_kinds_next,
         }
 
         # huge-wave bloom maintenance: the candidate collect above already
@@ -516,9 +531,7 @@ class Crawler:
             # hundred rows
             for row in frontier.select("url").collect():
                 self._bloom.add(row["url"])
-        return self._loop(
-            frontier, facts, start_wave=0, metrics=[], pending_kinds={"query"}
-        )
+        return self._loop(frontier, facts, start_wave=0, metrics=[])
 
     @classmethod
     def resume(
@@ -567,23 +580,35 @@ class Crawler:
         )
         n_pending = sum(r["n"] for r in kind_counts)
         if pending_kinds is None:
-            pending_kinds = {r["kind"] for r in kind_counts if r["n"] > 0}
+            pending_kinds = {r["kind"]: r["n"] for r in kind_counts if r["n"] > 0}
         while wave < self.cfg.max_waves and n_pending > 0:
             frontier, facts, m = self.run_wave(frontier, facts, wave, pending_kinds)
             metrics.append(m)
             n_pending = m["pending_next"]
-            pending_kinds = set(m["pending_kinds"])
+            pending_kinds = m["pending_kind_counts"]
             wave += 1
         filings = consolidate_facts(facts)
         nsp = self.cfg.snapshot_partitions
-        self.catalog.commit_snapshot(
-            {
-                "frontier": frontier.repartition(nsp),
-                "facts": facts.repartition(nsp),
-                "filings": filings.repartition(nsp),
-            },
-            meta={"wave": wave - 1, "final": True},
-        )
+        # frontier/facts were materialized by the last wave's commit —
+        # carry their data paths into the final snapshot (Iceberg
+        # shared-manifest pattern) instead of rewriting them
+        f_path = self.catalog.table_path("frontier")
+        a_path = self.catalog.table_path("facts")
+        if f_path and a_path:
+            self.catalog.commit_snapshot(
+                {"filings": filings.repartition(nsp)},
+                meta={"wave": wave - 1, "final": True},
+                carry={"frontier": f_path, "facts": a_path},
+            )
+        else:  # zero waves ran and no prior snapshot exists
+            self.catalog.commit_snapshot(
+                {
+                    "frontier": frontier.repartition(nsp),
+                    "facts": facts.repartition(nsp),
+                    "filings": filings.repartition(nsp),
+                },
+                meta={"wave": wave - 1, "final": True},
+            )
         filings = self.catalog.read(self.spark, "filings")
         return CrawlResult(
             filings=filings,

@@ -45,18 +45,37 @@ class IceliteCatalog:
             return {}
         return m["snapshots"][str(sid)].get("meta", {})
 
-    def commit_snapshot(self, dfs: Dict[str, "object"], meta: Optional[dict] = None) -> int:
+    def table_path(self, name: str, snap_id: Optional[int] = None) -> Optional[str]:
+        """Data path of ``name`` in the given (default: current) snapshot,
+        or None if absent."""
+        m = self._read_manifest()
+        sid = snap_id or m["current"]
+        if sid == 0:
+            return None
+        return m["snapshots"][str(sid)]["tables"].get(name)
+
+    def commit_snapshot(
+        self,
+        dfs: Dict[str, "object"],
+        meta: Optional[dict] = None,
+        carry: Optional[Dict[str, str]] = None,
+    ) -> int:
         """Write every table of the snapshot, then atomically publish it.
 
         Table writes run as concurrent Spark jobs (one thread each — the
         scheduler interleaves their stages across cores), so a two-table
         commit costs ~max, not sum, of the write times. Atomicity is
         unaffected: the manifest is published only after every write
-        returns."""
+        returns.
+
+        ``carry`` maps table names to already-written data paths (from a
+        previous snapshot) to include unchanged — the Iceberg
+        shared-manifest pattern: a snapshot references files, it does not
+        copy them."""
         m = self._read_manifest()
         sid = m["current"] + 1
         snap_dir = self.root / f"snap-{sid:06d}"
-        tables = {}
+        tables = dict(carry or {})
         if len(dfs) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -66,7 +85,7 @@ class IceliteCatalog:
 
             with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
                 list(pool.map(_write, dfs.items()))  # propagate exceptions
-            tables = {name: str(snap_dir / name) for name in dfs}
+            tables.update({name: str(snap_dir / name) for name in dfs})
         else:
             for name, df in dfs.items():
                 path = snap_dir / name

@@ -22,7 +22,9 @@ runs to match Go's maximal text tokens.
 
 from __future__ import annotations
 
+import html as html_mod
 import html.parser
+import re
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
@@ -54,7 +56,7 @@ def escape_string(s: str) -> str:
     return "".join(_ESCAPES.get(c, c) for c in s)
 
 
-@dataclass
+@dataclass(slots=True)
 class Tok:
     """One token. ``data`` is the lowercased tag name for tag tokens and the
     unescaped text for TEXT tokens. ``attrs`` preserves source order with
@@ -131,8 +133,8 @@ class _Collector(html.parser.HTMLParser):
         self._flush()
 
 
-def tokenize(text: str) -> List[Tok]:
-    """Tokenize a whole document into the Go-compatible token list."""
+def _slow_tokenize(text: str) -> List[Tok]:
+    """Reference tokenization via html.parser (the proven-golden baseline)."""
     c = _Collector()
     try:
         c.feed(text)
@@ -141,6 +143,169 @@ def tokenize(text: str) -> List[Tok]:
         # Lenient like the Go tokenizer: keep whatever was produced.
         c._flush()
     return c.toks
+
+
+# ---------------------------------------------------------------- fast path
+#
+# EDGAR viewer pages are machine-generated, regular HTML; a compiled-regex
+# scan tokenizes them ~8× faster than html.parser's char-by-char goahead
+# loop (html.parser dominates the parse kernel profile). The scanner is
+# written to produce the EXACT token stream _slow_tokenize produces for the
+# grammar it accepts, and returns None (⇒ caller falls back to the slow
+# path) the moment it meets anything irregular — bare '<' in text, bogus
+# comments, unparseable attributes — so byte-identical semantics never
+# depend on the fast path's coverage. Equivalence over every reference
+# sample and synthetic page is asserted in tests/test_parse_goldens.py.
+
+_SCAN_RE = re.compile(
+    r"<(?:"
+    r"/\s*(?P<ename>[a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
+    r"|(?P<name>[a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"(?P<attrs>(?:[^<>\"']|\"[^\"]*\"|'[^']*')*?)"
+    r"(?P<selfclose>/?)>"
+    r"|!--(?P<comment>.*?)--\s*>"
+    r"|!(?P<decl>[^>]*)>"
+    r"|\?(?P<pi>[^>]*)>"
+    r")",
+    re.S,
+)
+
+_ATTR_RE = re.compile(
+    r"\s+([a-zA-Z_:][^\s=/>\x00]*)"
+    r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+)))?"
+)
+
+_CDATA_END = {
+    "script": re.compile(r"</\s*script", re.I),
+    "style": re.compile(r"</\s*style", re.I),
+}
+
+
+_MISSING = object()
+
+
+def _parse_attrs_uncached(raw: str) -> Optional[List[Tuple[str, str]]]:
+    attrs: List[Tuple[str, str]] = []
+    pos = 0
+    for m in _ATTR_RE.finditer(raw):
+        if raw[pos : m.start()].strip():
+            return None
+        name, dq, sq, uq = m.groups()
+        val = dq if dq is not None else (sq if sq is not None else (uq or ""))
+        if "&" in val:
+            val = html_mod.unescape(val)
+        attrs.append((name.lower(), val))
+        pos = m.end()
+    if raw[pos:].strip("\t\n\r\f /"):
+        return None
+    return attrs
+
+
+_ATTR_CACHE: dict = {}
+
+
+def _parse_attrs(raw: str) -> Optional[List[Tuple[str, str]]]:
+    """html.parser-compatible attribute list, or None if the raw attr text
+    isn't fully consumed by the regular grammar (⇒ bail to slow path).
+
+    Memoized — machine-generated EDGAR pages repeat the same few attribute
+    strings thousands of times per document. Returned lists are SHARED
+    between tokens; all consumers are read-only (Tok.attr lookups)."""
+    got = _ATTR_CACHE.get(raw, _MISSING)
+    if got is not _MISSING:
+        return got
+    parsed = _parse_attrs_uncached(raw)
+    if len(_ATTR_CACHE) > 65536:  # unbounded-growth guard for hostile input
+        _ATTR_CACHE.clear()
+    _ATTR_CACHE[raw] = parsed
+    return parsed
+
+
+def _fast_tokenize(text: str) -> Optional[List[Tok]]:
+    toks: List[Tok] = []
+    buf: List[str] = []
+    pos = 0
+    n = len(text)
+
+    def flush() -> None:
+        if buf:
+            toks.append(Tok(TEXT, "".join(buf)))
+            buf.clear()
+
+    scan = _SCAN_RE.match
+    find = text.find
+    unescape = html_mod.unescape
+    while pos < n:
+        lt = find("<", pos)
+        if lt == -1:
+            seg = text[pos:]
+            if seg:
+                buf.append(unescape(seg) if "&" in seg else seg)
+            break
+        if lt > pos:
+            seg = text[pos:lt]
+            buf.append(unescape(seg) if "&" in seg else seg)
+        m = scan(text, lt)
+        if m is None:
+            return None  # bare '<' or malformed construct — slow path decides
+        ename, name, rawattrs, selfclose, comment, decl, pi = m.groups()
+        if comment is None and text.startswith("<!--", lt):
+            return None  # bogus comment form (e.g. '<!-->') — slow path
+        if ename is not None:
+            flush()
+            toks.append(Tok(END_TAG, ename.lower()))
+        elif name is not None:
+            name = name.lower()
+            attrs = _parse_attrs(rawattrs)
+            if attrs is None:
+                return None
+            if selfclose and re.search(r"=\s*[^\s\"'>]+$", rawattrs.rstrip()):
+                # '<a href=x/>': html.parser folds the '/' into the unquoted
+                # attribute value instead of self-closing — slow path decides
+                return None
+            flush()
+            if selfclose:
+                toks.append(Tok(SELF_CLOSING, name, attrs))
+            else:
+                toks.append(Tok(START_TAG, name, attrs))
+                if name in _CDATA_END:  # raw-text content mode, no unescaping
+                    end = _CDATA_END[name].search(text, m.end())
+                    if end is None:
+                        raw = text[m.end() :]
+                        if raw:
+                            toks.append(Tok(TEXT, raw))
+                        pos = n
+                        continue
+                    raw = text[m.end() : end.start()]
+                    if raw:
+                        toks.append(Tok(TEXT, raw))
+                    pos = end.start()
+                    continue
+        elif comment is not None:
+            flush()
+            toks.append(Tok(COMMENT, comment))
+        elif decl is not None:
+            if decl.startswith(("[", "-")):
+                return None  # marked section / malformed decl — slow path
+            flush()
+            toks.append(Tok(DOCTYPE, decl))
+        else:
+            flush()
+            toks.append(Tok(COMMENT, pi))
+        pos = m.end()
+    flush()
+    return toks
+
+
+def tokenize(text: str) -> List[Tok]:
+    """Tokenize a whole document into the Go-compatible token list.
+
+    Fast regex scan first; any construct outside the regular EDGAR grammar
+    falls the whole document back to the html.parser baseline."""
+    toks = _fast_tokenize(text)
+    if toks is None:
+        return _slow_tokenize(text)
+    return toks
 
 
 class TokenCursor:

@@ -246,13 +246,49 @@ def _num_in_link_row(tag: str, label: str, value: str) -> str:
     )
 
 
-def _report_page(title: str, scale_note: str, rows: List[str]) -> str:
+# Real EDGAR R·htm pages run 20–200 KB with 50–200 rows, most of them tags
+# outside the reference's 97-entry map (see /root/reference/samples/*.html,
+# 22–206 KB). Filler rows reproduce that shape: the parser must tokenize and
+# reject them, so per-page work matches production pages instead of being
+# 50× too cheap. Values are deterministic; tags never collide with the map.
+REPORT_FILLER_ROWS = 120
+
+_FILLER_LABELS = [
+    "Accumulated Depreciation Depletion And Amortization Property Plant And Equipment",
+    "Other Comprehensive Income Loss Foreign Currency Transaction And Translation Adjustment Net Of Tax",
+    "Share Based Compensation Arrangement By Share Based Payment Award Options Outstanding Weighted Average Exercise Price",
+    "Deferred Tax Assets Operating Loss Carryforwards Subject To Expiration",
+    "Finite Lived Intangible Assets Amortization Expense Next Twelve Months",
+    "Unrecognized Tax Benefits That Would Impact Effective Tax Rate",
+    "Operating Lease Right Of Use Asset Amortization Expense",
+    "Available For Sale Securities Gross Unrealized Losses Accumulated In Investments",
+]
+
+
+def _filler_rows(seed: int, count: int) -> List[str]:
+    rows = []
+    for k in range(count):
+        h = _h(seed, k)
+        label = _FILLER_LABELS[h % len(_FILLER_LABELS)]
+        val = _fmt(h % 9_999_999)
+        rows.append(
+            _row(f"syn{seed % 97}F{k}", f"{label} ({k})", [val, _fmt(h % 83_211)])
+        )
+    return rows
+
+
+def _report_page(
+    title: str, scale_note: str, rows: List[str], filler: int = REPORT_FILLER_ROWS
+) -> str:
+    fill = _filler_rows(_h(title), filler)
+    half = len(fill) // 2
+    body = fill[:half] + rows + fill[half:]
     return (
         "<html><head><title></title></head><body>\n"
         '<table class="report" border="0" cellspacing="2">\n'
         f'<tr><th class="tl" colspan="1" rowspan="1"><div style="width: 200px;">'
         f"<strong>{title}<br> {scale_note}</strong></div></th>"
-        '<th class="th"><div>Period End</div></th></tr>\n' + "".join(rows) + "</table></body></html>\n"
+        '<th class="th"><div>Period End</div></th></tr>\n' + "".join(body) + "</table></body></html>\n"
     )
 
 

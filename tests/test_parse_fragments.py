@@ -151,3 +151,47 @@ def test_filing_scale_defaults_and_overrides():
     # thousand-dollar heading
     s = filing_scale(["$ in Thousands"], DOC_BS)
     assert s[ENTITY_MONEY] == SCALE_THOUSAND
+
+
+def test_fast_tokenizer_equivalence():
+    """The regex fast path must produce the exact token stream of the
+    html.parser baseline on every reference sample and synthetic page
+    (or bail to it)."""
+    import glob
+    import pathlib
+
+    from edgar_spark.parse.tokenizer import _fast_tokenize, _slow_tokenize
+    from edgar_spark.synth import corpus
+
+    docs = []
+    samples = pathlib.Path(__file__).parent / "fixtures" / "samples"
+    for p in sorted(glob.glob(str(samples / "*.html"))):
+        docs.append(open(p, encoding="utf-8", errors="replace").read())
+    for i in range(3):
+        docs.extend(t for _, _, _, t, _ in corpus.company_pages(i, 2))
+    # tricky fragments: the fast path may bail (None) but must never differ
+    docs += [
+        "a < b and c > d",
+        "<td class=x>1</td>",
+        "<a href=x/>",
+        "<!-->",
+        "<![CDATA[z]]>",
+        "<script>if (a<b) {}</script>ok",
+        "<p>&amp;cik=5&#160;&nbsp;&bogus;&lt</p>",
+        "<td",
+    ]
+    bailed = 0
+    for d in docs:
+        fast = _fast_tokenize(d)
+        if fast is None:
+            bailed += 1
+            continue
+        slow = _slow_tokenize(d)
+        assert len(fast) == len(slow), d[:80]
+        for a, b in zip(fast, slow):
+            assert (a.type, a.data, list(a.attrs)) == (
+                b.type,
+                b.data,
+                list(b.attrs),
+            ), (d[:80], a, b)
+    assert bailed >= 3  # the hostile fragments exercised the fallback
