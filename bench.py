@@ -129,6 +129,8 @@ OPERATOR_KEYS = [
     "events_window_agg",
     "sessionize_gap",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "asof_join_last_click",
     "cosine_near_dups",
 ]

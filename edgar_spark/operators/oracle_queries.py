@@ -394,6 +394,52 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, dim=dim, threshold=0.35, n_planes=8)
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape (TPC-H Q3): selective dim filter → join →
+    agg → deterministic top-10. The customer filter prunes before the join;
+    revenue sums on decimal for order-independent exactness."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume shape (TPC-H Q5): 5-way join with broadcast
+    dims, grouped revenue per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)  # "local" supplier
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
 _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_wins_dedup": q_first_wins_dedup,
     "pivot_agg": q_pivot_agg,
@@ -421,6 +467,8 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_count": q_bpe_token_count,
     "cosine_near_dups": q_cosine_near_dups,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
 }
 
 _ORACLES: Dict[str, str] = {
@@ -710,6 +758,37 @@ _ORACLES: Dict[str, str] = {
         WHERE round(list_cosine_similarity(
                   CAST(a.embedding AS DOUBLE[]),
                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """,
+    "tpch_q3": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(24,6))) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "tpch_q5": """
+        SELECT n_name,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(24,6))) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY n_name
     """,
 }
 
