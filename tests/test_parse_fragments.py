@@ -195,3 +195,20 @@ def test_fast_tokenizer_equivalence():
                 list(b.attrs),
             ), (d[:80], a, b)
     assert bailed >= 3  # the hostile fragments exercised the fallback
+
+
+def test_cik_page_parse():
+    """cikPageParser (parser.go:55-76): first non-empty trimmed text inside
+    <cik>…</cik>; None when absent. The reference's own check is a live
+    fetch asserting MSFT's zero-padded CIK (parser_test.go:91-100)."""
+    from edgar_spark.parse.docs import cik_page_parse
+
+    xml = (
+        '<?xml version="1.0"?><company-info>'
+        "<cik>\n  0000789019 </cik><name>MICROSOFT CORP</name></company-info>"
+    )
+    assert cik_page_parse(xml) == "0000789019"
+    assert cik_page_parse("<company-info><name>X</name></company-info>") is None
+    # the Go walk stops at the FIRST </cik> even if it held only whitespace
+    # (parser.go:66-74 loops to EndTagToken then falls through to the error)
+    assert cik_page_parse("<cik>  </cik><cik>7</cik>") is None
