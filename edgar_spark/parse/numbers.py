@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import math
+import re
 from typing import Dict, List, Optional
 
 # Scale factors (reference data_def.go:41-44)
@@ -47,13 +48,23 @@ def normalize_number(s: str) -> Optional[float]:
     joined = "".join(parts[0].split(","))
     if dec != "":
         joined = joined + "." + dec
+    # Go strconv.ParseFloat grammar: decimal/exponent forms and the Inf/NaN
+    # specials — NO surrounding whitespace (Python's float() tolerates
+    # "0\t", Go errors; property-tested in tests/test_property.py)
+    if not (
+        _GO_FLOAT_RE.match(joined) or joined.lower() in _GO_FLOAT_SPECIALS
+    ):
+        return None
     try:
-        # Go strconv.ParseFloat accepts "Inf"/"NaN"/hex etc.; the subset seen
-        # in filings is plain decimal, which float() parses identically. Go
-        # rejects empty strings and lone signs, as does float().
         return float(joined) * negative
     except ValueError:
         return None
+
+
+_GO_FLOAT_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+_GO_FLOAT_SPECIALS = {
+    "inf", "+inf", "-inf", "infinity", "+infinity", "-infinity", "nan",
+}
 
 
 def trunc_round(val: float) -> float:

@@ -271,11 +271,9 @@ def _fast_tokenize(text: str) -> Optional[List[Tok]]:
                 if name in _CDATA_END:  # raw-text content mode, no unescaping
                     end = _CDATA_END[name].search(text, m.end())
                     if end is None:
-                        raw = text[m.end() :]
-                        if raw:
-                            toks.append(Tok(TEXT, raw))
-                        pos = n
-                        continue
+                        # unterminated script/style: html.parser swallows the
+                        # trailing raw text at EOF — slow path decides
+                        return None
                     raw = text[m.end() : end.start()]
                     if raw:
                         toks.append(Tok(TEXT, raw))

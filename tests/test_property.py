@@ -1,0 +1,139 @@
+"""Property-based checks (hypothesis) for the byte-identical kernels.
+
+1. normalize_number vs an exact Go model of utils.go:11-46 (strconv
+   grammar included) over adversarial strings.
+2. fast regex tokenizer vs the html.parser baseline over generated
+   HTML-ish documents: wherever the fast path accepts, the token streams
+   must be identical.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------- normalize_number
+
+_GO_FLOAT_RE = re.compile(
+    r"^[+-]?(\d+(\.\d*)?|\.\d+)([eEpP][+-]?\d+)?$"
+)
+_GO_SPECIAL = {"inf", "+inf", "-inf", "infinity", "+infinity", "-infinity",
+               "nan"}
+
+
+def _go_parse_float(s: str):
+    """strconv.ParseFloat acceptance model for the grammar our inputs can
+    reach (decimal forms + specials; hex floats can't survive the comma
+    stripping of interest here but parse the same via float() when pure)."""
+    if s.lower() in _GO_SPECIAL:
+        return float(s)
+    if not _GO_FLOAT_RE.match(s):
+        return None
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+def _go_normalize(sx: str):
+    neg = -1.0 if ("(" in sx and ")" in sx) else 1.0
+    sx = sx.lstrip(" ").lstrip("$").lstrip(" ").rstrip(" ").lstrip("(").rstrip(")")
+    parts = sx.split(".")
+    dec = parts[1] if len(parts) > 1 else ""
+    joined = "".join(parts[0].split(","))
+    if dec != "":
+        joined = joined + "." + dec
+    v = _go_parse_float(joined)
+    return None if v is None else v * neg
+
+
+_number_chars = st.sampled_from(list("0123456789.,()$ -+eE\tx_abfInNy"))
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(_number_chars, min_size=0, max_size=24).map("".join))
+def test_normalize_number_matches_go_model(s):
+    from edgar_spark.parse.numbers import normalize_number
+
+    got = normalize_number(s)
+    want = _go_normalize(s)
+    if want is None or got is None:
+        assert got == want, (s, got, want)
+    elif want != want:  # NaN
+        assert got != got, s
+    else:
+        assert got == want, (s, got, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=-10**12, max_value=10**12),
+    st.integers(min_value=0, max_value=99),
+    st.booleans(),
+    st.booleans(),
+)
+def test_normalize_number_roundtrip(whole, cents, parens, dollar):
+    """Rendered financial forms round-trip exactly."""
+    from edgar_spark.parse.numbers import normalize_number
+
+    mag = abs(whole) + cents / 100.0
+    body = f"{abs(whole):,}" + (f".{cents:02d}" if cents else "")
+    s = ("$ " if dollar else "") + (f"({body})" if parens else body)
+    want = -mag if parens else mag
+    assert normalize_number(s) == want
+
+
+# ----------------------------------------------------------- tokenizer fuzz
+
+_tag_names = st.sampled_from(["td", "tr", "a", "span", "table", "th", "div",
+                              "script", "style", "br", "cik"])
+_attr_vals = st.text(
+    alphabet=st.sampled_from(list("abc0123&;#x<> '\"=/")), max_size=12
+)
+_texts = st.text(
+    alphabet=st.sampled_from(list("abc012 &;#<>x \r\n'\"$(),.")), max_size=20
+)
+
+
+@st.composite
+def _html_doc(draw):
+    n = draw(st.integers(min_value=0, max_value=12))
+    parts = []
+    for _ in range(n):
+        kind = draw(st.integers(min_value=0, max_value=5))
+        name = draw(_tag_names)
+        if kind == 0:
+            val = draw(_attr_vals).replace('"', "")
+            parts.append(f'<{name} class="{val}">')
+        elif kind == 1:
+            parts.append(f"</{name}>")
+        elif kind == 2:
+            parts.append(draw(_texts))
+        elif kind == 3:
+            parts.append(f"<{name}/>")
+        elif kind == 4:
+            parts.append(f"<!--{draw(_texts).replace('--', '-')}-->")
+        else:
+            val = draw(_attr_vals).replace("'", "")
+            parts.append(f"<{name} onclick='{val}'>")
+    return "".join(parts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_html_doc())
+def test_fast_tokenizer_never_diverges(doc):
+    from edgar_spark.parse.tokenizer import _fast_tokenize, _slow_tokenize
+
+    fast = _fast_tokenize(doc)
+    if fast is None:  # bailed to the baseline — by construction identical
+        return
+    slow = _slow_tokenize(doc)
+    assert len(fast) == len(slow), doc
+    for a, b in zip(fast, slow):
+        assert (a.type, a.data, list(a.attrs)) == (b.type, b.data, list(b.attrs)), (
+            doc,
+            a,
+            b,
+        )
