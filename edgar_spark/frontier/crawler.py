@@ -126,6 +126,7 @@ class Crawler:
         self.catalog = IceliteCatalog(
             self.cfg.checkpoint_dir or tempfile.mkdtemp(prefix="edgar_spark_ckpt_")
         )
+        self._last_metrics: Optional[dict] = None
         self._bloom = (
             ShardedBloom(
                 self.cfg.bloom_shards,
@@ -403,6 +404,22 @@ class Crawler:
                         frontier.select("url"), "url", "left_anti"
                     )
 
+        # parse-failure lineage: a fetched page whose kind-specific marker is
+        # absent never reaches its parser (the Sparser-style prefilter) —
+        # count those as parse failures, observed during the write job
+        marker_ok = (
+            ((F.col("kind") == "query") & F.col("text").contains("interactiveDataBtn"))
+            | ((F.col("kind") == "index") & F.col("text").contains("var reports"))
+            | ((F.col("kind") == "report") & F.col("text").contains("defref"))
+        )
+        p_obs = Observation()
+        fetched_obs = fetched.observe(
+            p_obs,
+            F.coalesce(
+                F.sum(F.when(~marker_ok, 1).otherwise(0)), F.lit(0)
+            ).alias("parse_failures"),
+        )
+
         # state transitions as one broadcast join of a small (url → state)
         # update set against the whole frontier — NOT a many-way union of
         # re-derived window branches (that plan re-embeds the ranking
@@ -411,7 +428,7 @@ class Crawler:
         # 10^10 scale with waves beyond broadcast size this join flips to a
         # hash shuffle on url, which is the MERGE INTO plan Iceberg runs.
         updates = (
-            fetched.select("url")
+            fetched_obs.select("url")
             .withColumn("_new_state", F.lit("fetched"))
             .unionByName(
                 missing.select("url").withColumn("_new_state", F.lit("missing"))
@@ -470,7 +487,11 @@ class Crawler:
                 "frontier": frontier_instr.repartition(nsp),
                 "facts": facts_instr.repartition(nsp),
             },
-            meta={"wave": wave_no},
+            # previous wave's metrics ride the manifest: every snapshot is a
+            # resume point AND a lineage record (observations for THIS wave
+            # only resolve once these writes run, so they land in the next
+            # commit's meta and in the final metrics table)
+            meta={"wave": wave_no, "prev_wave_metrics": self._last_metrics},
         )
         frontier_next = self.catalog.read(spark, "frontier")
         facts_next = self.catalog.read(spark, "facts")
@@ -495,6 +516,10 @@ class Crawler:
             "pending_next": int(fm["pending_next"]),
             "pending_kinds": sorted(pending_kinds_next),
             "pending_kind_counts": pending_kinds_next,
+            "parse_failures": int(p_obs.get["parse_failures"]),
+        }
+        self._last_metrics = {
+            k: v for k, v in metrics.items() if k != "pending_kind_counts"
         }
 
         # huge-wave bloom maintenance: the candidate collect above already
@@ -589,6 +614,21 @@ class Crawler:
             wave += 1
         filings = consolidate_facts(facts)
         nsp = self.cfg.snapshot_partitions
+
+        # durable lineage: the full per-wave metrics as a table in the final
+        # snapshot (Arrow/pandas ⇒ JVM LocalTableScan, one tiny write)
+        final_tables: dict = {"filings": filings.repartition(nsp)}
+        if metrics:
+            import pandas as pd
+
+            mpdf = pd.DataFrame(
+                [
+                    {k: v for k, v in m.items() if not isinstance(v, (dict, list))}
+                    for m in metrics
+                ]
+            )
+            final_tables["metrics"] = self.spark.createDataFrame(mpdf).coalesce(1)
+
         # frontier/facts were materialized by the last wave's commit —
         # carry their data paths into the final snapshot (Iceberg
         # shared-manifest pattern) instead of rewriting them
@@ -596,18 +636,15 @@ class Crawler:
         a_path = self.catalog.table_path("facts")
         if f_path and a_path:
             self.catalog.commit_snapshot(
-                {"filings": filings.repartition(nsp)},
+                final_tables,
                 meta={"wave": wave - 1, "final": True},
                 carry={"frontier": f_path, "facts": a_path},
             )
         else:  # zero waves ran and no prior snapshot exists
+            final_tables["frontier"] = frontier.repartition(nsp)
+            final_tables["facts"] = facts.repartition(nsp)
             self.catalog.commit_snapshot(
-                {
-                    "frontier": frontier.repartition(nsp),
-                    "facts": facts.repartition(nsp),
-                    "filings": filings.repartition(nsp),
-                },
-                meta={"wave": wave - 1, "final": True},
+                final_tables, meta={"wave": wave - 1, "final": True}
             )
         filings = self.catalog.read(self.spark, "filings")
         return CrawlResult(
