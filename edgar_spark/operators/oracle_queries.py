@@ -440,6 +440,40 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate over lineitem: per (returnflag,
+    linestatus), per returnflag, and grand total in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest: top-20 whitespace tokens across documents
+    (deterministic tie-break on the token)."""
+    from edgar_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
 _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_wins_dedup": q_first_wins_dedup,
     "pivot_agg": q_pivot_agg,
@@ -469,6 +503,8 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,  # rows-only
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "rollup_pricing": q_rollup_pricing,
+    "word_freq": q_word_freq,
 }
 
 _ORACLES: Dict[str, str] = {
@@ -789,6 +825,24 @@ _ORACLES: Dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
         GROUP BY n_name
+    """,
+    "rollup_pricing": """
+        SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+               coalesce(l_linestatus, '(all)') AS linestatus,
+               count(*) AS n_items,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "word_freq": """
+        SELECT token, count(*) AS n
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents WHERE trim(text) != ''
+        )
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20
     """,
 }
 
