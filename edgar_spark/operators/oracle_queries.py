@@ -474,6 +474,36 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: events has only a few
+    event_type values, so a direct groupBy sends each key to one reducer.
+    Salting pre-aggregates on (key, salt) across many reducers, then the
+    tiny (key, salt) partials collapse in a second agg — the same pattern
+    the crawler's politeness bucketing uses for the single-host frontier.
+    Result is identical to a plain GROUP BY (the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        F.sum("_sum").alias("sum_value"),
+    )
+
+
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles of extendedprice per returnflag
+    (rounded to 6 dp so cross-engine interpolation agrees)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    )
+
+
 _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_wins_dedup": q_first_wins_dedup,
     "pivot_agg": q_pivot_agg,
@@ -505,6 +535,8 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": q_tpch_q5,
     "rollup_pricing": q_rollup_pricing,
     "word_freq": q_word_freq,
+    "skew_salted_agg": q_skew_salted_agg,
+    "price_quantiles": q_price_quantiles,
 }
 
 _ORACLES: Dict[str, str] = {
@@ -843,6 +875,19 @@ _ORACLES: Dict[str, str] = {
         GROUP BY token
         ORDER BY n DESC, token
         LIMIT 20
+    """,
+    "skew_salted_agg": """
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "price_quantiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        FROM lineitem GROUP BY l_returnflag
     """,
 }
 

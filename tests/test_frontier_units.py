@@ -75,3 +75,33 @@ def test_icelite_snapshot_roundtrip(spark, tmp_path):
     assert cat.snapshot_meta()["wave"] == 1
     cat.rollback(1)
     assert cat.read(spark, "t").count() == 5
+
+
+def test_icelite_time_travel_and_carry(spark, tmp_path):
+    """Snapshot-id reads (time travel), rollback, and carry-over manifests
+    (a snapshot referencing a prior snapshot's data files without rewrite)."""
+    from edgar_spark.icelite import IceliteCatalog
+
+    cat = IceliteCatalog(str(tmp_path / "tbl"))
+    s1 = cat.commit_snapshot(
+        {"t": spark.range(3).toDF("v")}, meta={"tag": "first"}
+    )
+    s2 = cat.commit_snapshot(
+        {"t": spark.range(10).toDF("v")}, meta={"tag": "second"}
+    )
+    assert cat.read(spark, "t").count() == 10  # current
+    assert cat.read(spark, "t", snap_id=s1).count() == 3  # time travel
+    assert cat.snapshot_meta(s1)["tag"] == "first"
+
+    # carry-over: new snapshot adds u, references s2's t without rewriting
+    t_path = cat.table_path("t")
+    s3 = cat.commit_snapshot(
+        {"u": spark.range(5).toDF("v")}, carry={"t": t_path}
+    )
+    assert cat.read(spark, "t", snap_id=s3).count() == 10
+    assert cat.read(spark, "u").count() == 5
+    assert cat.table_path("t", s3) == cat.table_path("t", s2)  # shared files
+
+    cat.rollback(s1)
+    assert cat.read(spark, "t").count() == 3
+    assert cat.current_snapshot_id() == s1
