@@ -131,6 +131,10 @@ OPERATOR_KEYS = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "rollup_pricing",
+    "word_freq",
+    "skew_salted_agg",
+    "price_quantiles",
     "asof_join_last_click",
     "cosine_near_dups",
 ]
