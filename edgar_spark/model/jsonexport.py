@@ -68,14 +68,31 @@ CF_FIELDS: List[Tuple[str, str, int]] = [
 
 
 class _GoFloat(float):
-    """float that renders like Go's json.Marshal of a float64."""
+    """float that renders like Go's json.Marshal of a float64:
+    shortest round-trip digits; plain decimal for 1e-6 ≤ |x| < 1e21
+    (encoding/json's 'f' range — Python repr would switch to exponent
+    below 1e-4); exponent form elsewhere with Go's trimmed exponent
+    ('9e-05' → '9e-5')."""
 
-    def __repr__(self) -> str:  # json.dumps uses float.__repr__
+    def __repr__(self) -> str:
         if math.isnan(self) or math.isinf(self):
             return "null"  # Go errors here; we degrade to null
-        if self == int(self) and abs(self) < 1e21:
-            return str(int(self))
-        return repr(float(self))
+        v = float(self)
+        if v == int(v) and abs(v) < 1e21:
+            return str(int(v))
+        r = repr(v)
+        in_f_range = v != 0 and 1e-6 <= abs(v) < 1e21
+        if "e" in r and in_f_range:
+            from decimal import Decimal
+
+            return format(Decimal(r), "f")
+        if "e" in r:
+            mant, exp = r.split("e")
+            sign = "-" if exp.startswith("-") else "+"
+            digits = exp.lstrip("+-").lstrip("0") or "0"
+            # Go keeps 'e-5' / 'e+21' (sign always present, no zero padding)
+            return f"{mant}e{sign}{digits}"
+        return r
 
 
 def _section(row, fields: List[Tuple[str, str, int]]) -> "OrderedDict":
@@ -161,9 +178,35 @@ def folder_json(ticker: str, rows, types: Optional[List[str]] = None) -> str:
     return marshal(obj)
 
 
-def export_filings_json(filings_df, limit: Optional[int] = None):
+def filings_json_df(filings_df):
     """Distributed export: one JSON document per filing row (the String()
-    sink as a column — JVM rows in, deterministic strings out via a mapped
-    Python function only at the edge)."""
-    rows = filings_df.limit(limit).collect() if limit else filings_df.collect()
-    return [(row["ticker"], str(row["filing_date"]), filing_json(row)) for row in rows]
+    sink as a column) — rendered executor-side via Arrow-batched
+    ``mapInPandas``, never collected to the driver."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            docs = [filing_json(row) for _, row in pdf.iterrows()]
+            yield pd.DataFrame(
+                {
+                    "ticker": pdf["ticker"],
+                    "filing_date": pdf["filing_date"].astype(str),
+                    "filing_json": docs,
+                }
+            )
+
+    return filings_df.mapInPandas(
+        gen, schema="ticker string, filing_date string, filing_json string"
+    )
+
+
+def export_filings_json(filings_df, limit: Optional[int] = None):
+    """Driver-side convenience over :func:`filings_json_df` (small results
+    only; ``limit`` is applied before the collect when given)."""
+    df = filings_json_df(filings_df)
+    if limit is not None:
+        df = df.limit(limit)
+    return [
+        (row["ticker"], row["filing_date"], row["filing_json"])
+        for row in df.collect()
+    ]

@@ -43,10 +43,14 @@ def asof_join(
     the row with the greatest value wins (deterministic across engines).
     """
     order = right_order_col or value_col
+    # the carried value rides inside a struct so a right ROW whose value is
+    # NULL still counts as a match (last(..., ignorenulls) skips only absent
+    # rows, never a present row with a NULL value — the ASOF LEFT JOIN
+    # semantics the oracle implements)
     r = right.select(
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
-        F.col(value_col).alias("_rv"),
+        F.struct(F.col(value_col).alias("v")).alias("_rv"),
         F.col(order).alias("_ord"),
     )
 
@@ -78,5 +82,5 @@ def asof_join(
     carried = unioned.withColumn("_asof", F.last("_rv", ignorenulls=True).over(w))
     return carried.filter(F.col("_side") == 1).select(
         *[F.col("_row")[c].alias(c) for c in lcols],
-        F.col("_asof").alias(out_col),
+        F.col("_asof")["v"].alias(out_col),
     )

@@ -61,7 +61,13 @@ def normalize_number(s: str) -> Optional[float]:
         return None
 
 
-_GO_FLOAT_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+# Go float-literal grammar: ASCII digits only (\d would admit Unicode
+# digits Go rejects), underscores legal between digits (Go 1.13+ literal
+# syntax, which Python's float() shares)
+_D = r"[0-9](?:_?[0-9])*"
+_GO_FLOAT_RE = re.compile(
+    rf"^[+-]?({_D}(\.(?:{_D})?)?|\.{_D})([eE][+-]?{_D})?$"
+)
 _GO_FLOAT_SPECIALS = {
     "inf", "+inf", "-inf", "infinity", "+infinity", "-infinity", "nan",
 }

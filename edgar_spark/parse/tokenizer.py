@@ -172,12 +172,18 @@ _SCAN_RE = re.compile(
 
 _ATTR_RE = re.compile(
     r"\s+([a-zA-Z_:][^\s=/>\x00]*)"
-    r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+)))?"
+    # '=+' like html.parser's attrfind_tolerant ('href==x' → value 'x');
+    # unquoted value may be empty ('href=' → value '')
+    r"(?:\s*=+\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]*)))?"
 )
 
+# loose search (what html.parser's CDATA 'interesting' regex uses to stop
+# scanning) + strict end-tag form; a loose hit that is not a strict end tag
+# means html.parser would treat it as data and STAY in CDATA mode — the
+# fast path bails there (see _fast_tokenize)
 _CDATA_END = {
-    "script": re.compile(r"</\s*script", re.I),
-    "style": re.compile(r"</\s*style", re.I),
+    "script": (re.compile(r"</\s*script", re.I), re.compile(r"</\s*script\s*>", re.I)),
+    "style": (re.compile(r"</\s*style", re.I), re.compile(r"</\s*style\s*>", re.I)),
 }
 
 
@@ -269,10 +275,15 @@ def _fast_tokenize(text: str) -> Optional[List[Tok]]:
             else:
                 toks.append(Tok(START_TAG, name, attrs))
                 if name in _CDATA_END:  # raw-text content mode, no unescaping
-                    end = _CDATA_END[name].search(text, m.end())
+                    loose, strict = _CDATA_END[name]
+                    end = loose.search(text, m.end())
                     if end is None:
                         # unterminated script/style: html.parser swallows the
                         # trailing raw text at EOF — slow path decides
+                        return None
+                    if not strict.match(text, end.start()):
+                        # '</scriptx>' etc.: html.parser treats it as data
+                        # and stays in CDATA mode — slow path decides
                         return None
                     raw = text[m.end() : end.start()]
                     if raw:
@@ -286,7 +297,12 @@ def _fast_tokenize(text: str) -> Optional[List[Tok]]:
             if decl.startswith(("[", "-")):
                 return None  # marked section / malformed decl — slow path
             flush()
-            toks.append(Tok(DOCTYPE, decl))
+            if decl.lower().startswith("doctype"):
+                toks.append(Tok(DOCTYPE, decl))
+            else:
+                # html.parser routes any other '<!...>' to a bogus comment
+                # (parse_html_declaration → parse_bogus_comment)
+                toks.append(Tok(COMMENT, decl))
         else:
             flush()
             toks.append(Tok(COMMENT, pi))

@@ -174,3 +174,36 @@ def test_asof_join(spark):
         ).collect()
     }
     assert out == {1: None, 2: 150.0, 3: 200.0, 4: 300.0, 5: None}
+
+
+def test_asof_join_null_right_value(spark):
+    """A right ROW with a NULL value still matches (ASOF LEFT JOIN
+    semantics): NULL is attached, not skipped in favor of an older row."""
+    from datetime import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from edgar_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, dt(2024, 1, 1, 3, 0))], ["event_id", "user_id", "ts"]
+    )
+    rschema = StructType(
+        [
+            StructField("user_id", IntegerType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    right = spark.createDataFrame(
+        [(10, dt(2024, 1, 1, 1, 0), 100.0), (10, dt(2024, 1, 1, 2, 0), None)],
+        rschema,
+    )
+    out = asof_join(left, right, key="user_id", ts="ts", value_col="value").collect()
+    assert out[0]["asof_value"] is None  # the t2 row wins, value NULL

@@ -16,8 +16,9 @@ from hypothesis import strategies as st
 
 # ---------------------------------------------------------- normalize_number
 
+_GD = r"[0-9](?:_?[0-9])*"
 _GO_FLOAT_RE = re.compile(
-    r"^[+-]?(\d+(\.\d*)?|\.\d+)([eEpP][+-]?\d+)?$"
+    rf"^[+-]?({_GD}(\.(?:{_GD})?)?|\.{_GD})([eE][+-]?{_GD})?$"
 )
 _GO_SPECIAL = {"inf", "+inf", "-inf", "infinity", "+infinity", "-infinity",
                "nan"}
@@ -137,3 +138,45 @@ def test_fast_tokenizer_never_diverges(doc):
             a,
             b,
         )
+
+
+def test_review_divergence_regressions():
+    """Cases found by fuzz/code review: fast path must bail or agree."""
+    from edgar_spark.parse.tokenizer import _fast_tokenize, _slow_tokenize
+
+    cases = [
+        "<script>a</scriptx>b&amp;c</script>",  # prefix-named end tag
+        "<style>p{}</styleZZ>text</style>",
+        "<!ENTITY foo>",            # non-doctype decl → bogus comment
+        "<!doctype html><p>x</p>",
+        "<a href==x>",              # doubled '=' folds into attrfind's '=+'
+        "<a href=>",                # empty unquoted value
+    ]
+    for doc in cases:
+        fast = _fast_tokenize(doc)
+        if fast is None:
+            continue
+        slow = _slow_tokenize(doc)
+        assert [(t.type, t.data, list(t.attrs)) for t in fast] == [
+            (t.type, t.data, list(t.attrs)) for t in slow
+        ], doc
+
+
+def test_normalize_number_go_underscores():
+    from edgar_spark.parse.numbers import normalize_number
+
+    assert normalize_number("1_000") == 1000.0  # Go 1.13 literal syntax
+    assert normalize_number("1_000.5") == 1000.5
+    assert normalize_number("1_") is None  # underscore must sit between digits
+    assert normalize_number("_1") is None
+    assert normalize_number("١٢") is None  # Unicode digits: Go rejects
+
+
+def test_go_float_rendering_small_values():
+    from edgar_spark.model.jsonexport import _GoFloat
+
+    assert repr(_GoFloat(0.00009)) == "0.00009"  # Go 'f' range reaches 1e-6
+    assert repr(_GoFloat(0.0000095)) == "0.0000095"
+    assert repr(_GoFloat(9e-07)) == "9e-7"  # Go trims 'e-07' → 'e-7'
+    assert repr(_GoFloat(1e21)) == "1e+21"
+    assert repr(_GoFloat(1.98)) == "1.98"
