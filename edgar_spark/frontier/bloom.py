@@ -222,6 +222,28 @@ class CuckooFilter:
         i2 = self._i2(i1, fp)
         return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
 
+    def probe(self, df, url_col: str, flag_col: str = "maybe_seen"):
+        """Same vectorized probe surface as ShardedBloom.probe, so the
+        crawler can use either seen-filter implementation."""
+        filt = self
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[flag_col] = [
+                    bool(u is not None and filt.contains(u)) for u in pdf[url_col]
+                ]
+                yield pdf
+
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        schema = StructType(df.schema.fields + [StructField(flag_col, BooleanType())])
+        return df.mapInPandas(gen, schema=schema)
+
+    def add_all(self, urls) -> None:
+        for u in urls:
+            self.add(u)
+
     def delete(self, item: str) -> bool:
         fp = self._fp(item)
         for i in (self._i1(item), self._i2(self._i1(item), fp)):

@@ -81,6 +81,11 @@ class CrawlConfig:
     parse_partitions: Optional[int] = None
     checkpoint_dir: Optional[str] = None
     use_bloom: bool = True
+    # "bloom" (sharded, append-only; the 10^10 scale path) or "cuckoo"
+    # (supports delete — enables mark_for_recrawl; driver-resident at
+    # sandbox scale, sharded the same way as the bloom at design scale)
+    seen_filter: str = "bloom"
+    cuckoo_buckets: int = 1 << 16
     bloom_shards: int = 4
     bloom_bits_per_shard: int = 1 << 22  # ~4 Mbit/shard; size up per SURVEY §7.5
     bloom_hashes: int = 5
@@ -127,15 +132,18 @@ class Crawler:
             self.cfg.checkpoint_dir or tempfile.mkdtemp(prefix="edgar_spark_ckpt_")
         )
         self._last_metrics: Optional[dict] = None
-        self._bloom = (
-            ShardedBloom(
+        if not self.cfg.use_bloom:
+            self._bloom = None
+        elif self.cfg.seen_filter == "cuckoo":
+            from edgar_spark.frontier.bloom import CuckooFilter
+
+            self._bloom = CuckooFilter(n_buckets=self.cfg.cuckoo_buckets)
+        else:
+            self._bloom = ShardedBloom(
                 self.cfg.bloom_shards,
                 self.cfg.bloom_bits_per_shard,
                 self.cfg.bloom_hashes,
             )
-            if self.cfg.use_bloom
-            else None
-        )
 
     # ------------------------------------------------------------ seeding
 
@@ -522,23 +530,29 @@ class Crawler:
             k: v for k, v in metrics.items() if k != "pending_kind_counts"
         }
 
-        # huge-wave bloom maintenance: the candidate collect above already
-        # fed the filter for normal waves; only an over-threshold wave
-        # (bloom left dirty) pays a distributed position build here
+        # huge-wave seen-filter maintenance: the candidate collect above
+        # already fed the filter for normal waves; only an over-threshold
+        # wave (filter left dirty) pays a distributed position build (bloom)
+        # or a streamed driver add (cuckoo)
         if self._bloom is not None and getattr(self, "_bloom_dirty", False) and n_new > 0:
-            self._bloom.merge(
-                ShardedBloom.build(
-                    frontier_next.filter(
-                        (F.col("state") == "pending")
-                        & (F.col("wave_added") == wave_no)
-                    ).select("url"),
-                    "url",
-                    self.cfg.bloom_shards,
-                    self.cfg.bloom_bits_per_shard,
-                    self.cfg.bloom_hashes,
-                    n_hint=n_new,
+            new_urls = frontier_next.filter(
+                (F.col("state") == "pending") & (F.col("wave_added") == wave_no)
+            ).select("url")
+            if isinstance(self._bloom, ShardedBloom):
+                self._bloom.merge(
+                    ShardedBloom.build(
+                        new_urls,
+                        "url",
+                        self.cfg.bloom_shards,
+                        self.cfg.bloom_bits_per_shard,
+                        self.cfg.bloom_hashes,
+                        n_hint=n_new,
+                    )
                 )
-            )
+            else:
+                self._bloom.add_all(
+                    r["url"] for r in new_urls.toLocalIterator()
+                )
             self._bloom_dirty = False
         if probed is not None:
             probed.unpersist()
@@ -576,7 +590,7 @@ class Crawler:
         frontier = self.catalog.read(spark, "frontier")
         facts = self.catalog.read(spark, "facts")
         last_wave = self.catalog.snapshot_meta().get("wave", -1)
-        if self._bloom is not None:
+        if isinstance(self._bloom, ShardedBloom):
             self._bloom.merge(
                 ShardedBloom.build(
                     frontier.select("url"),
@@ -586,7 +600,66 @@ class Crawler:
                     cfg.bloom_hashes,
                 )
             )
+        elif self._bloom is not None:
+            self._bloom.add_all(
+                r["url"] for r in frontier.select("url").toLocalIterator()
+            )
         return self._loop(frontier, facts, start_wave=last_wave + 1, metrics=[])
+
+    def mark_for_recrawl(self, urls: List[str]) -> None:
+        """Flip already-fetched frontier rows back to ``pending`` and purge
+        their facts, so a subsequent :meth:`resume` re-fetches and
+        re-extracts them — the delete capability the cuckoo seen-filter
+        exists for (a bloom cannot forget; with ``seen_filter='bloom'`` the
+        rows still re-fetch, but an identical URL re-DISCOVERED later would
+        be bloom-suppressed until the exact anti-join).
+
+        Committed as a new snapshot: recrawl is itself a resume point.
+        """
+        spark = self.spark
+        frontier = self.catalog.read(spark, "frontier")
+        facts = self.catalog.read(spark, "facts")
+        import pandas as pd
+
+        url_df = spark.createDataFrame(pd.DataFrame({"url": list(urls)}))
+        hit = F.col("url").isin(list(urls)) if len(urls) <= 64 else None
+        if hit is None:
+            marked = frontier.join(
+                F.broadcast(url_df.withColumn("_re", F.lit(1))), "url", "left"
+            )
+            hit = F.col("_re").isNotNull()
+        else:
+            marked = frontier
+        frontier_next = (
+            marked.withColumn(
+                "state", F.when(hit, F.lit("pending")).otherwise(F.col("state"))
+            )
+            .withColumn(
+                "wave", F.when(hit, F.lit(None).cast("int")).otherwise(F.col("wave"))
+            )
+            .drop("_re")
+        )
+        # purge extracted facts of the recrawled documents (replace-on-refetch)
+        keys = frontier.filter(
+            F.col("url").isin(list(urls))
+        ).select("accession", "doc_type").dropDuplicates()
+        facts_next = facts.join(
+            F.broadcast(keys), ["accession", "doc_type"], "left_anti"
+        )
+        nsp = self.cfg.snapshot_partitions
+        self.catalog.commit_snapshot(
+            {
+                "frontier": frontier_next.repartition(nsp),
+                "facts": facts_next.repartition(nsp),
+            },
+            meta={
+                "wave": self.catalog.snapshot_meta().get("wave", -1),
+                "recrawl": len(urls),
+            },
+        )
+        if self._bloom is not None and hasattr(self._bloom, "delete"):
+            for u in urls:
+                self._bloom.delete(u)
 
     def _loop(
         self,

@@ -237,3 +237,76 @@ def test_resume_equivalence(spark, tmp_path):
     a = sorted(map(tuple, full.frontier.select(*cols).collect()))
     b = sorted(map(tuple, resumed.frontier.select(*cols).collect()))
     assert a == b
+
+
+def test_cuckoo_mode_equivalent(spark, tmp_path):
+    """seen_filter='cuckoo' produces the same filings as the bloom mode."""
+    from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+    from edgar_spark.synth.corpus import build_pages, build_seeds
+
+    pages = build_pages(spark, 3, 2)
+    seeds = build_seeds(spark, 3)
+    a = Crawler(
+        spark, pages, seeds,
+        config=CrawlConfig(max_waves=4, checkpoint_dir=str(tmp_path / "a")),
+    ).run()
+    b = Crawler(
+        spark, pages, seeds,
+        config=CrawlConfig(
+            max_waves=4, seen_filter="cuckoo", checkpoint_dir=str(tmp_path / "b")
+        ),
+    ).run()
+    ka = sorted(
+        (r["ticker"], r["filing_type"], str(r["filing_date"]), r["revenue"])
+        for r in a.filings.collect()
+    )
+    kb = sorted(
+        (r["ticker"], r["filing_type"], str(r["filing_date"]), r["revenue"])
+        for r in b.filings.collect()
+    )
+    assert ka == kb and len(ka) > 0
+
+
+def test_mark_for_recrawl_roundtrip(spark, tmp_path):
+    """Recrawl: flip fetched report pages back to pending, purge their
+    facts, resume — refetches exactly those pages and reproduces identical
+    filings."""
+    from pyspark.sql import functions as F
+
+    from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+    from edgar_spark.synth.corpus import build_pages, build_seeds
+
+    ckpt = str(tmp_path / "ck")
+    pages = build_pages(spark, 3, 2)
+    seeds = build_seeds(spark, 3)
+    cfg = CrawlConfig(max_waves=4, seen_filter="cuckoo", checkpoint_dir=ckpt)
+    crawler = Crawler(spark, pages, seeds, config=cfg)
+    res = crawler.run()
+    before = sorted(
+        (r["ticker"], r["filing_type"], str(r["filing_date"]), r["revenue"])
+        for r in res.filings.collect()
+    )
+    n_facts_before = res.facts.count()
+
+    victim_urls = [
+        r["url"]
+        for r in res.frontier.filter(
+            (F.col("kind") == "report") & (F.col("state") == "fetched")
+        ).limit(3).collect()
+    ]
+    crawler.mark_for_recrawl(victim_urls)
+    fr = crawler.catalog.read(spark, "frontier")
+    assert fr.filter(F.col("state") == "pending").count() == len(victim_urls)
+    assert crawler.catalog.read(spark, "facts").count() < n_facts_before
+
+    res2 = Crawler.resume(
+        spark, ckpt, pages, seeds,
+        config=CrawlConfig(max_waves=8, seen_filter="cuckoo"),
+    )
+    assert sum(m["fetched"] for m in res2.metrics) == len(victim_urls)
+    after = sorted(
+        (r["ticker"], r["filing_type"], str(r["filing_date"]), r["revenue"])
+        for r in res2.filings.collect()
+    )
+    assert after == before
+    assert res2.facts.count() == n_facts_before

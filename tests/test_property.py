@@ -103,7 +103,7 @@ def _html_doc(draw):
     n = draw(st.integers(min_value=0, max_value=12))
     parts = []
     for _ in range(n):
-        kind = draw(st.integers(min_value=0, max_value=5))
+        kind = draw(st.integers(min_value=0, max_value=9))
         name = draw(_tag_names)
         if kind == 0:
             val = draw(_attr_vals).replace('"', "")
@@ -116,9 +116,27 @@ def _html_doc(draw):
             parts.append(f"<{name}/>")
         elif kind == 4:
             parts.append(f"<!--{draw(_texts).replace('--', '-')}-->")
-        else:
+        elif kind == 5:
             val = draw(_attr_vals).replace("'", "")
             parts.append(f"<{name} onclick='{val}'>")
+        elif kind == 6:  # unquoted / doubled-equals / empty attr values
+            eq = draw(st.sampled_from(["=", "==", "= ", ""]))
+            val = draw(st.sampled_from(["x", "a0", "", "x/"]))
+            parts.append(f"<{name} href{eq}{val}>")
+        elif kind == 7:  # declarations and bogus comments
+            parts.append(draw(st.sampled_from(
+                ["<!doctype html>", "<!DOCTYPE x>", "<!ENTITY e>", "<!>", "<!x>"]
+            )))
+        elif kind == 8:  # CDATA edge shapes
+            body = draw(_texts).replace("<", "")
+            closer = draw(st.sampled_from(
+                ["</script>", "</scriptx>", "</ script>", "</script >", ""]
+            ))
+            parts.append(f"<script>{body}{closer}")
+        else:  # end-tag spacing variants
+            parts.append(draw(st.sampled_from(
+                [f"</{name} >", f"</ {name}>", f"</{name} x>"]
+            )))
     return "".join(parts)
 
 
