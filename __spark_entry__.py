@@ -25,9 +25,11 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: crawl the synthetic corpus and return consolidated
     filings (one row per (cik, filing_type, filing_date, accession) with the
     27-getter surface; driver checks rows>0)."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
     from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+    from edgar_spark.frontier.robots import ROBOTS_SCHEMA
     from edgar_spark.synth import corpus
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
@@ -37,8 +39,25 @@ def entry(spark: SparkSession) -> DataFrame:
         spark, n_companies, n_filings=2, samples_dir=samples
     )
     seeds = corpus.build_seeds(spark, n_companies, include_golden=samples is not None)
+    # robots gate exercised on the flagship path: company 0's query URL is
+    # disallowed, so its filings never enter the crawl (robots_blocked
+    # metric rows; the golden company is unaffected)
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "host": "www.sec.gov",
+                    "path_prefix": "/cgi-bin/browse-edgar?action=getcompany"
+                    f"&CIK={corpus.ticker_of(0)}",
+                    "allowed": False,
+                    "crawl_delay_ms": None,
+                }
+            ]
+        ),
+        ROBOTS_SCHEMA,
+    )
     cfg = CrawlConfig(max_waves=4)
-    result = Crawler(spark, pages, seeds, config=cfg).run()
+    result = Crawler(spark, pages, seeds, robots=robots, config=cfg).run()
     from edgar_spark.model.consolidate import getters_view
 
     return getters_view(result.filings).orderBy(
