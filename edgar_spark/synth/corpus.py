@@ -552,6 +552,13 @@ def company_pages(
 GOLDEN_TICKER = "AAPL"
 GOLDEN_CIK = "0000320193"
 GOLDEN_ACCESSION = "0000320193-18-000100"
+GOLDEN_10K_ACCESSION = "0001193125-15-356351"
+_G10K_BASE = "https://www.sec.gov/Archives/edgar/data/320193/000119312515356351/"
+_G10K_VIEWER = (
+    "https://www.sec.gov/cgi-bin/viewer?action=view&cik=320193"
+    "&accession_number=0001193125-15-356351&xbrl_type=v"
+)
+
 _GOLDEN_SAMPLES = {
     # url path → sample file (R-number mapping per parser_test.go:138-154)
     QUERY_URL_FMT.format(ticker="AAPL", ftype="10-Q"): "sample_query.html",
@@ -561,7 +568,34 @@ _GOLDEN_SAMPLES = {
     "https://www.sec.gov/Archives/edgar/data/320193/000032019318000100/R3.htm": "sample_income.htm",
     "https://www.sec.gov/Archives/edgar/data/320193/000032019318000100/R5.htm": "sample_bs.html",
     "https://www.sec.gov/Archives/edgar/data/320193/000032019318000100/R7.htm": "sample_cf.html",
+    # the FY2015 10-K filing (parser_test.go:156-172 index mapping: EN=R1,
+    # OPS=R2, INC=R3, BS=R5, CF=R8). R3 is deliberately absent from the
+    # corpus — the income page goes 'missing' and Ops supplies net income.
+    _G10K_VIEWER: "sample_10K.html",
+    _G10K_BASE + "R1.htm": "sample_10K_entity.html",
+    _G10K_BASE + "R2.htm": "sample_10K_ops.html",
+    _G10K_BASE + "R5.htm": "sample_10K_bs.html",
+    _G10K_BASE + "R8.htm": "sample_10K_cf.html",
 }
+
+
+def _golden_10k_query_page() -> str:
+    """A browse-edgar query page (real EDGAR row format, cf.
+    sample_query.html) listing the FY2015 10-K filing."""
+    return (
+        "<html><body><table>\n"
+        '<tr><th scope="col">Filings</th><th scope="col">Format</th>'
+        '<th scope="col">Description</th><th scope="col">Filing Date</th>'
+        '<th scope="col">File/Film Number</th></tr>\n'
+        "<tr>\n"
+        '<td nowrap="nowrap">10-K</td>\n'
+        '<td nowrap="nowrap"><a href="/Archives/edgar/data/320193/000119312515356351/0001193125-15-356351-index.htm" id="documentsbutton">&nbsp;Documents</a>&nbsp; '
+        '<a href="/cgi-bin/viewer?action=view&amp;cik=320193&amp;accession_number=0001193125-15-356351&amp;xbrl_type=v" id="interactiveDataBtn">&nbsp;Interactive Data</a></td>\n'
+        '<td class="small">Annual report [Section 13 and 15(d)]<br />Acc-no: 0001193125-15-356351&nbsp;(34 Act)&nbsp; Size: 10 MB</td>\n'
+        "<td>2015-10-28</td>\n"
+        '<td nowrap="nowrap"><a href="/cgi-bin/browse-edgar?action=getcompany&amp;filenum=001-36743&amp;owner=exclude&amp;count=10">001-36743</a><br>151180619</td>\n'
+        "</tr>\n</table></body></html>\n"
+    )
 
 
 def golden_pages(samples_dir: str) -> List[Tuple[str, datetime, bytes, str, str]]:
@@ -574,6 +608,16 @@ def golden_pages(samples_dir: str) -> List[Tuple[str, datetime, bytes, str, str]
             raise FileNotFoundError(str(p))
         text = p.read_text(encoding="utf-8")
         out.append((url, ts, text.encode("utf-8"), text, "en"))
+    qtext = _golden_10k_query_page()
+    out.append(
+        (
+            QUERY_URL_FMT.format(ticker="AAPL", ftype="10-K"),
+            ts,
+            qtext.encode("utf-8"),
+            qtext,
+            "en",
+        )
+    )
     return out
 
 

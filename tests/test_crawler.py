@@ -116,12 +116,12 @@ def test_crawl_ordering(crawl):
         .select("wave", "kind", "ticker", "filing_type", "filing_date", "doc_type")
         .collect()
     )
-    # wave 0: query pages in seed order, type order
+    # wave 0: query pages in seed order, type order (the golden AAPL seed
+    # has both a 10-K and a 10-Q query page in the corpus)
     w0 = [r for r in fetched if r["wave"] == 0]
-    # (AAPL's 10-K query page is not in the corpus → it lands in 'missing')
     assert [(r["ticker"], r["filing_type"]) for r in w0] == [
         (corpus.ticker_of(i), t) for i in range(N_COMPANIES) for t in corpus.FILING_TYPES
-    ] + [("AAPL", "10-Q")]
+    ] + [("AAPL", t) for t in corpus.FILING_TYPES]
     # wave 1 (index pages): per company/type, filing dates DESC
     w1 = [r for r in fetched if r["wave"] == 1]
     for i in range(N_COMPANIES):
@@ -181,10 +181,16 @@ def test_missing_income_pages_marked(crawl):
     from edgar_spark.parse.docs import filing_index_parse
     from tests.conftest import read_sample
 
-    docs = filing_index_parse(read_sample("sample_10Q.html"), "10-Q")
-    in_corpus = {"R1.htm", "R2.htm", "R3.htm", "R5.htm", "R7.htm"}
-    n_missing_docs = sum(1 for u in docs.values() if u.rsplit("/", 1)[1] not in in_corpus)
-    assert missing.filter(F.col("ticker") == "AAPL").count() == 10 + n_missing_docs
+    docs_q = filing_index_parse(read_sample("sample_10Q.html"), "10-Q")
+    q_corpus = {"R1.htm", "R2.htm", "R3.htm", "R5.htm", "R7.htm"}
+    docs_k = filing_index_parse(read_sample("sample_10K.html"), "10-K")
+    k_corpus = {"R1.htm", "R2.htm", "R5.htm", "R8.htm"}
+    n_missing_docs = sum(
+        1 for u in docs_q.values() if u.rsplit("/", 1)[1] not in q_corpus
+    ) + sum(1 for u in docs_k.values() if u.rsplit("/", 1)[1] not in k_corpus)
+    # 9 of the 10-Q query page's 10 viewer links have no embedded viewer
+    # page, plus every classified doc page absent from the corpus
+    assert missing.filter(F.col("ticker") == "AAPL").count() == 9 + n_missing_docs
     # synthetic companies: withheld income pages (h-dependent, may be 0)
     for r in missing.filter(F.col("ticker") != "AAPL").collect():
         assert r["doc_type"] == "Income"
@@ -310,3 +316,49 @@ def test_mark_for_recrawl_roundtrip(spark, tmp_path):
     )
     assert after == before
     assert res2.facts.count() == n_facts_before
+
+
+def test_golden_10k_filing_assembled(crawl):
+    """The AAPL FY2015 10-K assembled from the reference's 10-K samples
+    (index sample_10K.html, EN/OPS/BS/CF report samples; income page
+    deliberately missing) matches the 10-K goldens of parser_test.go and
+    samples/sample_10K_marshal.json, including the generated OpExpense."""
+    _, _, res = crawl
+    row = res.filings.filter(
+        (F.col("ticker") == "AAPL")
+        & (F.col("accession") == corpus.GOLDEN_10K_ACCESSION)
+    ).collect()
+    assert len(row) == 1
+    r = row[0].asDict()
+    assert r["filing_date"] == "2015-10-28"
+    expected = {
+        "sharecount": 5575331000.0,     # parser_test.go:280-291
+        "revenue": 233715000000.0,      # Test10KOpsParser
+        "cost_of_revenue": 140089000000.0,
+        "gross_margin": 93626000000.0,
+        "op_income": 71230000000.0,
+        "op_expense": 22396000000.0,    # generated: rev - cos - opinc
+        "net_income": 53394000000.0,
+        "washares": 5793069000.0,
+        "dps": 1.98,
+        "op_cashflow": 81266000000.0,   # Test10KCfParser
+        "capex": -11247000000.0,
+        "ldebt": 53463000000.0,         # Test10KBSParser
+        "cliab": 80610000000.0,
+        "deferred": 8940000000.0,
+        "retained": 92284000000.0,
+        "equity": 119355000000.0,
+        "cassets": 89378000000.0,
+    }
+    for k, v in expected.items():
+        assert r[k] == v, f"{k}: {r[k]} != {v}"
+    # the income page (R3) is absent from the corpus → marked missing
+    # (classified notes pages absent from the corpus land there too)
+    missing_docs = {
+        r["doc_type"]
+        for r in res.frontier.filter(
+            (F.col("accession") == corpus.GOLDEN_10K_ACCESSION)
+            & (F.col("state") == "missing")
+        ).collect()
+    }
+    assert "Income" in missing_docs
