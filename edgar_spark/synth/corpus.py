@@ -558,6 +558,11 @@ _G10K_VIEWER = (
     "https://www.sec.gov/cgi-bin/viewer?action=view&cik=320193"
     "&accession_number=0001193125-15-356351&xbrl_type=v"
 )
+GOLDEN_10K1_ACCESSION = "0001193125-11-282113"
+_G10K1_VIEWER = (
+    "https://www.sec.gov/cgi-bin/viewer?action=view&cik=320193"
+    "&accession_number=0001193125-11-282113&xbrl_type=v"
+)
 
 _GOLDEN_SAMPLES = {
     # url path → sample file (R-number mapping per parser_test.go:138-154)
@@ -576,6 +581,12 @@ _GOLDEN_SAMPLES = {
     _G10K_BASE + "R2.htm": "sample_10K_ops.html",
     _G10K_BASE + "R5.htm": "sample_10K_bs.html",
     _G10K_BASE + "R8.htm": "sample_10K_cf.html",
+    # partial filing: the 4-doc index variant (parser_test.go:231-246) with
+    # only its entity page present — and that page is the num-in-link
+    # variant (parser_test.go:71-89), so the crawl exercises the
+    # num-in-first-text extraction AND the validation-error path end-to-end
+    _G10K1_VIEWER: "sample_10K_1.html",
+    "https://www.sec.gov/Archives/edgar/data/320193/000119312511282113/R1.htm": "sample_entity1.html",
 }
 
 
@@ -594,6 +605,14 @@ def _golden_10k_query_page() -> str:
         '<td class="small">Annual report [Section 13 and 15(d)]<br />Acc-no: 0001193125-15-356351&nbsp;(34 Act)&nbsp; Size: 10 MB</td>\n'
         "<td>2015-10-28</td>\n"
         '<td nowrap="nowrap"><a href="/cgi-bin/browse-edgar?action=getcompany&amp;filenum=001-36743&amp;owner=exclude&amp;count=10">001-36743</a><br>151180619</td>\n'
+        "</tr>\n"
+        '<tr class="blueRow">\n'
+        '<td nowrap="nowrap">10-K</td>\n'
+        '<td nowrap="nowrap"><a href="/Archives/edgar/data/320193/000119312511282113/0001193125-11-282113-index.htm" id="documentsbutton">&nbsp;Documents</a>&nbsp; '
+        '<a href="/cgi-bin/viewer?action=view&amp;cik=320193&amp;accession_number=0001193125-11-282113&amp;xbrl_type=v" id="interactiveDataBtn">&nbsp;Interactive Data</a></td>\n'
+        '<td class="small">Annual report [Section 13 and 15(d)]<br />Acc-no: 0001193125-11-282113&nbsp;(34 Act)&nbsp; Size: 9 MB</td>\n'
+        "<td>2012-10-26</td>\n"
+        '<td nowrap="nowrap"><a href="/cgi-bin/browse-edgar?action=getcompany&amp;filenum=001-36743&amp;owner=exclude&amp;count=10">001-36743</a><br>111159350</td>\n'
         "</tr>\n</table></body></html>\n"
     )
 

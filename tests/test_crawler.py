@@ -167,8 +167,10 @@ def test_url_seen_membership(crawl):
         "https://www.sec.gov/Archives/edgar/data/320193/000032019318000100/R5.htm"
         in seen
     )
-    # unclassified reports (R4 parenthetical / R6 extra) are never enqueued
-    assert not any(u.endswith("/R4.htm") or u.endswith("/R6.htm") for u in seen)
+    # unclassified reports of the 10-Q filing (R4 parenthetical / R6 extra)
+    # are never enqueued (the 10-K_1 filing legitimately maps its CF to R6)
+    q_base = "https://www.sec.gov/Archives/edgar/data/320193/000032019318000100/"
+    assert q_base + "R4.htm" not in seen and q_base + "R6.htm" not in seen
     # frontier urls are unique (the URL-seen invariant)
     assert res.frontier.count() == res.frontier.select("url").distinct().count()
 
@@ -181,13 +183,16 @@ def test_missing_income_pages_marked(crawl):
     from edgar_spark.parse.docs import filing_index_parse
     from tests.conftest import read_sample
 
-    docs_q = filing_index_parse(read_sample("sample_10Q.html"), "10-Q")
-    q_corpus = {"R1.htm", "R2.htm", "R3.htm", "R5.htm", "R7.htm"}
-    docs_k = filing_index_parse(read_sample("sample_10K.html"), "10-K")
-    k_corpus = {"R1.htm", "R2.htm", "R5.htm", "R8.htm"}
-    n_missing_docs = sum(
-        1 for u in docs_q.values() if u.rsplit("/", 1)[1] not in q_corpus
-    ) + sum(1 for u in docs_k.values() if u.rsplit("/", 1)[1] not in k_corpus)
+    n_missing_docs = 0
+    for sample, ftype, in_corpus in [
+        ("sample_10Q.html", "10-Q", {"R1.htm", "R2.htm", "R3.htm", "R5.htm", "R7.htm"}),
+        ("sample_10K.html", "10-K", {"R1.htm", "R2.htm", "R5.htm", "R8.htm"}),
+        ("sample_10K_1.html", "10-K", {"R1.htm"}),
+    ]:
+        docs = filing_index_parse(read_sample(sample), ftype)
+        n_missing_docs += sum(
+            1 for u in docs.values() if u.rsplit("/", 1)[1] not in in_corpus
+        )
     # 9 of the 10-Q query page's 10 viewer links have no embedded viewer
     # page, plus every classified doc page absent from the corpus
     assert missing.filter(F.col("ticker") == "AAPL").count() == 9 + n_missing_docs
@@ -362,3 +367,23 @@ def test_golden_10k_filing_assembled(crawl):
         ).collect()
     }
     assert "Income" in missing_docs
+
+
+def test_golden_partial_filing_num_in_link(crawl):
+    """The 4-doc index variant with only the num-in-link entity page in the
+    corpus: the crawl extracts 266,252,295 shares from inside the hyperlink
+    (parser_test.go:71-89) and the filing carries a validation error listing
+    every missing required field."""
+    _, _, res = crawl
+    row = res.filings.filter(
+        F.col("accession") == corpus.GOLDEN_10K1_ACCESSION
+    ).collect()
+    assert len(row) == 1
+    r = row[0].asDict()
+    assert r["sharecount"] == 266252295.0
+    assert r["revenue"] is None and r["assets"] is None
+    assert r["collected"] == ["ShareCount"]
+    err = r["validation_error"]
+    assert err and "Missing fields in Operations[" in err
+    assert "Missing fields in Assets[" in err
+    assert "Revenue," in err and "OpCashFlow," in err
