@@ -43,12 +43,14 @@ def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Values are quantized to decimal(18,6) before summing so the sum is
     associative — Spark's partial-agg merge order and DuckDB's sequential
-    sum then agree bit-for-bit (double sums are order-dependent)."""
+    sum then agree bit-for-bit (double sums are order-dependent). The exact
+    decimal sum is cast to double only at the output boundary so both
+    engines (and any canonicalizer fetch path) render the same value."""
     ev = _t(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,6)")
     return ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("event_type") == "click", dec)).alias("click_sum"),
-        F.sum(F.when(F.col("event_type") == "view", dec)).alias("view_sum"),
+        F.sum(F.when(F.col("event_type") == "click", dec)).cast("double").alias("click_sum"),
+        F.sum(F.when(F.col("event_type") == "view", dec)).cast("double").alias("view_sum"),
         F.count("*").alias("n_events"),
     )
 
@@ -101,7 +103,7 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_acctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
         )
     )
 
@@ -136,7 +138,7 @@ def q_filing_year_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
         )
     )
 
@@ -323,10 +325,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         "l_linestatus",
-        "sum_qty",
-        "sum_base_price",
-        "sum_disc_price",
-        "sum_charge",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
         F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
         F.round(
             F.col("sum_base_price").cast("double") / F.col("count_order"), 6
@@ -413,7 +415,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_orderpriority",
-            "revenue",
+            F.col("revenue").cast("double").alias("revenue"),
         )
     )
 
@@ -436,7 +438,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cust.c_nationkey == supp.s_nationkey)  # "local" supplier
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
     )
 
 
@@ -448,7 +453,7 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         )
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("returnflag"),
@@ -489,7 +494,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("event_type").agg(
         F.sum("_n").alias("n_events"),
-        F.sum("_sum").alias("sum_value"),
+        F.sum("_sum").cast("double").alias("sum_value"),
     )
 
 
@@ -552,10 +557,10 @@ _ORACLES: Dict[str, str] = {
     """,
     "pivot_agg": """
         SELECT user_id,
-               sum(CASE WHEN event_type = 'click'
-                        THEN CAST(value AS DECIMAL(18,6)) END) AS click_sum,
-               sum(CASE WHEN event_type = 'view'
-                        THEN CAST(value AS DECIMAL(18,6)) END) AS view_sum,
+               CAST(sum(CASE WHEN event_type = 'click'
+                        THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click_sum,
+               CAST(sum(CASE WHEN event_type = 'view'
+                        THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view_sum,
                count(*) AS n_events
         FROM events GROUP BY user_id
     """,
@@ -582,7 +587,7 @@ _ORACLES: Dict[str, str] = {
     """,
     "broadcast_dim_join": """
         SELECT r_name, n_name, count(*) AS n_customers,
-               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -605,7 +610,7 @@ _ORACLES: Dict[str, str] = {
     "filing_year_filter": """
         SELECT year(o_orderdate) AS order_year,
                count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders
         WHERE year(o_orderdate) >= 1995
         GROUP BY year(o_orderdate)
@@ -785,7 +790,10 @@ _ORACLES: Dict[str, str] = {
             GROUP BY l_returnflag, l_linestatus
         )
         SELECT l_returnflag, l_linestatus,
-               sum_qty, sum_base_price, sum_disc_price, sum_charge,
+               CAST(sum_qty AS DOUBLE) AS sum_qty,
+               CAST(sum_base_price AS DOUBLE) AS sum_base_price,
+               CAST(sum_disc_price AS DOUBLE) AS sum_disc_price,
+               CAST(sum_charge AS DOUBLE) AS sum_charge,
                round(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty,
                round(CAST(sum_base_price AS DOUBLE) / count_order, 6) AS avg_price,
                round(CAST(sum_disc AS DOUBLE) / count_order, 6) AS avg_disc,
@@ -831,8 +839,8 @@ _ORACLES: Dict[str, str] = {
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                o_orderpriority,
-               sum(CAST(l_extendedprice * (1 - l_discount)
-                        AS DECIMAL(24,6))) AS revenue
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(24,6))) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -845,8 +853,8 @@ _ORACLES: Dict[str, str] = {
     """,
     "tpch_q5": """
         SELECT n_name,
-               sum(CAST(l_extendedprice * (1 - l_discount)
-                        AS DECIMAL(24,6))) AS revenue,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -862,7 +870,7 @@ _ORACLES: Dict[str, str] = {
         SELECT coalesce(l_returnflag, '(all)') AS returnflag,
                coalesce(l_linestatus, '(all)') AS linestatus,
                count(*) AS n_items,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -879,7 +887,7 @@ _ORACLES: Dict[str, str] = {
     "skew_salted_agg": """
         SELECT event_type,
                count(*) AS n_events,
-               sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type
     """,
     "price_quantiles": """

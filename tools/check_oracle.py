@@ -1,15 +1,26 @@
 #!/usr/bin/env python
-"""Local mimic of the driver's correctness gate: run every ``queries()``
-entry on Spark and its ``oracle_sql()`` on DuckDB over the same parquet
-tables, compare row count, column names, and a canonical value hash
-(columns sorted by name, rows sorted, floats rounded to 9 significant
-digits before hashing — mirrors a sort-by-name + value-hash compare).
+"""Local gate STRICTER than the driver's: run every ``queries()`` entry on
+Spark and its ``oracle_sql()`` on DuckDB over the same parquet tables;
+compare row count, column names, and the canonical value hash under TWO
+canonicalizations:
+
+* **strict** — types preserved (a Decimal renders with its scale, e.g.
+  ``587.380000``; a float renders shortest-9-sig-digits, ``587.38``), and
+* **coerced** — every Decimal coerced to float64 first (the pandas fetch
+  path the driver may use on either side).
+
+A key passes only if ALL FOUR hashes (2 canonicalizations × 2 engines)
+agree — i.e. the result is rendering-invariant no matter which fetch path
+the driver's canonicalizer takes on which side. Round 1 shipped 8 red rows
+because the old single-canon gate str()'d Decimals identically on both
+sides while the driver coerced only one side; this closes that hole.
 
 Usage: python tools/check_oracle.py [sf_dir] [key ...]
 """
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import os
@@ -23,15 +34,21 @@ TABLES = [
 ]
 
 
-def canon(v):
+def _canon_float(v: float) -> str:
+    if math.isnan(v):
+        return "nan"
+    if v == 0:
+        return "0"
+    return f"{v:.9g}"
+
+
+def canon(v, coerce_decimal: bool) -> str:
     if v is None:
         return "\\N"
+    if isinstance(v, decimal.Decimal):
+        return _canon_float(float(v)) if coerce_decimal else str(v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        if v == 0:
-            return "0"
-        return f"{v:.9g}"
+        return _canon_float(v)
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, bytes):
@@ -39,9 +56,11 @@ def canon(v):
     return str(v)
 
 
-def frame_hash(cols: list[str], rows: list[tuple]) -> str:
+def frame_hash(cols: list[str], rows: list[tuple], coerce_decimal: bool) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+    lines = sorted(
+        "\x01".join(canon(r[i], coerce_decimal) for i in order) for r in rows
+    )
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -107,9 +126,15 @@ def main() -> None:
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
         if not problems:
-            hs, hd = frame_hash(s_cols, s_rows), frame_hash(d_cols, d_rows)
-            if hs != hd:
-                problems.append(f"hash {hs} vs {hd}")
+            hs = frame_hash(s_cols, s_rows, coerce_decimal=False)
+            hd = frame_hash(d_cols, d_rows, coerce_decimal=False)
+            hs_c = frame_hash(s_cols, s_rows, coerce_decimal=True)
+            hd_c = frame_hash(d_cols, d_rows, coerce_decimal=True)
+            if len({hs, hd, hs_c, hd_c}) != 1:
+                problems.append(
+                    f"hash strict {hs} vs {hd}, coerced {hs_c} vs {hd_c} "
+                    "(all four must agree)"
+                )
         if problems:
             print(f"FAIL  {key:24s} {'; '.join(problems)}")
             failures.append(key)
