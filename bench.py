@@ -197,7 +197,14 @@ def scaling(repeats: int = 3) -> None:
             proc = subprocess.run(
                 [sys.executable, __file__], env=env, capture_output=True, text=True
             )
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if proc.returncode != 0 or not lines:
+                print(proc.stderr, file=sys.stderr)
+                raise RuntimeError(
+                    f"child bench run (cpus={cpus}) failed with "
+                    f"rc={proc.returncode}; stderr above"
+                )
+            line = lines[-1]
             runs[cpus].append(json.loads(line))
             print(f"# cpus={cpus}: {line}", file=sys.stderr)
 

@@ -172,12 +172,28 @@ class ShardedBloom:
 class CuckooFilter:
     """Minimal cuckoo filter (Fan et al., CoNEXT'14 public algorithm):
     4-slot buckets, 16-bit fingerprints, supports delete — the fallback the
-    north rule names for re-crawlable URL-seen entries."""
+    north rule names for re-crawlable URL-seen entries.
 
-    def __init__(self, n_buckets: int = 1 << 16, max_kicks: int = 500) -> None:
+    Seen-filter contract: ``contains == False`` ⇒ DEFINITELY unseen. A
+    plain cuckoo filter breaks this when full (a failed insert evicts a
+    resident fingerprint that is then lost). Two guards keep the contract:
+
+    * homeless fingerprints land in a bounded **stash** (checked by
+      ``contains``/``delete``), so no insert silently loses a resident;
+    * if the stash itself fills, the filter flips to **saturated** and
+      reports every probe as maybe-seen — degraded precision, never a
+      false negative; the crawler's exact anti-join then decides.
+    """
+
+    def __init__(
+        self, n_buckets: int = 1 << 16, max_kicks: int = 500, stash_max: int = 512
+    ) -> None:
         self.n = n_buckets
         self.max_kicks = max_kicks
         self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
+        self.stash: set = set()  # (bucket, fp) pairs with no table slot
+        self.stash_max = stash_max
+        self.saturated = False
 
     def _fp(self, item: str) -> int:
         return (zlib.crc32(item.encode("utf-8")) & 0xFFFF) or 1
@@ -214,13 +230,27 @@ class CuckooFilter:
             i = self._i2(i, fp)
             if self._insert_at(i, fp):
                 return True
-        return False  # table full
+        # table full: the held fp is a displaced RESIDENT (i is one of its
+        # two homes — _i2 is an involution). Stash it so it is never lost;
+        # past the stash bound, degrade to always-maybe-seen.
+        if len(self.stash) < self.stash_max:
+            self.stash.add((i, fp))
+            return True
+        self.saturated = True
+        return False
 
     def contains(self, item: str) -> bool:
+        if self.saturated:
+            return True  # degraded: exact anti-join downstream decides
         fp = self._fp(item)
         i1 = self._i1(item)
         i2 = self._i2(i1, fp)
-        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+        return bool(
+            (self.table[i1] == fp).any()
+            or (self.table[i2] == fp).any()
+            or (i1, fp) in self.stash
+            or (i2, fp) in self.stash
+        )
 
     def probe(self, df, url_col: str, flag_col: str = "maybe_seen"):
         """Same vectorized probe surface as ShardedBloom.probe, so the
@@ -251,5 +281,8 @@ class CuckooFilter:
             hits = np.where(row == fp)[0]
             if len(hits):
                 row[hits[0]] = 0
+                return True
+            if (i, fp) in self.stash:
+                self.stash.discard((i, fp))
                 return True
         return False

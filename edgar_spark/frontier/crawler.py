@@ -370,24 +370,24 @@ class Crawler:
             if self._bloom is not None:
                 probed = self._bloom.probe(candidates, "url").persist()
                 thr = cfg.driver_bloom_threshold
-                head = (
-                    probed.select("url", "maybe_seen").limit(thr + 1).collect()
-                )
-                if len(head) <= thr:
-                    n_candidates = len(head)
-                    n_bloom_passed = sum(1 for r in head if not r["maybe_seen"])
-                    for r in head:
+                # the agg scans EVERY partition, fully materializing the
+                # persisted probe BEFORE the driver mutates the filter below
+                # — so the maybe_seen flags later reused by the snapshot
+                # write come from the cache, not a recompute against the
+                # updated filter (metrics and new_rows stay consistent)
+                stats = probed.agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(
+                        F.sum(F.when(~F.col("maybe_seen"), 1).otherwise(0)),
+                        F.lit(0),
+                    ).alias("new"),
+                ).collect()[0]
+                n_candidates, n_bloom_passed = stats["n"], int(stats["new"])
+                if n_candidates <= thr:
+                    for r in probed.select("url").collect():  # cached
                         self._bloom.add(r["url"])
                     self._bloom_dirty = False
-                else:  # huge wave: count-only pass + distributed build later
-                    stats = probed.agg(
-                        F.count("*").alias("n"),
-                        F.coalesce(
-                            F.sum(F.when(~F.col("maybe_seen"), 1).otherwise(0)),
-                            F.lit(0),
-                        ).alias("new"),
-                    ).collect()[0]
-                    n_candidates, n_bloom_passed = stats["n"], int(stats["new"])
+                else:  # huge wave: distributed build later
                     self._bloom_dirty = True
                 if n_candidates == 0:
                     new_rows = probed.drop("maybe_seen")  # empty
@@ -609,10 +609,11 @@ class Crawler:
     def mark_for_recrawl(self, urls: List[str]) -> None:
         """Flip already-fetched frontier rows back to ``pending`` and purge
         their facts, so a subsequent :meth:`resume` re-fetches and
-        re-extracts them — the delete capability the cuckoo seen-filter
-        exists for (a bloom cannot forget; with ``seen_filter='bloom'`` the
-        rows still re-fetch, but an identical URL re-DISCOVERED later would
-        be bloom-suppressed until the exact anti-join).
+        re-extracts them. The URLs deliberately STAY in the seen-filter:
+        their rows remain in the frontier, and removing them would let a
+        re-DISCOVERY of the same URL skip the exact anti-join and insert a
+        duplicate frontier row. Filter deletion belongs with row removal —
+        see :meth:`evict` (the capability the cuckoo mode exists for).
 
         Committed as a new snapshot: recrawl is itself a resume point.
         """
@@ -655,6 +656,38 @@ class Crawler:
             meta={
                 "wave": self.catalog.snapshot_meta().get("wave", -1),
                 "recrawl": len(urls),
+            },
+        )
+    def evict(self, urls: List[str]) -> None:
+        """Remove URLs from the frontier entirely (row + facts + seen-filter
+        membership, atomically with the snapshot) so they can be
+        re-DISCOVERED as brand-new candidates later. This is the path that
+        needs a deletable seen-filter: in cuckoo mode the filter forgets the
+        URL; in bloom mode the filter cannot forget, so a re-discovered URL
+        stays maybe_seen and costs one exact anti-join pass (correct either
+        way — the anti-join no longer finds a frontier row)."""
+        spark = self.spark
+        frontier = self.catalog.read(spark, "frontier")
+        facts = self.catalog.read(spark, "facts")
+        import pandas as pd
+
+        url_df = spark.createDataFrame(pd.DataFrame({"url": list(urls)}))
+        frontier_next = frontier.join(F.broadcast(url_df), "url", "left_anti")
+        keys = frontier.filter(F.col("url").isin(list(urls))).select(
+            "accession", "doc_type"
+        ).dropDuplicates()
+        facts_next = facts.join(
+            F.broadcast(keys), ["accession", "doc_type"], "left_anti"
+        )
+        nsp = self.cfg.snapshot_partitions
+        self.catalog.commit_snapshot(
+            {
+                "frontier": frontier_next.repartition(nsp),
+                "facts": facts_next.repartition(nsp),
+            },
+            meta={
+                "wave": self.catalog.snapshot_meta().get("wave", -1),
+                "evicted": len(urls),
             },
         )
         if self._bloom is not None and hasattr(self._bloom, "delete"):

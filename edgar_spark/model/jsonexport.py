@@ -79,7 +79,15 @@ class _GoFloat(float):
             return "null"  # Go errors here; we degrade to null
         v = float(self)
         if v == int(v) and abs(v) < 1e21:
-            return str(int(v))
+            if v == 0:
+                return "-0" if math.copysign(1.0, v) < 0 else "0"
+            # Go prints the SHORTEST round-trip decimal expanded to 'f'
+            # form; str(int(v)) would print the exact binary expansion,
+            # which diverges above 2^53 (…683968 vs Go's …680000)
+            from decimal import Decimal
+
+            s = format(Decimal(repr(v)), "f")
+            return s[: s.index(".")] if "." in s else s
         r = repr(v)
         in_f_range = v != 0 and 1e-6 <= abs(v) < 1e21
         if "e" in r and in_f_range:

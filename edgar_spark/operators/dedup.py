@@ -31,6 +31,12 @@ from pyspark.sql.types import ArrayType, LongType
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
 _M2 = np.uint64(0x94D049BB133111EB)
 
+#: MinHash works in the field mod 2^31-1 (Mersenne prime): products of two
+#: 31-bit values fit both numpy uint64 and a SQL BIGINT, so the exact same
+#: universal-hash family is computable in DuckDB — every signature is
+#: oracle-able, not approximate-by-faith.
+MINHASH_P = 2147483647
+
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     x = x.astype(np.uint64, copy=True)
@@ -43,24 +49,44 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashes of the k-word shingles of ``text`` (whitespace tokens)."""
+def md5_lower64(s: str) -> int:
+    """DuckDB ``md5_number_lower`` equivalent: bytes 8..16 of the md5 digest,
+    little-endian. Using md5 (not crc32/xxhash) keeps every hash in this
+    module reproducible inside the SQL oracle."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+
+
+def minhash_coeffs(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) universal-hash coefficients mod MINHASH_P,
+    derived from splitmix64 so Python operators and generated oracle SQL
+    literals agree exactly."""
+    p = np.uint64(MINHASH_P)
+    idx = np.arange(n_hashes, dtype=np.uint64)
+    a = _splitmix64(idx * np.uint64(2) + np.uint64(1)) % (p - np.uint64(1)) + np.uint64(1)
+    b = _splitmix64(idx * np.uint64(2) + np.uint64(2)) % p
+    return a, b
+
+
+def _shingles(text: str, k: int) -> list[str]:
     toks = text.split()
     if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """md5-lower-64 mod MINHASH_P per k-word shingle (whitespace tokens)."""
+    shingles = _shingles(text, k)
     if not shingles:
         return np.zeros(0, dtype=np.uint64)
-    import zlib
-
-    base = np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) for s in shingles),
+    p = MINHASH_P
+    return np.fromiter(
+        (md5_lower64(s) % p for s in shingles),
         dtype=np.uint64,
         count=len(shingles),
     )
-    # crc32 is 32-bit; widen deterministically
-    return _splitmix64(base | (base << np.uint64(32)))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -80,12 +106,19 @@ def ngram_jaccard(
     df_a: DataFrame,
     df_b: DataFrame,
     n: int = 3,
+    pairs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard between paired rows (join on equal id after
-    caller's pairing). Pure column exprs: tokenized shingles via
-    transform/slice, set ops via array_distinct/array_intersect."""
+    """Exact word-n-gram Jaccard over candidate pairs. Pure column exprs:
+    tokenized shingles via transform/slice, set ops via
+    array_distinct/array_intersect.
+
+    ``pairs`` supplies the candidate (id_a, id_b) pairs to score — at scale
+    this is an LSH candidate set (``minhash_lsh_candidates``) so the O(n²)
+    pair space never materializes; the shingle arrays shuffle once per side
+    of the pair join. When ``pairs`` is None, falls back to consecutive-id
+    pairing (id_a + 1 == id_b), the deterministic SQL-oracle-able mode."""
 
     def shingles(c):
         toks = F.split(F.trim(c), r"\s+")
@@ -98,7 +131,10 @@ def ngram_jaccard(
 
     a = df_a.select(F.col(id_col).alias("id_a"), shingles(F.col(text_col)).alias("sh_a"))
     b = df_b.select(F.col(id_col).alias("id_b"), shingles(F.col(text_col)).alias("sh_b"))
-    joined = a.join(b, a.id_a + 1 == b.id_b)  # consecutive-id pairing
+    if pairs is None:
+        joined = a.join(b, a.id_a + 1 == b.id_b)  # consecutive-id pairing
+    else:
+        joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return joined.select(
@@ -115,24 +151,25 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, sig ARRAY<LONG>[n_hashes]) via vectorized minhash: shingle
-    crc32s × n_hashes splitmix-derived permutations, per Arrow batch."""
-    seeds = _splitmix64(np.arange(1, n_hashes + 1, dtype=np.uint64))
+    """(doc_id, sig ARRAY<LONG>[n_hashes]) via vectorized minhash: md5-based
+    shingle hashes × n_hashes universal-hash permutations (a·h+b mod
+    2^31-1), one numpy broadcast per doc — fully reproducible in SQL."""
+    a, b = minhash_coeffs(n_hashes)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, sigs = [], []
+            p = np.uint64(MINHASH_P)
             for t in pdf.itertuples(index=False):
                 h = _shingle_hashes(getattr(t, text_col) or "", shingle_k)
                 if len(h) == 0:
                     sig = np.zeros(n_hashes, dtype=np.uint64)
                 else:
-                    with np.errstate(over="ignore"):
-                        m = h[:, None] ^ seeds[None, :]
-                        m = _splitmix64(m.ravel()).reshape(m.shape)
+                    # a,h < 2^31 so a*h + b < 2^63: exact in uint64
+                    m = (h[:, None] * a[None, :] + b[None, :]) % p
                     sig = m.min(axis=0)
                 ids.append(getattr(t, id_col))
-                sigs.append((sig >> np.uint64(1)).astype(np.int64))  # keep positive
+                sigs.append(sig.astype(np.int64))  # < 2^31, sign-safe
             yield pd.DataFrame({id_col: ids, "sig": sigs})
 
     return df.select(id_col, text_col).mapInPandas(
@@ -199,12 +236,11 @@ def minhash_dedup_pairs(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, simhash LONG): 64-bit majority-vote fingerprint over token
-    hashes (vectorized bit-count per Arrow batch)."""
+    """(doc_id, simhash LONG): 64-bit majority-vote fingerprint over
+    md5-lower-64 token hashes (vectorized bit-count per Arrow batch;
+    reproducible in SQL via md5_number_lower)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
-
         for pdf in batches:
             ids, fps = [], []
             for t in pdf.itertuples(index=False):
@@ -213,12 +249,10 @@ def simhash_signatures(
                     ids.append(getattr(t, id_col))
                     fps.append(0)
                     continue
-                h = _splitmix64(
-                    np.fromiter(
-                        (zlib.crc32(w.encode("utf-8")) for w in toks),
-                        dtype=np.uint64,
-                        count=len(toks),
-                    )
+                h = np.fromiter(
+                    (md5_lower64(w) for w in toks),
+                    dtype=np.uint64,
+                    count=len(toks),
                 )
                 bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).sum(
                     axis=0
@@ -236,18 +270,98 @@ def simhash_signatures(
     )
 
 
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both orientations of an undirected edge list (u, v)."""
+    return edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node u links its strictly-larger neighbors to
+    m = min(N(u) ∪ {u}). One shuffle (groupBy u for the min) + one join."""
+    sym = _sym(edges)
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small, then every node links its
+    smaller neighbors (and itself) to the minimum."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_links = (
+        oriented.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_links = mins.select("u", F.col("m").alias("v"))
+    return nbr_links.union(self_links).distinct()
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components of the undirected graph given by ``pairs``
+    (columns id_a, id_b) via alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds even on chain graphs, vs O(diameter) for
+    naive min-label propagation, so it survives deep transitive dup chains
+    at 100 TB. Each round is two shuffles over the (shrinking) edge set;
+    convergence is an exact edge-set equality check. Output: (id, component)
+    for every node that appears in ``pairs`` — component = min id reachable.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = _small_star(edges).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(prev)).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(prev).limit(1).count() + prev.exceptAll(nxt).limit(1).count()
+        )
+        old = prev
+        prev = nxt
+        old.unpersist()
+        if changed == 0:
+            break
+    # final star edges point every non-root node at its component min; the
+    # min itself may only appear as a target — union it in as a self-map
+    comp = prev.groupBy("u").agg(F.min("v").alias("component"))
+    roots = prev.select(F.col("v").alias("u"), F.col("v").alias("component")).distinct()
+    return (
+        comp.union(roots)
+        .groupBy("u")
+        .agg(F.min("component").alias("component"))
+        .select(F.col("u").alias("id"), "component")
+    )
+
+
 def dedup_representatives(
     pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Pick the min-id representative per near-dup cluster (single-hop union:
-    every doc maps to min(itself, all smaller partners) — sufficient when
-    pairs are transitively closed by the verify threshold; a full
-    connected-components pass would iterate this join)."""
-    partner_min = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
-        F.min("id_a").alias("_rep")
-    )
+    """Min-id representative per near-dup CLUSTER: full connected components
+    over the pair graph (transitive chains A≈B≈C collapse to min(A,B,C) even
+    when A≉C directly), then every unpaired doc represents itself."""
+    comp = connected_components(pairs)
     return (
-        all_ids.join(partner_min, id_col, "left")
+        all_ids.join(
+            comp.select(F.col("id").alias(id_col), F.col("component").alias("_rep")),
+            id_col,
+            "left",
+        )
         .select(
             id_col,
             F.coalesce("_rep", F.col(id_col)).alias("representative"),

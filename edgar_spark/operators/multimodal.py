@@ -2,14 +2,16 @@
 columns with typed metadata.
 
 The Spark-side machinery (schemas, Arrow batch shapes, partition-friendly
-UDF signatures) is real and tested; the actual media decode is STUBBED —
-this container ships no image/audio libraries — behind
-``NotImplementedError`` plus a deterministic fake feature extractor so the
-pipeline shape is exercised end-to-end.
+UDF signatures) is real and tested. Decode is REAL for the two formats
+decodable with stdlib ``struct`` + numpy alone — uncompressed 24/32-bpp
+BMP and 16-bit PCM WAV — and honestly stubbed (``NotImplementedError``)
+for codecs whose libraries this container does not ship (JPEG/PNG/H.264);
+swap ``decode_image`` for PIL/torchvision on a real cluster.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -40,12 +42,81 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """RGB (H, W, 3) uint8 top-down → standard 24-bpp bottom-up BMP bytes
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BGR, 4-byte row padding)."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = pixels[y, :, ::-1].tobytes()  # RGB → BGR
+        body += row + b"\x00" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def _decode_bmp(payload: bytes) -> "np.ndarray":
+    """Uncompressed 24/32-bpp BMP → RGB (H, W, 3) uint8 top-down."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (_, _, _, _, data_off) = struct.unpack_from("<2sIHHI", payload, 0)
+    (hdr_sz, w, h, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_sz < 40 or compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP variant not supported (header={hdr_sz}, bpp={bpp}, "
+            f"compression={compression}); only uncompressed 24/32-bpp"
+        )
+    top_down = h < 0
+    h = abs(h)
+    ch = bpp // 8
+    stride = (w * ch + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, 2::-1].copy()  # BGR(A) → RGB, drop alpha
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """16-bit PCM WAV → (sample_rate, float32 samples in [-1, 1), channels
+    interleaved as (n_frames, n_channels))."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, n_ch, fmt_ok, data = 12, None, None, False, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            fmt_ok = audio_fmt == 1 and bits == 16
+            if not fmt_ok:
+                raise NotImplementedError(
+                    f"WAV variant not supported (fmt={audio_fmt}, bits={bits}); "
+                    "only 16-bit PCM"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if not fmt_ok or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    return rate, samples.reshape(-1, n_ch)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode requires an image library not present in this container.
-    The Spark plumbing around this call (batching, schema, partitioning) is
-    what the engine owns; swap this for PIL/torchvision on a real cluster."""
+    """binary → RGB (H, W, 3) uint8. BMP is decoded for real (stdlib
+    struct + numpy); other codecs need libraries this container does not
+    ship — swap for PIL/torchvision on a real cluster."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image decode stub: no image codec libraries in this environment"
+        "image decode: only BMP decodable without codec libraries in this "
+        "environment (got magic %r)" % payload[:4]
     )
 
 
@@ -63,15 +134,59 @@ def extract_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id", n: int = 8
 ) -> DataFrame:
     """binary → array<float> features via Arrow-batched mapInPandas (the
-    real-model call site; batch shape = one media blob per row)."""
+    real-model call site; batch shape = one media blob per row). Decodable
+    payloads (BMP) get real pixel features — per-channel means/stds plus
+    normalized dims; everything else falls back to the deterministic
+    byte-histogram stand-in."""
+
+    def one(p: bytes) -> list:
+        try:
+            img = decode_image(p).astype(np.float32)
+            h, w, _ = img.shape
+            feats = np.concatenate(
+                [
+                    img.mean(axis=(0, 1)) / 255.0,
+                    img.std(axis=(0, 1)) / 255.0,
+                    [np.log1p(h) / 10.0, np.log1p(w) / 10.0],
+                ]
+            ).astype(np.float32)
+            return np.resize(feats, n).tolist()
+        except (NotImplementedError, ValueError):
+            return fake_features(p, n).tolist()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_features(p, n).tolist() for p in pdf[payload_col]]
+            feats = [one(p) for p in pdf[payload_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(
         gen, schema=f"{id_col} long, features array<float>"
+    )
+
+
+def image_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Real-decode stats stage: (id, width, height, mean_all, mean_b) per
+    BMP payload — the post-prune step after ``byte_stats`` filtering. Means
+    are rounded to 6 dp for cross-engine comparability; mean_b is the blue
+    channel specifically, so a BGR/RGB channel-order bug cannot pass."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "width": [], "height": [], "mean_all": [], "mean_b": []}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_image(p)
+                out[id_col].append(mid)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["mean_all"].append(round(float(img.mean()), 6))
+                out["mean_b"].append(round(float(img[:, :, 2].mean()), 6))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen,
+        schema=f"{id_col} long, width int, height int, mean_all double, mean_b double",
     )
 
 

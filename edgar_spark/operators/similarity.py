@@ -89,6 +89,20 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     return vals.reshape(n_planes, dim)
 
 
+def hyperplanes_sql_literal(dim: int, n_planes: int) -> str:
+    """The deterministic hyperplane matrix as a SQL list-of-lists literal
+    (``repr`` floats are shortest-round-trip, so DuckDB parses back the
+    identical doubles) — lets the oracle reproduce bucket assignment."""
+    planes = _hyperplanes(dim, n_planes)
+    return (
+        "["
+        + ",".join(
+            "[" + ",".join(repr(float(v)) for v in row) + "]" for row in planes
+        )
+        + "]"
+    )
+
+
 def lsh_bucket_ids(
     df: DataFrame,
     dim: int,
@@ -119,11 +133,15 @@ def ann_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 10,
+    round_dp: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
-    exact cosine within the bucket. Output shape = brute_force_topk."""
+    exact cosine within the bucket. Ranked on the ``round_dp``-rounded
+    similarity with a neighbor-id tie-break so the output is fully
+    deterministic and cross-engine reproducible (same contract as
+    ``brute_force_topk``'s oracled wrapper)."""
     cb = lsh_bucket_ids(corpus, dim, n_planes, vec_col, id_col)
     qb = lsh_bucket_ids(queries, dim, n_planes, vec_col, id_col)
     c = corpus.select(
@@ -140,11 +158,11 @@ def ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+            F.round(cosine(F.col("_qv"), F.col("_cv")), round_dp).alias("cos_sim_r"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+        F.col("cos_sim_r").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -226,11 +244,13 @@ def embedding_near_dups(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 10,
+    round_dp: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, bucketed by LSH so only
-    same-bucket pairs are scored."""
+    same-bucket pairs are scored. Cosine is rounded to ``round_dp`` before
+    thresholding so both engines make the same boundary call."""
     b = lsh_bucket_ids(corpus, dim, n_planes, vec_col, id_col)
     v = corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v")).join(
         b, id_col
@@ -244,6 +264,10 @@ def embedding_near_dups(
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_dp).alias("cos_sim_r"),
+        )
+        .filter(F.col("cos_sim_r") >= threshold)
     )

@@ -34,10 +34,14 @@ THRESHOLD_YEAR = 2012  # data_def.go:27
 def normalize_number(s: str) -> Optional[float]:
     """``"$ (1,234.56)"`` → ``-1234.56``; None on unparseable input.
 
-    Mirrors utils.go:11-46 exactly: parens anywhere ⇒ negative; trim order is
+    Mirrors utils.go:11-46 on the DECIMAL float grammar (the only one that
+    occurs in filing data): parens anywhere ⇒ negative; trim order is
     left-spaces, left-``$``, left-spaces, right-spaces, left-``(``,
     right-``)``; split one decimal part on the first ``.``; strip thousands
-    commas from the integer part only; ParseFloat.
+    commas from the integer part only; ParseFloat. Go's strconv.ParseFloat
+    additionally accepts hexadecimal floats ("0x1p-2"), which this gate
+    deliberately rejects — the property tests scope equivalence to the
+    decimal subset.
     """
     negative = 1.0
     if "(" in s and ")" in s:

@@ -323,6 +323,40 @@ def test_mark_for_recrawl_roundtrip(spark, tmp_path):
     assert res2.facts.count() == n_facts_before
 
 
+def test_evict_forgets_url(spark, tmp_path):
+    """evict() removes frontier rows + facts and (cuckoo mode) deletes the
+    URLs from the seen-filter, so an evicted URL can be re-discovered as a
+    brand-new candidate. mark_for_recrawl, by contrast, must KEEP filter
+    membership — its rows stay in the frontier."""
+    from pyspark.sql import functions as F
+
+    from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+    from edgar_spark.synth.corpus import build_pages, build_seeds
+
+    ckpt = str(tmp_path / "ck")
+    pages = build_pages(spark, 3, 2)
+    seeds = build_seeds(spark, 3)
+    cfg = CrawlConfig(max_waves=4, seen_filter="cuckoo", checkpoint_dir=ckpt)
+    crawler = Crawler(spark, pages, seeds, config=cfg)
+    res = crawler.run()
+    n_rows_before = res.frontier.count()
+
+    victims = [
+        r["url"]
+        for r in res.frontier.filter(F.col("kind") == "report").limit(2).collect()
+    ]
+    assert all(crawler._bloom.contains(u) for u in victims)
+
+    crawler.mark_for_recrawl(victims)
+    assert all(crawler._bloom.contains(u) for u in victims)  # membership kept
+
+    crawler.evict(victims)
+    fr = crawler.catalog.read(spark, "frontier")
+    assert fr.count() == n_rows_before - len(victims)
+    assert fr.filter(F.col("url").isin(victims)).count() == 0
+    assert not any(crawler._bloom.contains(u) for u in victims)  # forgotten
+
+
 def test_golden_10k_filing_assembled(crawl):
     """The AAPL FY2015 10-K assembled from the reference's 10-K samples
     (index sample_10K.html, EN/OPS/BS/CF report samples; income page

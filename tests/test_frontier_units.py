@@ -36,6 +36,27 @@ def test_cuckoo_filter_delete():
     assert c.contains("u1")
 
 
+def test_cuckoo_filter_no_false_negative_when_full():
+    """Seen-filter contract under overload: a full table must never report
+    a previously-added URL as unseen — homeless fingerprints go to the
+    stash, and past the stash bound the filter degrades to all-maybe-seen
+    (precision loss only, never a false negative)."""
+    c = CuckooFilter(n_buckets=4, stash_max=8)  # 16 slots + 8 stash
+    urls = [f"u{i}" for i in range(200)]
+    for u in urls:
+        c.add(u)  # returns False once saturated — membership still safe
+    assert all(c.contains(u) for u in urls)
+    assert c.saturated
+
+    # stash path specifically (not yet saturated): fill slots + one spill
+    c2 = CuckooFilter(n_buckets=2, stash_max=64)
+    spill = [f"s{i}" for i in range(12)]  # 8 slots → ≥4 stashed
+    for u in spill:
+        assert c2.add(u)
+    assert not c2.saturated and len(c2.stash) > 0
+    assert all(c2.contains(u) for u in spill)
+
+
 def test_canonicalize_and_bucket(spark):
     from pyspark.sql import functions as F
 

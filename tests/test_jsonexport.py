@@ -98,6 +98,19 @@ def test_marshal_number_forms():
     assert text.startswith('{\n    "Company": "AAPL"')
 
 
+def test_gofloat_extreme_integrals():
+    """Go prints the shortest round-trip decimal; above 2^53 the exact
+    binary expansion diverges from it, and -0.0 keeps its sign."""
+    from edgar_spark.model.jsonexport import _GoFloat
+
+    assert repr(_GoFloat(1.2345678901234568e20)) == "123456789012345680000"
+    assert repr(_GoFloat(-0.0)) == "-0"
+    assert repr(_GoFloat(0.0)) == "0"
+    assert repr(_GoFloat(2.0)) == "2"
+    assert repr(_GoFloat(-5.0)) == "-5"
+    assert repr(_GoFloat(float(2**53 + 2))) == "9007199254740994"
+
+
 def test_marshal_bitmask():
     from edgar_spark.model.jsonexport import filing_json
 

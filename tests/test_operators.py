@@ -55,6 +55,103 @@ def test_dedup_representatives(docs, spark):
     assert reps[1] == 1 and reps[4] == 4
 
 
+def test_bmp_roundtrip_and_decode():
+    """Handcrafted golden BMP: exact pixel recovery incl. bottom-up rows,
+    BGR order, and the 4-byte row padding (width 3 → 9-byte rows pad to 12)."""
+    import numpy as np
+
+    from edgar_spark.operators.multimodal import decode_image, encode_bmp
+
+    px = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)  # distinct bytes
+    payload = encode_bmp(px)
+    assert payload[:2] == b"BM"
+    out = decode_image(payload)
+    assert out.shape == (2, 3, 3)
+    assert (out == px).all()
+    # hand-check one byte: bottom file row holds the TOP image row; pixel
+    # (y=1, x=0) is file row 0, bytes BGR → payload[54] == px[1,0,2] (blue)
+    assert payload[54] == px[1, 0, 2]
+
+
+def test_wav_decode():
+    import struct
+
+    import numpy as np
+
+    from edgar_spark.operators.multimodal import decode_wav
+
+    samples = np.array([0, 16384, -16384, 32767], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, out = decode_wav(payload)
+    assert rate == 8000 and out.shape == (4, 1)
+    assert abs(out[1, 0] - 0.5) < 1e-6 and abs(out[2, 0] + 0.5) < 1e-6
+
+
+def test_extract_features_real_decode(spark):
+    """BMP payloads take the real pixel-feature path (no stub fallback):
+    a solid-red image must yield a red-channel mean of exactly 1.0."""
+    import numpy as np
+
+    from edgar_spark.operators.multimodal import encode_bmp, extract_features
+
+    red = np.zeros((4, 4, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    rows = [(1, bytearray(encode_bmp(red))), (2, bytearray(b"\x89PNG-not-decodable"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = {r["media_id"]: r["features"] for r in extract_features(df).collect()}
+    assert abs(feats[1][0] - 1.0) < 1e-6  # mean R / 255 == 1.0
+    assert abs(feats[1][1]) < 1e-6  # mean G == 0
+    assert len(feats[2]) == 8  # stub fallback still deterministic
+
+
+def test_ngram_jaccard_explicit_pairs(docs, spark):
+    """Candidate pairs from any source (LSH buckets, explicit list) — not
+    just the consecutive-id special case."""
+    from edgar_spark.operators.dedup import ngram_jaccard
+
+    pairs = spark.createDataFrame([(1, 2), (1, 4), (1, 6)], ["id_a", "id_b"])
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard(docs, docs, n=3, pairs=pairs).collect()
+    }
+    assert set(out) == {(1, 2), (1, 4), (1, 6)}
+    assert out[(1, 2)] == 1.0  # identical docs
+    assert out[(1, 4)] == 0.0  # disjoint vocab
+
+
+def test_connected_components_chain(spark):
+    """Transitive chains (A≈B≈C but A≉C) must collapse to one component —
+    the exact case single-hop representative picking gets wrong."""
+    from edgar_spark.operators.dedup import connected_components, dedup_representatives
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["id_a", "id_b"],
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+    all_ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 7, 10, 11, 20, 21, 22, 23]], ["doc_id"]
+    )
+    reps = {
+        r["doc_id"]: r["representative"]
+        for r in dedup_representatives(pairs, all_ids).collect()
+    }
+    assert reps[5] == 1  # 4 hops away from the representative
+    assert reps[7] == 7  # unpaired doc represents itself
+    assert reps[23] == 20
+
+
 def test_simhash_similarity(docs):
     from edgar_spark.operators.dedup import simhash_signatures
 
@@ -79,7 +176,7 @@ def test_brute_force_vs_ann(spark):
     assert all(-1.0 <= row["cos_sim"] <= 1.0 + 1e-9 for row in r)
     approx = ann_topk(emb, q, dim=len(emb.first()["embedding"]), k=3, n_planes=4)
     # approximate results are a subset of valid neighbors with correct shape
-    assert set(approx.columns) == {"query_id", "neighbor_id", "cos_sim", "rank"}
+    assert set(approx.columns) == {"query_id", "neighbor_id", "cos_sim_r", "rank"}
     assert approx.filter("query_id = neighbor_id").count() == 0
 
 
