@@ -137,7 +137,37 @@ OPERATOR_KEYS = [
     "price_quantiles",
     "asof_join_last_click",
     "cosine_near_dups",
+    "dedup_components",
+    "simhash",
+    "mm_image_stats",
 ]
+
+
+def load_reference_timings() -> tuple:
+    """Newest driver-recorded BENCH_r*.json → (path, per-query seconds);
+    the regression gate compares this round's timings against it."""
+    import glob
+
+    cands = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
+    if not cands:
+        return None, {}
+    try:
+        with open(cands[-1]) as fh:
+            return cands[-1], json.load(fh).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return None, {}
+
+
+def regression_check(timings: dict, ref: dict, factor: float = 2.0, floor: float = 0.5):
+    """Queries slower than ``factor``× the reference round AND above an
+    absolute ``floor`` (sub-half-second timings are VM noise on this host —
+    ±40% single-run drift)."""
+    out = {}
+    for name, new in timings.items():
+        old = ref.get(name)
+        if old is not None and new > floor and new > factor * old:
+            out[name] = {"ref_sec": old, "now_sec": new, "ratio": round(new / old, 2)}
+    return out
 
 
 def main() -> None:
@@ -163,6 +193,8 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_start, 3)
+    ref_path, ref = load_reference_timings()
+    regressions = regression_check(timings, ref)
     out = {
         "metric": "total_bench_sec",
         "value": total,
@@ -173,7 +205,18 @@ def main() -> None:
         "pages_per_sec": crawl["pages_per_sec"],
         "parse_pages_per_sec": crawl["parse_pages_per_sec"],
         "crawl": crawl,
+        "regressions_vs": ref_path,
+        "regressions": regressions,
     }
+    if regressions:
+        print(
+            f"REGRESSION WARNING vs {ref_path}: "
+            + ", ".join(
+                f"{k} {v['ref_sec']}s→{v['now_sec']}s ({v['ratio']}×)"
+                for k, v in regressions.items()
+            ),
+            file=sys.stderr,
+        )
     print(json.dumps(out))
     spark.stop()
 
@@ -279,6 +322,28 @@ def _write_scaling_md(summary: dict, runs: dict) -> None:
             f"- local[{c}]: {[r['crawl']['crawl_sec'] for r in runs[c]]} / "
             f"{[r['parse_pages_per_sec'] for r in runs[c]]}"
         )
+    ref_path, ref = load_reference_timings()
+    import statistics as st
+
+    lines += [
+        "",
+        "## Per-query medians (local[32]) vs previous driver round",
+        "",
+        f"Reference: `{ref_path or '(no BENCH_r*.json yet)'}`. Flagged when",
+        "> 2× the reference and > 0.5 s absolute (±40% single-run VM drift).",
+        "",
+        "| query | median (s) | ref (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    q32 = runs[SCALING_LEVELS[-1]]
+    names = sorted({n for r in q32 for n in r["queries"]})
+    for name in names:
+        vals = [r["queries"][name] for r in q32 if name in r["queries"]]
+        m = round(st.median(vals), 3)
+        o = ref.get(name)
+        ratio = f"{round(m / o, 2)}" if o else "—"
+        flag = " ⚠" if o and m > 2 * o and m > 0.5 else ""
+        lines.append(f"| {name} | {m} | {o if o is not None else '—'} | {ratio}{flag} |")
     lines += [
         "",
         "Pinned confs: AQE on (+`canChangeCachedPlanOutputPartitioning`),",

@@ -215,8 +215,12 @@ class CuckooFilter:
         return False
 
     def add(self, item: str) -> bool:
-        fp = self._fp(item)
-        i1 = self._i1(item)
+        return self.add_pair(self._i1(item), self._fp(item))
+
+    def add_pair(self, i1: int, fp: int) -> bool:
+        """Insert a precomputed (primary bucket, fingerprint) pair — the
+        distributed-build entry point: executors hash, the driver (which
+        owns the mutable table) only inserts small ints."""
         i2 = self._i2(i1, fp)
         if self._insert_at(i1, fp) or self._insert_at(i2, fp):
             return True
@@ -238,6 +242,34 @@ class CuckooFilter:
             return True
         self.saturated = True
         return False
+
+    def add_positions(self, df, url_col: str = "url") -> None:
+        """Distributed build: executors compute (bucket, fingerprint) pairs
+        per partition (mapInPandas, same hashes as ``add``); only the small
+        int pairs cross to the driver — never URL strings — and the
+        kick-loop insertion stays driver-side where the table lives. The
+        cuckoo twin of ShardedBloom.build's 'positions' strategy."""
+        n = self.n
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                i1s, fps = [], []
+                for u in pdf[url_col]:
+                    if u is not None:
+                        fp = (zlib.crc32(u.encode("utf-8")) & 0xFFFF) or 1
+                        h, _ = _hash_pair(u)
+                        i1s.append(h % n)
+                        fps.append(fp)
+                yield pd.DataFrame(
+                    {
+                        "i1": np.array(i1s, dtype=np.int64),
+                        "fp": np.array(fps, dtype=np.int64),
+                    }
+                )
+
+        pairs = df.select(url_col).mapInPandas(gen, schema="i1 long, fp long")
+        for row in pairs.collect():
+            self.add_pair(int(row["i1"]), int(row["fp"]))
 
     def contains(self, item: str) -> bool:
         if self.saturated:

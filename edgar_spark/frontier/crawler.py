@@ -92,6 +92,12 @@ class CrawlConfig:
     # waves adding fewer URLs than this hash them driver-side (one scan job,
     # no Python stage); larger waves use the distributed position build
     driver_bloom_threshold: int = 100_000
+    # due waves up to this size broadcast against the pages corpus (corpus
+    # never shuffles); beyond it — e.g. tokens_per_bucket × buckets at full
+    # 10^10 pressure is 3.2M rows, past safe broadcast size — the fetch
+    # flips to a shuffle join on url (with Iceberg write-distribution on
+    # the pages table that shuffle is one-sided/bucketed)
+    broadcast_wave_threshold: int = 1_000_000
 
 
 @dataclass
@@ -241,21 +247,39 @@ class Crawler:
         ranked = allowed.withColumn("_rn", F.row_number().over(w))
         due = ranked.filter(F.col("_rn") <= cfg.tokens_per_bucket).drop("_rn")
 
-        # "fetch": broadcast the due wave (bounded by the politeness budget)
-        # against the big pages corpus — the corpus is never shuffled, the
-        # stream side scales with cores. Misses are computed against the
-        # (small, persisted) fetched set, not the corpus, so the anti-join
-        # broadcasts too. At 10^10 scale with due waves beyond broadcast
-        # size, flip to a bucketed sort-merge join on url (Iceberg
-        # write-distribution on the pages table makes it shuffle-free).
-        fetched = (
-            F.broadcast(due)
-            .join(self.pages.select("url", "text"), "url", "inner")
-            .persist()
+        # "fetch": join the due wave (bounded by the politeness budget)
+        # against the big pages corpus. Strategy picked from the observed
+        # pending count (free from the previous wave's metrics):
+        # * small wave → broadcast the due side; the corpus never shuffles,
+        #   the stream side scales with cores; the miss anti-join
+        #   broadcasts the (small, persisted) fetched url set.
+        # * wave beyond broadcast_wave_threshold (or unknown-but-requested
+        #   shuffle) → plain shuffle join on url; with Iceberg
+        #   write-distribution on the pages table this is the bucketed
+        #   sort-merge plan, and the miss anti-join reuses the same url
+        #   partitioning instead of broadcasting millions of rows.
+        known_counts = [v for v in kind_counts.values() if v is not None]
+        est_wave = sum(known_counts) if known_counts else None
+        fetch_join = (
+            "broadcast"
+            if est_wave is None or est_wave <= cfg.broadcast_wave_threshold
+            else "shuffle"
         )
-        missing = due.join(
-            F.broadcast(fetched.select("url")), "url", "left_anti"
-        )
+        if fetch_join == "broadcast":
+            fetched = (
+                F.broadcast(due)
+                .join(self.pages.select("url", "text"), "url", "inner")
+                .persist()
+            )
+            missing = due.join(
+                F.broadcast(fetched.select("url")), "url", "left_anti"
+            )
+        else:
+            fetched = (
+                due.join(self.pages.select("url", "text"), "url", "inner")
+                .persist()
+            )
+            missing = due.join(fetched.select("url"), "url", "left_anti")
 
         # parse per kind (Sparser-style cheap prefilters before Python),
         # gated on the kinds actually pending this wave. Each parse input is
@@ -520,6 +544,7 @@ class Crawler:
             "deduped": n_candidates - n_new,
             "bloom_candidates": n_candidates,
             "bloom_passed": n_bloom_passed,
+            "fetch_join": fetch_join,
             "facts": int(am["facts"]),
             "pending_next": int(fm["pending_next"]),
             "pending_kinds": sorted(pending_kinds_next),
@@ -550,9 +575,7 @@ class Crawler:
                     )
                 )
             else:
-                self._bloom.add_all(
-                    r["url"] for r in new_urls.toLocalIterator()
-                )
+                self._bloom.add_positions(new_urls, "url")
             self._bloom_dirty = False
         if probed is not None:
             probed.unpersist()
@@ -601,9 +624,8 @@ class Crawler:
                 )
             )
         elif self._bloom is not None:
-            self._bloom.add_all(
-                r["url"] for r in frontier.select("url").toLocalIterator()
-            )
+            # distributed hashing, driver-side insertion of int pairs only
+            self._bloom.add_positions(frontier.select("url"), "url")
         return self._loop(frontier, facts, start_wave=last_wave + 1, metrics=[])
 
     def mark_for_recrawl(self, urls: List[str]) -> None:

@@ -421,7 +421,7 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from edgar_spark.operators.similarity import blocked_cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return blocked_cosine_pairs(emb, threshold=0.35, n_blocks=16)
+    return blocked_cosine_pairs(emb, threshold=0.35)  # adaptive blocking
 
 
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,7 +446,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from edgar_spark.operators.similarity import blocked_cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = blocked_cosine_pairs(emb, threshold=0.35, n_blocks=16)
+    pairs = blocked_cosine_pairs(emb, threshold=0.35)
     return dedup_representatives(
         pairs.select("id_a", "id_b"), emb.select("vec_id"), id_col="vec_id"
     )

@@ -170,8 +170,9 @@ def ann_topk(
 def blocked_cosine_pairs(
     corpus: DataFrame,
     threshold: float,
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
     round_dp: int = 6,
+    target_block_rows: int = 1024,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -189,7 +190,20 @@ def blocked_cosine_pairs(
 
     Output: (id_a, id_b, cos_sim_r) with id_a < id_b, cosine rounded to
     ``round_dp`` before thresholding (same boundary call as the oracle).
+
+    ``n_blocks=None`` (default) sizes the blocking ADAPTIVELY from the
+    corpus count: at most ~``target_block_rows`` vectors per block (1024 ×
+    64-dim doubles ≈ 512 KB per packed row), so the per-task memory bound
+    holds at ANY corpus size — a fixed block count would let block size
+    grow with n until a task OOMs. A parallelism floor (≥16 blocks → ≥136
+    block-pair tasks once the corpus has ≥1k rows) keeps small corpora from
+    collapsing to one task. The sizing count() is one cheap id-column scan.
     """
+    if n_blocks is None:
+        n = corpus.select(id_col).count()
+        by_memory = -(-n // target_block_rows)  # ceil: caps rows per block
+        by_parallelism = min(16, -(-n // 64))  # floor: enough tasks
+        n_blocks = max(1, by_memory, by_parallelism)
     packed = (
         corpus.select(
             F.col(id_col).alias("_id"),

@@ -323,6 +323,32 @@ def test_mark_for_recrawl_roundtrip(spark, tmp_path):
     assert res2.facts.count() == n_facts_before
 
 
+def test_fetch_join_strategy_switch(spark):
+    """Waves beyond broadcast_wave_threshold automatically flip the fetch
+    from broadcasting the due side to a shuffle join on url (the 10^10-wave
+    plan); the crawl result must be identical under either strategy."""
+    from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+    from edgar_spark.synth.corpus import build_pages, build_seeds
+
+    pages = build_pages(spark, 3, 2)
+    seeds = build_seeds(spark, 3)
+
+    def crawl_with(threshold):
+        cfg = CrawlConfig(max_waves=4, broadcast_wave_threshold=threshold)
+        res = Crawler(spark, pages, seeds, config=cfg).run()
+        key = sorted(
+            (r["ticker"], r["filing_type"], str(r["filing_date"]), r["revenue"])
+            for r in res.filings.collect()
+        )
+        return key, [m["fetch_join"] for m in res.metrics]
+
+    key_b, joins_b = crawl_with(10**9)
+    key_s, joins_s = crawl_with(0)  # every observed wave count exceeds 0
+    assert set(joins_b) == {"broadcast"}
+    assert set(joins_s) == {"shuffle"}
+    assert key_b == key_s and len(key_b) > 0
+
+
 def test_evict_forgets_url(spark, tmp_path):
     """evict() removes frontier rows + facts and (cuckoo mode) deletes the
     URLs from the seen-filter, so an evicted URL can be re-discovered as a
