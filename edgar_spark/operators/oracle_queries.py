@@ -253,6 +253,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, emb.filter(F.col("vec_id") < 10), dim=dim, k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k (coarse-quantizer inverted lists, n_probe
+    nearest lists scanned exactly). Deterministic quantizer (lowest-id
+    centroids) → the oracle reproduces assignment, probing, and in-list
+    scoring exactly."""
+    from edgar_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=2
+    )
+
+
 def q_mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column stats: documents text re-encoded as an opaque
     payload, length + content hash computed JVM-side."""
@@ -584,6 +597,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
     "mm_byte_stats": q_mm_byte_stats,
     "mm_image_stats": q_mm_image_stats,
     "events_window_agg": q_events_window_agg,
@@ -1141,6 +1155,47 @@ def _embedding_near_dups_oracle_sql(
     """
 
 
+def _ivf_topk_oracle_sql(n_centroids: int = 16, n_probe: int = 2, k: int = 5) -> str:
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+        ), assign AS (
+            SELECT vec_id, centroid_id, r FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                               c.centroid_id
+                       ) AS r
+                FROM embeddings e CROSS JOIN cent c
+            )
+        ), clists AS (
+            SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                   a.centroid_id
+            FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id AND a.r = 1
+        ), qprobe AS (
+            SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+                   a.centroid_id
+            FROM embeddings e JOIN assign a
+              ON a.vec_id = e.vec_id AND a.r <= {n_probe}
+            WHERE e.vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round(list_cosine_similarity(c.v, q.qv), 6) AS cos_sim_r
+            FROM clists c JOIN qprobe q ON c.centroid_id = q.centroid_id
+            WHERE c.neighbor_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim_r, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim_r DESC, neighbor_id
+            ) AS rank FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+_ORACLES["ivf_topk"] = _ivf_topk_oracle_sql()
 _ORACLES["minhash_near_dups"] = _minhash_oracle_sql()
 _ORACLES["simhash"] = _simhash_oracle_sql()
 _ORACLES["ann_topk"] = _ann_topk_oracle_sql()

@@ -167,6 +167,107 @@ def ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    centroid_ids: np.ndarray,
+    n_probe: int = 1,
+    round_dp: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid_id, probe_rank): each vector's ``n_probe`` nearest
+    coarse centroids by cosine, vectorized (one matmul per Arrow batch).
+    Ties break on centroid id via rounded similarity, so the assignment is
+    reproducible in SQL."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cids = np.asarray(centroid_ids, dtype=np.int64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    npb = int(n_probe)
+    dp = int(round_dp)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (mat @ cmat.T) / np.outer(np.linalg.norm(mat, axis=1), cnorm)
+            sims = np.round(sims, dp)
+            # sort by (-sim, centroid_id): centroid rows are already
+            # id-ordered, and argsort is stable → lowest id wins ties
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            ids = np.repeat(pdf[id_col].to_numpy(), npb)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "centroid_id": cids[order].ravel(),
+                    "probe_rank": np.tile(np.arange(1, npb + 1), len(pdf)),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, centroid_id long, probe_rank int"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    round_dp: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: a coarse quantizer partitions the corpus
+    into inverted lists; queries scan only their ``n_probe`` nearest lists
+    with exact (rounded) cosine. The 100 TB shape: the corpus shuffles once
+    on centroid_id, queries broadcast, and each list is a dense scan.
+
+    The quantizer here is DETERMINISTIC and oracle-able — centroids are the
+    ``n_centroids`` lowest-id corpus vectors. A production index swaps in
+    k-means centroids; every stage downstream (assignment, inverted lists,
+    probe, in-list exact scoring) is identical machinery.
+    """
+    cent_rows = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    cmat = np.array([r["_v"] for r in cent_rows], dtype=np.float64)
+    cids = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
+
+    ca = ivf_assign(corpus, cmat, cids, n_probe=1, round_dp=round_dp,
+                    vec_col=vec_col, id_col=id_col)
+    qa = ivf_assign(queries, cmat, cids, n_probe=n_probe, round_dp=round_dp,
+                    vec_col=vec_col, id_col=id_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).join(
+        ca.select(F.col(id_col).alias("neighbor_id"), "centroid_id"), "neighbor_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).join(qa.select(F.col(id_col).alias("query_id"), "centroid_id"), "query_id")
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), round_dp).alias("cos_sim_r"),
+        )
+        # no dedup needed: each corpus vector lives in exactly one list, so
+        # a (query, neighbor) pair can match at most one probed centroid
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_r").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def blocked_cosine_pairs(
     corpus: DataFrame,
     threshold: float,

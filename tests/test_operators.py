@@ -180,6 +180,21 @@ def test_brute_force_vs_ann(spark):
     assert approx.filter("query_id = neighbor_id").count() == 0
 
 
+def test_ivf_topk(spark):
+    from edgar_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2).collect()
+    assert {r["query_id"] for r in out} <= set(range(5))
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)
+    assert all(1 <= r["rank"] <= 3 for r in out)
+    per_q: dict = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
 def test_embedding_near_dups(spark):
     from edgar_spark.operators.similarity import embedding_near_dups
 
