@@ -326,16 +326,31 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+
+    def digest(df: DataFrame):
+        """(row count, order-independent hash-sum) — one cheap agg job.
+        Unequal digests prove the edge sets differ, so the expensive exact
+        set compare only runs on the (final) round where digests match."""
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal accumulator: an int64 hash-sum overflows under ANSI
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
     prev = _small_star(edges).localCheckpoint(eager=True)
+    d_prev = digest(prev)
     for _ in range(max_iter):
         nxt = _small_star(_large_star(prev)).localCheckpoint(eager=True)
-        changed = (
-            nxt.exceptAll(prev).limit(1).count() + prev.exceptAll(nxt).limit(1).count()
-        )
+        d_nxt = digest(nxt)
+        converged = d_nxt == d_prev and nxt.exceptAll(prev).isEmpty()
         old = prev
-        prev = nxt
+        prev, d_prev = nxt, d_nxt
         old.unpersist()
-        if changed == 0:
+        if converged:
             break
     # final star edges point every non-root node at its component min; the
     # min itself may only appear as a target — union it in as a self-map

@@ -159,6 +159,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard(docs, docs, n=3)
 
 
+def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline end-to-end: MinHash+LSH candidate
+    pairs (no O(n²) pair space) verified with EXACT word-3-gram Jaccard via
+    the generalized pairs input of ngram_jaccard."""
+    from edgar_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(minhash_signatures(docs), bands=16)
+    return ngram_jaccard(docs, docs, n=3, pairs=cand)
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from edgar_spark.operators.text import token_count
 
@@ -589,6 +604,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filing_year_filter": q_filing_year_filter,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -1011,9 +1027,12 @@ _ORACLES: Dict[str, str] = {
 # is exact, not approximate. (Round-1 judge item: zero `no_oracle` rows.)
 
 
-def _minhash_oracle_sql(
-    n_hashes: int = 64, shingle_k: int = 5, bands: int = 16, threshold: float = 0.5
+def _minhash_cte(
+    n_hashes: int = 64, shingle_k: int = 5, bands: int = 16
 ) -> str:
+    """The shared WITH-clause body computing signatures, bands, and LSH
+    candidate pairs — reused by the minhash near-dup oracle and the
+    LSH-paired n-gram verify oracle."""
     from edgar_spark.operators.dedup import MINHASH_P, minhash_coeffs
 
     a, b = minhash_coeffs(n_hashes)
@@ -1068,7 +1087,13 @@ def _minhash_oracle_sql(
             SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
             FROM banded x JOIN banded y
               ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
-        )
+        )"""
+
+
+def _minhash_oracle_sql(
+    n_hashes: int = 64, shingle_k: int = 5, bands: int = 16, threshold: float = 0.5
+) -> str:
+    return f"""{_minhash_cte(n_hashes, shingle_k, bands)}
         SELECT id_a, id_b,
                CAST(len(list_filter(range({n_hashes}),
                     i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE)
@@ -1079,6 +1104,31 @@ def _minhash_oracle_sql(
         WHERE CAST(len(list_filter(range({n_hashes}),
                    i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE)
                   / {n_hashes} >= {threshold}
+    """
+
+
+def _ngram_jaccard_lsh_oracle_sql(n: int = 3) -> str:
+    """LSH candidates (shared minhash CTE) verified with exact word-n-gram
+    Jaccard — the production near-dup pipeline end-to-end in SQL."""
+    return f"""{_minhash_cte()}
+        , sh{n} AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(toks) - {n - 1}, 1) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' ')
+                   )) AS shingles
+            FROM (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM cand c
+        JOIN sh{n} a ON a.doc_id = c.id_a
+        JOIN sh{n} b ON b.doc_id = c.id_b
     """
 
 
@@ -1196,6 +1246,7 @@ def _ivf_topk_oracle_sql(n_centroids: int = 16, n_probe: int = 2, k: int = 5) ->
 
 
 _ORACLES["ivf_topk"] = _ivf_topk_oracle_sql()
+_ORACLES["ngram_jaccard_lsh"] = _ngram_jaccard_lsh_oracle_sql()
 _ORACLES["minhash_near_dups"] = _minhash_oracle_sql()
 _ORACLES["simhash"] = _simhash_oracle_sql()
 _ORACLES["ann_topk"] = _ann_topk_oracle_sql()
