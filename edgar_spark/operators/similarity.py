@@ -208,6 +208,49 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic distributed Lloyd's k-means for the IVF coarse
+    quantizer: seeds = the k lowest-id vectors, fixed ``n_iter`` rounds.
+    Each round is one assignment pass (vectorized matmul per Arrow batch)
+    plus one mean update computed DISTRIBUTED — posexplode to
+    (cluster, dim_pos, value), partial-agg'd avg, and only the k×dim means
+    cross to the driver. Empty clusters keep their previous centroid.
+    Deterministic given the corpus (no RNG), so an index built twice is
+    identical — but float mean order still varies across engines, which is
+    why the oracled ``ivf_topk`` uses the seed quantizer directly."""
+    seed_rows = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cmat = np.array([r["_v"] for r in seed_rows], dtype=np.float64)
+    cids = np.arange(len(cmat), dtype=np.int64)
+    for _ in range(n_iter):
+        assign = ivf_assign(
+            corpus, cmat, cids, n_probe=1, vec_col=vec_col, id_col=id_col
+        )
+        means = (
+            corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+            .join(assign.select(id_col, "centroid_id"), id_col)
+            .select("centroid_id", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = cmat.copy()  # clusters absent from `means` keep their centroid
+        for r in means:
+            nxt[r["centroid_id"], r["pos"]] = r["m"]
+        cmat = nxt
+    return cmat
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -195,6 +195,37 @@ def test_ivf_topk(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
 
+def test_kmeans_centroids(spark):
+    """Deterministic Lloyd's: identical across runs, right shape, and the
+    trained centroids fit the data at least as well as the raw seeds."""
+    import numpy as np
+
+    from edgar_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    c1 = kmeans_centroids(emb, k=4, n_iter=3)
+    c2 = kmeans_centroids(emb, k=4, n_iter=3)
+    assert c1.shape == (4, dim)
+    assert (c1 == c2).all()  # no RNG anywhere
+
+    def mean_best_cos(cmat):
+        a = ivf_assign(emb, cmat, np.arange(len(cmat)), n_probe=1)
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        sims = []
+        for r in a.collect():
+            v, c = vecs[r["vec_id"]], cmat[r["centroid_id"]]
+            sims.append(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+        return float(np.mean(sims))
+
+    seeds = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(4).collect()],
+        dtype=np.float64,
+    )
+    assert mean_best_cos(c1) >= mean_best_cos(seeds) - 1e-9
+
+
 def test_embedding_near_dups(spark):
     from edgar_spark.operators.similarity import embedding_near_dups
 

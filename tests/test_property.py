@@ -198,3 +198,31 @@ def test_go_float_rendering_small_values():
     assert repr(_GoFloat(9e-07)) == "9e-7"  # Go trims 'e-07' → 'e-7'
     assert repr(_GoFloat(1e21)) == "1e+21"
     assert repr(_GoFloat(1.98)) == "1.98"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=80))
+def test_md5_lower64_matches_duckdb(s):
+    """The cross-engine hash contract every minhash/simhash oracle rests
+    on: Python md5_lower64 == DuckDB md5_number_lower, any unicode input."""
+    import duckdb
+
+    from edgar_spark.operators.dedup import md5_lower64
+
+    got = duckdb.execute("SELECT md5_number_lower(?)", [s]).fetchone()[0]
+    assert md5_lower64(s) == got
+
+
+def test_minhash_coeffs_deterministic():
+    """Coefficients are pure functions of the index — the SQL literals the
+    oracle embeds can never drift from what executors compute."""
+    import numpy as np
+
+    from edgar_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    a1, b1 = minhash_coeffs(64)
+    a2, b2 = minhash_coeffs(64)
+    assert (a1 == a2).all() and (b1 == b2).all()
+    assert (a1 >= 1).all() and (a1 < MINHASH_P).all()
+    assert (b1 < MINHASH_P).all()
+    assert len(np.unique(a1)) > 60  # no degenerate collapse
