@@ -153,7 +153,10 @@ def load_reference_timings() -> tuple:
         return None, {}
     try:
         with open(cands[-1]) as fh:
-            return cands[-1], json.load(fh).get("queries", {})
+            data = json.load(fh)
+        # the driver wraps the bench JSON line under "parsed"
+        inner = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
+        return cands[-1], (inner or {}).get("queries", {}) or {}
     except (OSError, json.JSONDecodeError):
         return None, {}
 

@@ -23,9 +23,8 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
 
 # deterministic 64-bit mix (splitmix64 finalizer) — same constants everywhere
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -267,6 +266,59 @@ def simhash_signatures(
 
     return df.select(id_col, text_col).mapInPandas(
         gen, schema=f"{id_col} long, simhash long"
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: the 64-bit fingerprint splits into ``n_chunks``
+    16-bit chunks; any pair within ``max_hamming`` ≤ n_chunks-1 bit flips
+    must share at least one EXACT chunk, so candidates come from a
+    chunk-equality self-join (one shuffle on (chunk_idx, chunk_val)) and
+    the O(n²) pair space never materializes. Verification is
+    bit_count(xor) on the candidate pairs only — all JVM-side exprs.
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming > n_chunks - 1:
+        raise ValueError("pigeonhole needs max_hamming <= n_chunks - 1")
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunked = sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    left = chunked.select(F.col(id_col).alias("id_a"), "chunk_idx", "chunk_val")
+    right = chunked.select(F.col(id_col).alias("id_b"), "chunk_idx", "chunk_val")
+    cand = (
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

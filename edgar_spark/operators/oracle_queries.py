@@ -257,6 +257,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming near-dups: pigeonhole chunk-banding candidates +
+    bit_count(xor) verify — all JVM exprs after the signature kernel."""
+    from edgar_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k. Approximate vs brute force by design,
     but fully DETERMINISTIC: the hyperplanes are embedded as SQL literals,
@@ -612,6 +620,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash": q_simhash,
+    "simhash_near_dups": q_simhash_near_dups,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "mm_byte_stats": q_mm_byte_stats,
@@ -1132,7 +1141,9 @@ def _ngram_jaccard_lsh_oracle_sql(n: int = 3) -> str:
     """
 
 
-def _simhash_oracle_sql() -> str:
+def _simhash_cte() -> str:
+    """Shared WITH-clause computing (doc_id, simhash) — reused by the
+    fingerprint oracle and the Hamming near-dup oracle."""
     pow2 = "[" + ",".join(f"CAST({1 << i} AS HUGEINT)" for i in range(64)) + "]"
     return f"""
         WITH toks AS (
@@ -1144,16 +1155,45 @@ def _simhash_oracle_sql() -> str:
             SELECT doc_id, len(tk) AS n,
                    list_transform(tk, t -> md5_number_lower(t)) AS H
             FROM toks
+        ), sims AS (
+            SELECT doc_id,
+                   CASE WHEN n = 0 THEN 0
+                        ELSE CAST(list_sum(list_transform(range(64),
+                            i -> CASE WHEN len(list_filter(H,
+                                     h -> ((h >> i) & 1) = 1)) * 2 >= n
+                                 THEN {pow2}[i+1] ELSE CAST(0 AS HUGEINT) END))
+                            // 2 AS BIGINT)
+                   END AS simhash
+            FROM hs
+        )"""
+
+
+def _simhash_oracle_sql() -> str:
+    return f"""{_simhash_cte()}
+        SELECT doc_id, simhash FROM sims
+    """
+
+
+def _simhash_near_dups_oracle_sql(
+    max_hamming: int = 3, n_chunks: int = 4
+) -> str:
+    return f"""{_simhash_cte()}
+        , chunked AS (
+            SELECT doc_id, c.i AS chunk_idx,
+                   (simhash >> (c.i * 16)) & 65535 AS chunk_val
+            FROM sims CROSS JOIN (SELECT unnest(range({n_chunks})) AS i) c
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM chunked x JOIN chunked y
+              ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val
+             AND x.doc_id < y.doc_id
         )
-        SELECT doc_id,
-               CASE WHEN n = 0 THEN 0
-                    ELSE CAST(list_sum(list_transform(range(64),
-                        i -> CASE WHEN len(list_filter(H,
-                                 h -> ((h >> i) & 1) = 1)) * 2 >= n
-                             THEN {pow2}[i+1] ELSE CAST(0 AS HUGEINT) END))
-                        // 2 AS BIGINT)
-               END AS simhash
-        FROM hs
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+        FROM cand
+        JOIN sims sa ON sa.doc_id = id_a
+        JOIN sims sb ON sb.doc_id = id_b
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
     """
 
 
@@ -1249,6 +1289,7 @@ _ORACLES["ivf_topk"] = _ivf_topk_oracle_sql()
 _ORACLES["ngram_jaccard_lsh"] = _ngram_jaccard_lsh_oracle_sql()
 _ORACLES["minhash_near_dups"] = _minhash_oracle_sql()
 _ORACLES["simhash"] = _simhash_oracle_sql()
+_ORACLES["simhash_near_dups"] = _simhash_near_dups_oracle_sql()
 _ORACLES["ann_topk"] = _ann_topk_oracle_sql()
 _ORACLES["embedding_near_dups_lsh"] = _embedding_near_dups_oracle_sql()
 

@@ -165,6 +165,21 @@ def test_simhash_similarity(docs):
     assert sig[5] == 0
 
 
+def test_simhash_near_dups(docs):
+    from edgar_spark.operators.dedup import simhash_near_dups
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical docs: identical fingerprints
+    assert all(a != 4 and b != 4 for (a, b) in pairs)  # unrelated doc absent
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_near_dups(docs, max_hamming=4, n_chunks=4)  # pigeonhole bound
+
+
 def test_brute_force_vs_ann(spark):
     from edgar_spark.operators.similarity import ann_topk, brute_force_topk
 
