@@ -139,7 +139,10 @@ OPERATOR_KEYS = [
     "cosine_near_dups",
     "dedup_components",
     "simhash",
+    "simhash_near_dups",
     "mm_image_stats",
+    "ngram_jaccard_lsh",
+    "ivf_topk",
 ]
 
 
@@ -162,14 +165,32 @@ def load_reference_timings() -> tuple:
 
 
 def regression_check(timings: dict, ref: dict, factor: float = 2.0, floor: float = 0.5):
-    """Queries slower than ``factor``× the reference round AND above an
-    absolute ``floor`` (sub-half-second timings are VM noise on this host —
-    ±40% single-run drift)."""
+    """Per-query regressions vs the reference round, robust to the host's
+    whole-machine slow phases (observed: EVERY query uniformly 3-14× on a
+    bad run, crawl unaffected). The median ratio across all shared queries
+    estimates the machine phase; a query is flagged only when it is slower
+    than ``factor``× the reference AND 3× the phase estimate AND above an
+    absolute ``floor`` — so one genuinely regressed query in a normal
+    phase is caught, while a uniformly slow run flags nothing."""
+    import statistics as st
+
+    ratios = {
+        name: new / ref[name]
+        for name, new in timings.items()
+        if ref.get(name)
+    }
+    phase = st.median(ratios.values()) if ratios else 1.0
+    threshold = max(factor, 3.0 * phase)
     out = {}
-    for name, new in timings.items():
-        old = ref.get(name)
-        if old is not None and new > floor and new > factor * old:
-            out[name] = {"ref_sec": old, "now_sec": new, "ratio": round(new / old, 2)}
+    for name, ratio in ratios.items():
+        new = timings[name]
+        if new > floor and ratio > threshold:
+            out[name] = {
+                "ref_sec": ref[name],
+                "now_sec": new,
+                "ratio": round(ratio, 2),
+                "phase_median_ratio": round(phase, 2),
+            }
     return out
 
 

@@ -285,6 +285,14 @@ def simhash_near_dups(
     the O(n²) pair space never materializes. Verification is
     bit_count(xor) on the candidate pairs only — all JVM-side exprs.
     Output: (id_a, id_b, hamming) with id_a < id_b.
+
+    SCALE NOTE: a 16-bit chunk has 65,536 values, so past ~10^7 docs the
+    per-bucket population (and its quadratic in-bucket join) grows — at
+    that scale split the fingerprint into FEWER, WIDER chunks (2×32-bit
+    covers max_hamming=1, the common exact-near-dup radius) or band
+    hierarchically (chunk prefix first, full chunk within the bucket);
+    dup-heavy corpora additionally want a per-bucket size cap with the
+    overflow routed through minhash verification.
     """
     if max_hamming > n_chunks - 1:
         raise ValueError("pigeonhole needs max_hamming <= n_chunks - 1")

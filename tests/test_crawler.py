@@ -323,6 +323,41 @@ def test_mark_for_recrawl_roundtrip(spark, tmp_path):
     assert res2.facts.count() == n_facts_before
 
 
+def test_cuckoo_saturated_crawl_equivalent(spark):
+    """Correctness under seen-filter overload: a deliberately tiny cuckoo
+    filter saturates mid-crawl and degrades to all-maybe-seen; the exact
+    anti-join must then carry membership truth, producing the identical
+    crawl result as bloom mode."""
+    from edgar_spark.frontier.bloom import CuckooFilter
+    from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+    from edgar_spark.synth.corpus import build_pages, build_seeds
+
+    pages = build_pages(spark, 3, 2)
+    seeds = build_seeds(spark, 3)
+
+    def key(res):
+        return sorted(
+            (r["ticker"], r["filing_type"], str(r["filing_date"]), r["revenue"])
+            for r in res.filings.collect()
+        )
+
+    ref = Crawler(
+        spark, pages, seeds, config=CrawlConfig(max_waves=4, seen_filter="bloom")
+    ).run()
+
+    c = Crawler(
+        spark, pages, seeds, config=CrawlConfig(max_waves=4, seen_filter="cuckoo")
+    )
+    c._bloom = CuckooFilter(n_buckets=2, max_kicks=10, stash_max=2)  # 8 slots
+    res = c.run()
+    assert c._bloom.saturated  # the degrade actually engaged
+    assert key(res) == key(ref) and len(key(res)) > 0
+    # frontier membership identical too (the north rule's URL-seen check)
+    urls_ref = {r["url"] for r in ref.frontier.select("url").collect()}
+    urls_sat = {r["url"] for r in res.frontier.select("url").collect()}
+    assert urls_ref == urls_sat
+
+
 def test_fetch_join_strategy_switch(spark):
     """Waves beyond broadcast_wave_threshold automatically flip the fetch
     from broadcasting the due side to a shuffle join on url (the 10^10-wave
