@@ -92,6 +92,9 @@ class CrawlConfig:
     # waves adding fewer URLs than this hash them driver-side (one scan job,
     # no Python stage); larger waves use the distributed position build
     driver_bloom_threshold: int = 100_000
+    # nominal wall-clock of one fetch wave, used to turn a robots
+    # Crawl-delay into a per-host page budget: budget = window / delay
+    wave_window_ms: int = 60_000
     # due waves up to this size broadcast against the pages corpus (corpus
     # never shuffles); beyond it — e.g. tokens_per_bucket × buckets at full
     # 10^10 pressure is 3.2M rows, past safe broadcast size — the fetch
@@ -107,6 +110,18 @@ class CrawlResult:
     facts: DataFrame
     metrics: List[dict] = field(default_factory=list)
     catalog: Optional[IceliteCatalog] = None
+
+
+def _observed(obs, key: str, default: int = 0) -> int:
+    """Read an Observation metric, tolerating a pruned node: when the
+    observed subtree is provably empty (e.g. a wave whose due set is empty
+    or misses the corpus entirely), AQE's empty-relation propagation
+    eliminates it and the observation never fires — the metric is then the
+    aggregate over zero rows, i.e. ``default``."""
+    try:
+        return int(obs.get[key])
+    except Exception:  # noqa: BLE001 — Py4J assertion from the pruned node
+        return default
 
 
 def _empty(spark: SparkSession, schema) -> DataFrame:
@@ -243,9 +258,42 @@ class Crawler:
         else:
             allowed, blocked = pending, _empty(spark, FRONTIER_SCHEMA)
 
+        # robots Crawl-delay → per-host page budget per wave
+        # (budget = wave_window / delay). Two-stage top-k so the budget is
+        # enforced host-wide WITHOUT starving any bucket and WITHOUT an
+        # unbounded host-keyed shuffle: the per-bucket window first keeps
+        # at most min(tokens_per_bucket, budget) rows per bucket, then a
+        # host-level window takes the true top-budget — its single-reducer
+        # key sees at most buckets×budget prefiltered rows, so the
+        # one-host skew the salting exists for stays bounded. Hosts
+        # without a delay rule never enter the host-level window.
+        if self.robots is not None:
+            delay_caps = (
+                self.robots.filter(F.col("crawl_delay_ms").isNotNull())
+                .groupBy("host")
+                .agg(F.max("crawl_delay_ms").alias("_delay_ms"))
+            )
+            allowed = allowed.join(F.broadcast(delay_caps), "host", "left")
+
         w = Window.partitionBy("host", "bucket").orderBy(*PRIORITY_COLS)
         ranked = allowed.withColumn("_rn", F.row_number().over(w))
-        due = ranked.filter(F.col("_rn") <= cfg.tokens_per_bucket).drop("_rn")
+        base = ranked.filter(F.col("_rn") <= cfg.tokens_per_bucket)
+        if self.robots is None:
+            due = base.drop("_rn")
+        else:
+            budget = F.greatest(
+                F.lit(1),
+                F.floor(F.lit(cfg.wave_window_ms) / F.col("_delay_ms")),
+            )
+            free_side = base.filter(F.col("_delay_ms").isNull())
+            wh = Window.partitionBy("host").orderBy(*PRIORITY_COLS)
+            capped_side = (
+                base.filter(F.col("_delay_ms").isNotNull() & (F.col("_rn") <= budget))
+                .withColumn("_hrn", F.row_number().over(wh))
+                .filter(F.col("_hrn") <= budget)
+                .drop("_hrn")
+            )
+            due = free_side.unionByName(capped_side).drop("_rn", "_delay_ms")
 
         # "fetch": join the due wave (bounded by the politeness budget)
         # against the big pages corpus. Strategy picked from the observed
@@ -549,7 +597,7 @@ class Crawler:
             "pending_next": int(fm["pending_next"]),
             "pending_kinds": sorted(pending_kinds_next),
             "pending_kind_counts": pending_kinds_next,
-            "parse_failures": int(p_obs.get["parse_failures"]),
+            "parse_failures": _observed(p_obs, "parse_failures"),
         }
         self._last_metrics = {
             k: v for k, v in metrics.items() if k != "pending_kind_counts"

@@ -323,6 +323,47 @@ def test_mark_for_recrawl_roundtrip(spark, tmp_path):
     assert res2.facts.count() == n_facts_before
 
 
+def test_crawl_delay_budget(spark):
+    """A robots Crawl-delay becomes a per-host page budget per wave
+    (wave_window / delay), split across the salted buckets: no wave may
+    fetch more than the budget, and the crawl still completes with the
+    same filings — just over more waves."""
+    import pandas as pd
+
+    from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+    from edgar_spark.frontier.robots import ROBOTS_SCHEMA
+    from edgar_spark.synth.corpus import build_pages, build_seeds
+
+    pages = build_pages(spark, 2, 1)
+    seeds = build_seeds(spark, 2)
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            [{"host": "www.sec.gov", "path_prefix": "/", "allowed": True,
+              "crawl_delay_ms": 10_000}]
+        ),
+        ROBOTS_SCHEMA,
+    )
+
+    def key(res):
+        return sorted(
+            (r["ticker"], r["filing_type"], str(r["filing_date"]), r["revenue"])
+            for r in res.filings.collect()
+        )
+
+    free = Crawler(spark, pages, seeds, config=CrawlConfig(max_waves=8)).run()
+    capped = Crawler(
+        spark, pages, seeds, robots=robots,
+        config=CrawlConfig(max_waves=40, wave_window_ms=60_000),
+    ).run()
+
+    budget = 60_000 // 10_000  # 6 pages per wave for the host
+    fetched = [m["fetched"] for m in capped.metrics]
+    assert all(f <= budget for f in fetched)
+    assert max(fetched) == budget  # the cap actually binds
+    assert len(capped.metrics) > len(free.metrics)  # paid in extra waves
+    assert key(capped) == key(free) and len(key(free)) > 0
+
+
 def test_cuckoo_saturated_crawl_equivalent(spark):
     """Correctness under seen-filter overload: a deliberately tiny cuckoo
     filter saturates mid-crawl and degrades to all-maybe-seen; the exact
