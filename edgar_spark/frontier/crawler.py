@@ -95,6 +95,11 @@ class CrawlConfig:
     # nominal wall-clock of one fetch wave, used to turn a robots
     # Crawl-delay into a per-host page budget: budget = window / delay
     wave_window_ms: int = 60_000
+    # retain only the N most recent snapshots (current always kept),
+    # expiring older ones after each commit — one-commit-per-wave grows
+    # storage without bound otherwise. None = keep everything (full time
+    # travel, the test/debug default).
+    snapshot_keep: Optional[int] = None
     # due waves up to this size broadcast against the pages corpus (corpus
     # never shuffles); beyond it — e.g. tokens_per_bucket × buckets at full
     # 10^10 pressure is 3.2M rows, past safe broadcast size — the fetch
@@ -573,6 +578,8 @@ class Crawler:
             # commit's meta and in the final metrics table)
             meta={"wave": wave_no, "prev_wave_metrics": self._last_metrics},
         )
+        if cfg.snapshot_keep is not None:
+            self.catalog.expire_snapshots(cfg.snapshot_keep)
         frontier_next = self.catalog.read(spark, "frontier")
         facts_next = self.catalog.read(spark, "facts")
 

@@ -115,6 +115,50 @@ class IceliteCatalog:
             return []
         return sorted(m["snapshots"][str(sid)]["tables"])
 
+    def expire_snapshots(self, keep_last: int = 5) -> list:
+        """Iceberg ``expireSnapshots`` analog: retire every snapshot except
+        the ``keep_last`` most recent (the current snapshot is always
+        retained), then delete the data directories no longer referenced by
+        ANY retained snapshot. Shared-manifest aware: a carried-forward
+        table path referenced by a survivor is kept even though the
+        snapshot that wrote it is expired — a snapshot references files, it
+        does not own them. Without expiry a one-commit-per-wave crawl grows
+        storage without bound; with it, steady-state disk is
+        O(keep_last × table size). Returns the expired snapshot ids.
+        """
+        import shutil
+
+        m = self._read_manifest()
+        ids = sorted(int(s) for s in m["snapshots"])
+        keep = set(ids[-max(1, keep_last):])
+        keep.add(m["current"])
+        expired = [i for i in ids if i not in keep]
+        if not expired:
+            return []
+        live_paths = {
+            p
+            for i in keep
+            for p in m["snapshots"][str(i)]["tables"].values()
+        }
+        dead_paths = {
+            p
+            for i in expired
+            for p in m["snapshots"][str(i)]["tables"].values()
+        } - live_paths
+        for i in expired:
+            del m["snapshots"][str(i)]
+        tmp = self._manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(m, indent=2))
+        os.replace(tmp, self._manifest_path)  # readers never see a gap
+        for p in dead_paths:  # physical delete only after the publish
+            pp = pathlib.Path(p)
+            if pp.exists() and self.root in pp.parents:
+                shutil.rmtree(pp, ignore_errors=True)
+                parent = pp.parent
+                if parent != self.root and not any(parent.iterdir()):
+                    parent.rmdir()  # drop the now-empty snap-… dir
+        return expired
+
     def rollback(self, snap_id: int) -> None:
         m = self._read_manifest()
         if str(snap_id) not in m["snapshots"]:

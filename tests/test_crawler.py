@@ -323,6 +323,30 @@ def test_mark_for_recrawl_roundtrip(spark, tmp_path):
     assert res2.facts.count() == n_facts_before
 
 
+def test_crawl_snapshot_retention(spark, tmp_path):
+    """snapshot_keep bounds checkpoint storage: per-wave commits beyond the
+    retention window are expired (manifest AND disk), while the crawl
+    result and the current snapshot stay intact."""
+    from pyspark.sql import functions as F
+
+    from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+    from edgar_spark.synth.corpus import build_pages, build_seeds
+
+    pages = build_pages(spark, 3, 2)
+    seeds = build_seeds(spark, 3)
+    cfg = CrawlConfig(
+        max_waves=6, checkpoint_dir=str(tmp_path / "ck"), snapshot_keep=2
+    )
+    res = Crawler(spark, pages, seeds, config=cfg).run()
+    assert res.filings.count() > 0
+    m = res.catalog._read_manifest()
+    # retention window + the final filings/metrics commit
+    assert len(m["snapshots"]) <= 4
+    assert res.catalog.read(spark, "frontier").filter(
+        F.col("state") == "fetched"
+    ).count() > 0
+
+
 def test_crawl_delay_budget(spark):
     """A robots Crawl-delay becomes a per-host page budget per wave
     (wave_window / delay), split across the salted buckets: no wave may

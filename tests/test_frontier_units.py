@@ -98,6 +98,39 @@ def test_icelite_snapshot_roundtrip(spark, tmp_path):
     assert cat.read(spark, "t").count() == 5
 
 
+def test_icelite_expire_snapshots(spark, tmp_path):
+    """expireSnapshots analog: old snapshots retire, their unreferenced
+    data dirs are deleted, and a carried-forward path referenced by a
+    surviving snapshot is preserved (a snapshot references files, it does
+    not own them)."""
+    import pathlib
+
+    import pytest
+
+    from edgar_spark.icelite import IceliteCatalog
+
+    cat = IceliteCatalog(str(tmp_path / "tbl"))
+    for i in range(1, 6):
+        cat.commit_snapshot({"t": spark.range(i).toDF("v")})
+    # snapshot 6 carries snapshot 5's t (shared manifest) and adds u
+    t5 = cat.table_path("t", 5)
+    cat.commit_snapshot({"u": spark.range(7).toDF("v")}, carry={"t": t5})
+
+    expired = cat.expire_snapshots(keep_last=2)
+    assert expired == [1, 2, 3, 4]
+    assert cat.read(spark, "t").count() == 5  # current (carried path) intact
+    assert cat.read(spark, "u").count() == 7
+    assert cat.read(spark, "t", snap_id=5).count() == 5  # retained history
+    with pytest.raises(KeyError):
+        cat.snapshot_meta(2)  # expired id gone from the manifest
+    # expired, unreferenced data dirs physically deleted; shared t5 kept
+    root = pathlib.Path(str(tmp_path / "tbl"))
+    assert not (root / "snap-000001").exists()
+    assert not (root / "snap-000003").exists()
+    assert pathlib.Path(t5).exists()
+    assert cat.expire_snapshots(keep_last=2) == []  # idempotent
+
+
 def test_icelite_time_travel_and_carry(spark, tmp_path):
     """Snapshot-id reads (time travel), rollback, and carry-over manifests
     (a snapshot referencing a prior snapshot's data files without rewrite)."""
