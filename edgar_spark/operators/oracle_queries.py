@@ -334,6 +334,32 @@ def q_mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(media).withColumnRenamed("media_id", "doc_id")
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data pipeline end-to-end in one plan: exact-dedup
+    representatives → language filter (en) → quality gate → per-source
+    corpus stats. Each stage is an existing operator; the composed plan
+    stays one scan + one dedup shuffle + one final agg."""
+    from edgar_spark.operators.text import lang_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    reps = docs.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(reps.select("doc_id"), "doc_id")
+    kept = lang_id(kept).filter(F.col("pred_lang") == "en")
+    kept = quality_score(kept).filter(F.col("quality_score") >= 0.5)
+    # avg over a decimal-quantized sum: order-independent across partitions
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("q_n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_quality"),
+    )
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event-time aggregation (streaming/pipeline.py shares
     this exact definition with the watermarked streaming mode). Window bounds
@@ -623,6 +649,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": q_simhash_near_dups,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
+    "corpus_curation": q_corpus_curation,
     "mm_byte_stats": q_mm_byte_stats,
     "mm_image_stats": q_mm_image_stats,
     "events_window_agg": q_events_window_agg,
@@ -852,6 +879,81 @@ _ORACLES: Dict[str, str] = {
                round(list_sum(list_transform(range(8), k -> v[k*3 + 3])) / 8.0, 6)
                    AS mean_b
         FROM px
+    """,
+    "corpus_curation": """
+        WITH reps AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), kept AS (
+            SELECT d.* FROM documents d JOIN reps USING (doc_id)
+        ), lt AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                  w -> lower(w)) AS toks
+            FROM kept
+        ), ls AS (
+            SELECT doc_id,
+                   len(list_filter(toks, w -> list_contains(
+                       ['the','and','of','to','is'], w))) AS s_en,
+                   len(list_filter(toks, w -> list_contains(
+                       ['der','die','und','nicht','ist'], w))) AS s_de,
+                   len(list_filter(toks, w -> list_contains(
+                       ['le','la','les','et','est'], w))) AS s_fr,
+                   len(list_filter(toks, w -> list_contains(
+                       ['el','los','que','es','una'], w))) AS s_es
+            FROM lt
+        ), lang AS (
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es'
+                   END AS pred_lang
+            FROM ls
+        ), qf AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok,
+                   len(list_filter(
+                       list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      w -> lower(w)),
+                       w -> list_contains(
+                           ['the','and','of','to','a','in','is','it','that','for',
+                            'on','with','as','was','at','by','an','be','this','are'],
+                           w)
+                   )) AS n_stop,
+                   len(regexp_split_to_array(text, '[\\.,;:!\\?]')) - 1 AS n_punct
+            FROM kept
+        ), qr AS (
+            SELECT doc_id, n_tok,
+                   round(
+                       least(n_tok / 100.0, 1.0) * 0.3
+                       + least((CASE WHEN n_tok > 0
+                                     THEN CAST(n_stop AS DOUBLE) / n_tok
+                                     ELSE 0.0 END) * 3.0, 1.0) * 0.4
+                       + (CASE WHEN n_tok > 0
+                               AND CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok >= 3
+                               AND CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok <= 10
+                               THEN 1.0 ELSE 0.0 END) * 0.2
+                       + (CASE WHEN (CASE WHEN n_chars > 0
+                                          THEN CAST(n_punct AS DOUBLE) / n_chars
+                                          ELSE 0.0 END) <= 0.1
+                               THEN 1.0 ELSE 0.0 END) * 0.1,
+                   6) AS qs
+            FROM qf
+        )
+        SELECT k.source,
+               count(*) AS n_docs,
+               sum(q.n_tok) AS total_tokens,
+               round(CAST(sum(CAST(q.qs AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_quality
+        FROM kept k
+        JOIN lang l ON l.doc_id = k.doc_id
+        JOIN qr q ON q.doc_id = k.doc_id
+        WHERE l.pred_lang = 'en' AND q.qs >= 0.5
+        GROUP BY k.source
     """,
     "events_window_agg": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
