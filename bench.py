@@ -143,6 +143,7 @@ OPERATOR_KEYS = [
     "mm_image_stats",
     "ngram_jaccard_lsh",
     "ivf_topk",
+    "corpus_curation",
 ]
 
 

@@ -198,6 +198,42 @@ def byte_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def audio_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Real-decode audio stats: (id, sample_rate, n_frames, n_channels,
+    duration_ms, rms) per 16-bit PCM WAV payload — the audio twin of
+    ``image_stats``, same Arrow-batched shape."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: [], "sample_rate": [], "n_frames": [],
+                "n_channels": [], "duration_ms": [], "rms": [],
+            }
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                rate, samples = decode_wav(p)
+                out[id_col].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(samples.shape[0])
+                out["n_channels"].append(samples.shape[1])
+                out["duration_ms"].append(int(samples.shape[0] * 1000 / rate))
+                out["rms"].append(
+                    round(float(np.sqrt(np.mean(np.square(samples)))), 6)
+                    if samples.size
+                    else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} long, sample_rate int, n_frames int, "
+            "n_channels int, duration_ms int, rms double"
+        ),
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000, duration_col: str = "duration_ms"
 ) -> DataFrame:

@@ -323,6 +323,37 @@ def test_mark_for_recrawl_roundtrip(spark, tmp_path):
     assert res2.facts.count() == n_facts_before
 
 
+def test_resume_after_retention(spark, tmp_path):
+    """Aggressive snapshot expiry (keep only the latest) must not break
+    resume: the current snapshot always survives, so an interrupted crawl
+    with snapshot_keep=1 resumes to the identical result."""
+    pages = corpus.build_pages(spark, 1, n_filings=2).cache()
+    seeds = corpus.build_seeds(spark, 1)
+
+    full = Crawler(
+        spark, pages, seeds,
+        config=CrawlConfig(max_waves=5, checkpoint_dir=str(tmp_path / "full")),
+    ).run()
+
+    part_dir = str(tmp_path / "part")
+    Crawler(
+        spark, pages, seeds,
+        config=CrawlConfig(max_waves=2, checkpoint_dir=part_dir, snapshot_keep=1),
+    ).run()
+    resumed = Crawler.resume(
+        spark, part_dir, pages, seeds,
+        config=CrawlConfig(max_waves=5, snapshot_keep=1),
+    )
+
+    def norm_filings(df):
+        return sorted(
+            (tuple((None if isinstance(v, float) and math.isnan(v) else v) for v in r)
+             for r in df.drop("collected").collect())
+        )
+
+    assert norm_filings(full.filings) == norm_filings(resumed.filings)
+
+
 def test_crawl_snapshot_retention(spark, tmp_path):
     """snapshot_keep bounds checkpoint storage: per-wave commits beyond the
     retention window are expired (manifest AND disk), while the crawl

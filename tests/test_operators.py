@@ -110,6 +110,28 @@ def test_extract_features_real_decode(spark):
     assert len(feats[2]) == 8  # stub fallback still deterministic
 
 
+def test_audio_stats(spark):
+    import struct
+
+    import numpy as np
+
+    from edgar_spark.operators.multimodal import audio_stats
+
+    samples = (np.sin(np.linspace(0, 20, 800)) * 16384).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    row = audio_stats(df).collect()[0]
+    assert row["sample_rate"] == 8000 and row["n_frames"] == 800
+    assert row["n_channels"] == 1 and row["duration_ms"] == 100
+    assert 0.2 < row["rms"] < 0.5  # ~0.707 * 0.5 amplitude
+
+
 def test_ngram_jaccard_explicit_pairs(docs, spark):
     """Candidate pairs from any source (LSH buckets, explicit list) — not
     just the consecutive-id special case."""
