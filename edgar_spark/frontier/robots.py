@@ -37,18 +37,127 @@ ROBOTS_SCHEMA = StructType(
 def split_robots(
     frontier: DataFrame, robots: DataFrame, url_col: str = "url"
 ) -> Tuple[DataFrame, DataFrame]:
-    """(allowed, blocked) split via broadcast semi/anti joins (no shuffle of
-    the frontier side; multi-rule matches collapse for free in the semi
-    join)."""
-    blocked_rules = robots.filter(~F.col("allowed")).select(
-        F.col("host").alias("_r_host"), F.col("path_prefix").alias("_r_prefix")
+    """(allowed, blocked) split with the public robots.txt precedence rule:
+    among the rules matching a URL (same host, path prefix), the LONGEST
+    path wins; on a length tie Allow beats Disallow; a URL matching no rule
+    is allowed. ``Allow: /private/public/`` therefore punches a hole in
+    ``Disallow: /private/`` exactly as the spec's longest-match demands.
+
+    Shuffle-free: the (tiny) rules table collapses to one array per host,
+    broadcast-joins on host, and the winner is folded per row with a
+    higher-order ``aggregate`` — the frontier side never moves.
+    """
+    rules_per_host = robots.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("path_prefix").alias("plen"),
+                F.col("path_prefix").alias("prefix"),
+                F.col("allowed").alias("allowed"),
+            )
+        ).alias("_rules")
     )
     with_path = frontier.withColumn(
         "_path", F.regexp_extract(F.col(url_col), r"^https?://[^/]+(/.*)$", 1)
+    ).join(F.broadcast(rules_per_host), "host", "left")
+
+    init = F.struct(
+        F.lit(-1).cast("int").alias("plen"), F.lit(True).alias("allowed")
     )
-    cond = (F.col("host") == F.col("_r_host")) & F.col("_path").startswith(
-        F.col("_r_prefix")
-    )
-    blocked = with_path.join(F.broadcast(blocked_rules), cond, "left_semi").drop("_path")
-    allowed = with_path.join(F.broadcast(blocked_rules), cond, "left_anti").drop("_path")
+
+    def fold(acc, r):
+        wins = F.col("_path").startswith(r["prefix"]) & (
+            (r["plen"] > acc["plen"])
+            | ((r["plen"] == acc["plen"]) & r["allowed"])
+        )
+        return F.when(
+            wins, F.struct(r["plen"].alias("plen"), r["allowed"].alias("allowed"))
+        ).otherwise(acc)
+
+    decision = F.aggregate(
+        F.coalesce(F.col("_rules"), F.array().cast(
+            "array<struct<plen:int,prefix:string,allowed:boolean>>"
+        )),
+        init,
+        fold,
+    )["allowed"]
+    with_decision = with_path.withColumn("_ok", decision).drop("_path", "_rules")
+    allowed = with_decision.filter(F.col("_ok")).drop("_ok")
+    blocked = with_decision.filter(~F.col("_ok")).drop("_ok")
     return allowed, blocked
+
+
+def parse_robots_txt(
+    host: str, text: str, user_agent: str = "edgar-spark"
+) -> list:
+    """Parse a robots.txt body into ROBOTS_SCHEMA rows for ``host``,
+    following the public REP semantics: directives group under consecutive
+    ``User-agent`` lines; the crawler obeys the group(s) naming its own
+    agent token when any exist, else the ``*`` groups; ``Allow``/
+    ``Disallow`` carry path prefixes (an empty Disallow means allow-all and
+    emits nothing); ``Crawl-delay`` seconds become crawl_delay_ms attached
+    to the group's rows. Wildcards: a path is truncated at the first ``*``
+    (a conservative prefix over-approximation — may block slightly more,
+    never less); ``$`` anchors are not modeled.
+    """
+    groups: list = []  # (agents, rules=[(path, allowed)], delay_ms)
+    agents: list = []
+    rules: list = []
+    delay = None
+    in_rules = False
+
+    def flush():
+        nonlocal agents, rules, delay, in_rules
+        if agents:
+            groups.append((agents, rules, delay))
+        agents, rules, delay, in_rules = [], [], None, False
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                flush()
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_rules = True
+            if val == "":
+                continue  # empty Disallow = allow everything: no rule row
+            path = val.split("*", 1)[0] or "/"
+            rules.append((path, key == "allow"))
+        elif key == "crawl-delay":
+            in_rules = True
+            try:
+                delay = int(float(val) * 1000)
+            except ValueError:
+                pass
+    flush()
+
+    ua = user_agent.lower()
+    chosen = [g for g in groups if ua in g[0]]
+    if not chosen:
+        chosen = [g for g in groups if "*" in g[0]]
+    rows = []
+    for _, grules, gdelay in chosen:
+        for path, is_allow in grules:
+            rows.append(
+                {
+                    "host": host,
+                    "path_prefix": path,
+                    "allowed": is_allow,
+                    "crawl_delay_ms": gdelay,
+                }
+            )
+        if not grules and gdelay is not None:
+            rows.append(
+                {
+                    "host": host,
+                    "path_prefix": "/",
+                    "allowed": True,
+                    "crawl_delay_ms": gdelay,
+                }
+            )
+    return rows

@@ -163,23 +163,42 @@ def extract_features(
 
 
 def image_stats(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = True,
 ) -> DataFrame:
     """Real-decode stats stage: (id, width, height, mean_all, mean_b) per
     BMP payload — the post-prune step after ``byte_stats`` filtering. Means
     are rounded to 6 dp for cross-engine comparability; mean_b is the blue
-    channel specifically, so a BGR/RGB channel-order bug cannot pass."""
+    channel specifically, so a BGR/RGB channel-order bug cannot pass.
+
+    ``strict=False`` is the 100 TB posture: an undecodable payload yields a
+    row of NULL stats instead of failing the whole task — one poisoned blob
+    in a billion must not kill the job; count the NULL rows as decode
+    failures downstream."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {id_col: [], "width": [], "height": [], "mean_all": [], "mean_b": []}
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_image(p)
+                try:
+                    img = decode_image(p)
+                except (NotImplementedError, ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    img = None
                 out[id_col].append(mid)
-                out["width"].append(img.shape[1])
-                out["height"].append(img.shape[0])
-                out["mean_all"].append(round(float(img.mean()), 6))
-                out["mean_b"].append(round(float(img[:, :, 2].mean()), 6))
+                if img is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_all"].append(None)
+                    out["mean_b"].append(None)
+                else:
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["mean_all"].append(round(float(img.mean()), 6))
+                    out["mean_b"].append(round(float(img[:, :, 2].mean()), 6))
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(

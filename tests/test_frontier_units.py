@@ -98,6 +98,72 @@ def test_icelite_snapshot_roundtrip(spark, tmp_path):
     assert cat.read(spark, "t").count() == 5
 
 
+def test_parse_robots_txt_groups_and_precedence():
+    from edgar_spark.frontier.robots import parse_robots_txt
+
+    body = """
+# comments and blank lines ignored
+User-agent: *
+Disallow: /private/
+Allow: /private/public/
+Crawl-delay: 2
+
+User-agent: edgar-spark
+Disallow: /cgi-bin/secret
+Allow: /cgi-bin/secret/ok
+Crawl-delay: 1.5
+
+User-agent: otherbot
+Disallow: /
+"""
+    # specific group wins over *
+    rows = parse_robots_txt("www.sec.gov", body, user_agent="edgar-spark")
+    assert {(r["path_prefix"], r["allowed"]) for r in rows} == {
+        ("/cgi-bin/secret", False),
+        ("/cgi-bin/secret/ok", True),
+    }
+    assert all(r["crawl_delay_ms"] == 1500 for r in rows)
+    # unknown agent falls back to the * group
+    star = parse_robots_txt("www.sec.gov", body, user_agent="somebody-else")
+    assert {(r["path_prefix"], r["allowed"]) for r in star} == {
+        ("/private/", False),
+        ("/private/public/", True),
+    }
+    assert all(r["crawl_delay_ms"] == 2000 for r in star)
+    # wildcard paths truncate to a conservative prefix; empty Disallow = noop
+    wild = parse_robots_txt("h", "User-agent: *\nDisallow: /a/*/b\nDisallow:\n")
+    assert [(r["path_prefix"], r["allowed"]) for r in wild] == [("/a/", False)]
+
+
+def test_split_robots_longest_match(spark):
+    """Allow punches a hole in a broader Disallow (longest prefix wins;
+    tie → allow); unmatched hosts/paths default to allowed."""
+    import pandas as pd
+
+    from edgar_spark.frontier.robots import ROBOTS_SCHEMA, parse_robots_txt, split_robots
+
+    rows = parse_robots_txt(
+        "www.sec.gov",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/public/\n",
+    )
+    robots = spark.createDataFrame(pd.DataFrame(rows), ROBOTS_SCHEMA)
+    urls = [
+        ("https://www.sec.gov/private/x.html", "blocked"),
+        ("https://www.sec.gov/private/public/y.html", "allowed"),
+        ("https://www.sec.gov/open/z.html", "allowed"),
+        ("https://other.host/private/x.html", "allowed"),  # host unmatched
+    ]
+    frontier = spark.createDataFrame(
+        [(u, u.split("/")[2]) for u, _ in urls], ["url", "host"]
+    )
+    allowed, blocked = split_robots(frontier, robots)
+    got_allowed = {r["url"] for r in allowed.collect()}
+    got_blocked = {r["url"] for r in blocked.collect()}
+    for u, expect in urls:
+        assert (u in got_allowed) == (expect == "allowed"), u
+        assert (u in got_blocked) == (expect == "blocked"), u
+
+
 def test_icelite_expire_snapshots(spark, tmp_path):
     """expireSnapshots analog: old snapshots retire, their unreferenced
     data dirs are deleted, and a carried-forward path referenced by a

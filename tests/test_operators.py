@@ -110,6 +110,24 @@ def test_extract_features_real_decode(spark):
     assert len(feats[2]) == 8  # stub fallback still deterministic
 
 
+def test_image_stats_lenient_mode(spark):
+    """strict=False: a poisoned blob yields NULL stats instead of failing
+    the task; strict=True (default) raises."""
+    import numpy as np
+    import pytest
+
+    from edgar_spark.operators.multimodal import encode_bmp, image_stats
+
+    good = encode_bmp(np.full((2, 2, 3), 9, dtype=np.uint8))
+    rows = [(1, bytearray(good)), (2, bytearray(b"BMgarbage-not-a-real-bmp"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in image_stats(df, strict=False).collect()}
+    assert out[1]["width"] == 2 and out[1]["mean_all"] == 9.0
+    assert out[2]["width"] is None and out[2]["mean_all"] is None
+    with pytest.raises(Exception):
+        image_stats(df).collect()  # strict default propagates
+
+
 def test_audio_stats(spark):
     import struct
 
