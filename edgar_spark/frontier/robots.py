@@ -86,6 +86,35 @@ def split_robots(
     return allowed, blocked
 
 
+def rules_from_robots_pages(
+    pages: DataFrame, user_agent: str = "edgar-spark"
+) -> DataFrame:
+    """Distributed robots.txt ingestion: select the corpus rows whose url is
+    ``<scheme>://<host>/robots.txt``, parse each body on executors
+    (Arrow-batched), and emit ROBOTS_SCHEMA rule rows — the self-contained
+    way a crawler acquires its own gating rules from the crawl corpus."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    robots_pages = pages.filter(
+        F.col("url").rlike(r"^https?://[^/]+/robots\.txt$")
+    ).select("url", "text")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                host = re.match(r"^https?://([^/]+)/", t.url).group(1)
+                rows.extend(parse_robots_txt(host, t.text or "", user_agent))
+            yield pd.DataFrame(
+                rows, columns=["host", "path_prefix", "allowed", "crawl_delay_ms"]
+            )
+
+    return robots_pages.mapInPandas(gen, ROBOTS_SCHEMA)
+
+
 def parse_robots_txt(
     host: str, text: str, user_agent: str = "edgar-spark"
 ) -> list:

@@ -164,6 +164,28 @@ def test_split_robots_longest_match(spark):
         assert (u in got_blocked) == (expect == "blocked"), u
 
 
+def test_rules_from_robots_pages(spark):
+    """Robots rules acquired from the crawl corpus itself: /robots.txt
+    pages parse on executors into the gating rules table."""
+    from edgar_spark.frontier.robots import rules_from_robots_pages
+
+    rows = [
+        ("https://www.sec.gov/robots.txt",
+         "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"),
+        ("https://other.host/robots.txt", "User-agent: *\nDisallow: /\n"),
+        ("https://www.sec.gov/not-robots.html", "User-agent: *\nDisallow: /\n"),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "text"])
+    rules = {
+        (r["host"], r["path_prefix"], r["allowed"], r["crawl_delay_ms"])
+        for r in rules_from_robots_pages(pages).collect()
+    }
+    assert rules == {
+        ("www.sec.gov", "/private/", False, 2000),
+        ("other.host", "/", False, None),
+    }
+
+
 def test_icelite_expire_snapshots(spark, tmp_path):
     """expireSnapshots analog: old snapshots retire, their unreferenced
     data dirs are deleted, and a carried-forward path referenced by a
