@@ -25,11 +25,13 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: crawl the synthetic corpus and return consolidated
     filings (one row per (cik, filing_type, filing_date, accession) with the
     27-getter surface; driver checks rows>0)."""
+    import datetime
+
     import pandas as pd
     from pyspark.sql import functions as F
 
     from edgar_spark.frontier.crawler import CrawlConfig, Crawler
-    from edgar_spark.frontier.robots import ROBOTS_SCHEMA
+    from edgar_spark.frontier.robots import rules_from_robots_pages
     from edgar_spark.synth import corpus
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
@@ -39,23 +41,35 @@ def entry(spark: SparkSession) -> DataFrame:
         spark, n_companies, n_filings=2, samples_dir=samples
     )
     seeds = corpus.build_seeds(spark, n_companies, include_golden=samples is not None)
-    # robots gate exercised on the flagship path: company 0's query URL is
-    # disallowed, so its filings never enter the crawl (robots_blocked
-    # metric rows; the golden company is unaffected)
-    robots = spark.createDataFrame(
+    # robots gate exercised on the flagship path, SELF-CONTAINED: the
+    # corpus carries a /robots.txt page disallowing company 0's query URL;
+    # the crawler parses its own rules from the corpus (REP group
+    # semantics), so company 0's filings never enter the crawl
+    # (robots_blocked metric rows; the golden company is unaffected)
+    robots_body = (
+        "User-agent: edgar-spark\n"
+        "Disallow: /cgi-bin/browse-edgar?action=getcompany"
+        f"&CIK={corpus.ticker_of(0)}\n"
+    )
+    robots_page = spark.createDataFrame(
         pd.DataFrame(
             [
                 {
-                    "host": "www.sec.gov",
-                    "path_prefix": "/cgi-bin/browse-edgar?action=getcompany"
-                    f"&CIK={corpus.ticker_of(0)}",
-                    "allowed": False,
-                    "crawl_delay_ms": None,
+                    "url": "https://www.sec.gov/robots.txt",
+                    "warc_ts": datetime.datetime(2020, 1, 1),
+                    "html": robots_body.encode("utf-8"),
+                    "text": robots_body,
+                    "lang": "en",
                 }
             ]
-        ),
-        ROBOTS_SCHEMA,
+        )
+    ).select(*pages.columns)
+    pages = pages.unionByName(
+        robots_page.select(
+            *[F.col(f.name).cast(f.dataType) for f in pages.schema.fields]
+        )
     )
+    robots = rules_from_robots_pages(pages, user_agent="edgar-spark")
     cfg = CrawlConfig(max_waves=4)
     result = Crawler(spark, pages, seeds, robots=robots, config=cfg).run()
     from edgar_spark.model.consolidate import getters_view
