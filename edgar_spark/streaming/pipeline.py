@@ -267,3 +267,22 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming twin of ``dedup.exact_dedup``: running (min id, copy
+    count) per content hash over a document stream. Same one-shuffle shape
+    — only the md5 moves; run in ``update``/``complete`` output mode (the
+    aggregate revises as copies arrive). With a watermark on an event-time
+    column upstream, state is bounded to the open window; unbounded
+    retention here mirrors the batch operator's whole-corpus semantics."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("_h")
+    )

@@ -141,3 +141,36 @@ def test_stream_pages_ingest_equals_batch(spark, tmp_path):
     assert len(s) == len(b)
     assert (s.values == b.values).all()
     shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_exact_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming exact dedup (complete mode over a bounded file stream)
+    converges to exactly the batch operator's output."""
+    from edgar_spark.operators.dedup import exact_dedup
+    from edgar_spark.streaming.pipeline import streaming_exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "b"), (6, "a")],
+        ["doc_id", "text"],
+    )
+    batch = {
+        (r["doc_id"], r["n_copies"]) for r in exact_dedup(docs).collect()
+    }
+
+    src_dir = str(tmp_path / "src")
+    docs.write.parquet(src_dir)
+    src = spark.readStream.schema(docs.schema).parquet(src_dir)
+    q = (
+        streaming_exact_dedup(src)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["doc_id"], r["n_copies"])
+        for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    }
+    assert streamed == batch == {(1, 3), (3, 2), (4, 1)}
