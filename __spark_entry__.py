@@ -69,7 +69,21 @@ def entry(spark: SparkSession) -> DataFrame:
             *[F.col(f.name).cast(f.dataType) for f in pages.schema.fields]
         )
     )
-    robots = rules_from_robots_pages(pages, user_agent="edgar-spark")
+    # materialize the (tiny) parsed rules once: leaving them lazy would put
+    # the whole corpus build + parse in the lineage of every per-wave
+    # broadcast that re-reads the rules table. pandas → Arrow gives a JVM
+    # LocalTableScan (a plain row list builds a Python-RDD-backed plan that
+    # re-spawns Python workers on every job touching it)
+    from edgar_spark.frontier.robots import ROBOTS_SCHEMA
+
+    rule_rows = rules_from_robots_pages(pages, user_agent="edgar-spark").collect()
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            [r.asDict() for r in rule_rows],
+            columns=[f.name for f in ROBOTS_SCHEMA.fields],
+        ),
+        ROBOTS_SCHEMA,
+    )
     cfg = CrawlConfig(max_waves=4)
     result = Crawler(spark, pages, seeds, robots=robots, config=cfg).run()
     from edgar_spark.model.consolidate import getters_view

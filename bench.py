@@ -151,8 +151,17 @@ def load_reference_timings() -> tuple:
     """Newest driver-recorded BENCH_r*.json → (path, per-query seconds);
     the regression gate compares this round's timings against it."""
     import glob
+    import re
 
-    cands = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
+    def round_no(path: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    # numeric round order — lexicographic would put r10 before r2
+    cands = sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")),
+        key=round_no,
+    )
     if not cands:
         return None, {}
     try:

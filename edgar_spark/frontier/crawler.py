@@ -273,8 +273,10 @@ class Crawler:
         # one-host skew the salting exists for stays bounded. Hosts
         # without a delay rule never enter the host-level window.
         if self.robots is not None:
+            # delay 0 (or negative) means "no delay" — treat as no rule;
+            # letting it through would divide by zero under ANSI mode
             delay_caps = (
-                self.robots.filter(F.col("crawl_delay_ms").isNotNull())
+                self.robots.filter(F.col("crawl_delay_ms") > 0)
                 .groupBy("host")
                 .agg(F.max("crawl_delay_ms").alias("_delay_ms"))
             )
@@ -461,8 +463,14 @@ class Crawler:
                 ).collect()[0]
                 n_candidates, n_bloom_passed = stats["n"], int(stats["new"])
                 if n_candidates <= thr:
-                    for r in probed.select("url").collect():  # cached
-                        self._bloom.add(r["url"])
+                    # only filter-NEGATIVE urls are added: a maybe_seen url
+                    # already probes positive (whether truly seen or a
+                    # false positive), and re-adding it would insert a
+                    # duplicate fingerprint in cuckoo mode — duplicate
+                    # copies eat table slots and accelerate saturation
+                    for r in probed.select("url", "maybe_seen").collect():
+                        if not r["maybe_seen"]:
+                            self._bloom.add(r["url"])
                     self._bloom_dirty = False
                 else:  # huge wave: distributed build later
                     self._bloom_dirty = True

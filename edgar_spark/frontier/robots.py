@@ -124,9 +124,12 @@ def parse_robots_txt(
     agent token when any exist, else the ``*`` groups; ``Allow``/
     ``Disallow`` carry path prefixes (an empty Disallow means allow-all and
     emits nothing); ``Crawl-delay`` seconds become crawl_delay_ms attached
-    to the group's rows. Wildcards: a path is truncated at the first ``*``
-    (a conservative prefix over-approximation — may block slightly more,
-    never less); ``$`` anchors are not modeled.
+    to the group's rows (clamped to int32, inf/nan/negatives ignored).
+    Wildcards: a ``Disallow`` path truncates at the first ``*`` and an
+    ``Allow`` containing ``*`` is dropped — both choices only ever
+    OVER-block (a truncated Allow could out-length a Disallow in
+    longest-match and widen the allow, so it must not be kept); ``$``
+    anchors are not modeled.
     """
     groups: list = []  # (agents, rules=[(path, allowed)], delay_ms)
     agents: list = []
@@ -155,13 +158,25 @@ def parse_robots_txt(
             in_rules = True
             if val == "":
                 continue  # empty Disallow = allow everything: no rule row
-            path = val.split("*", 1)[0] or "/"
+            if "*" in val:
+                if key == "allow":
+                    # truncating an Allow pattern would WIDEN the allow and
+                    # could out-length a Disallow in longest-match — drop
+                    # it instead: losing an allow only over-blocks, which
+                    # is the safe direction
+                    continue
+                path = val.split("*", 1)[0] or "/"
+            else:
+                path = val
             rules.append((path, key == "allow"))
         elif key == "crawl-delay":
             in_rules = True
             try:
-                delay = int(float(val) * 1000)
-            except ValueError:
+                ms = float(val) * 1000
+                # clamp to int32 (schema) and reject inf/nan/negatives
+                if ms == ms and 0 <= ms < 2**31:
+                    delay = int(ms)
+            except (ValueError, OverflowError):
                 pass
     flush()
 

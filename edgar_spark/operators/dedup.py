@@ -237,7 +237,9 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc_id, simhash LONG): 64-bit majority-vote fingerprint over
     md5-lower-64 token hashes (vectorized bit-count per Arrow batch;
-    reproducible in SQL via md5_number_lower)."""
+    reproducible in SQL via md5_number_lower). All 64 bits are kept —
+    stored as the signed two's-complement reinterpretation, so Hamming
+    distances downstream cover the full fingerprint."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -261,7 +263,8 @@ def simhash_signatures(
                     if bits[i] * 2 >= len(toks):
                         fp |= np.uint64(1) << np.uint64(i)
                 ids.append(getattr(t, id_col))
-                fps.append(int(fp >> np.uint64(1)))  # sign-safe long
+                v = int(fp)  # full 64 bits, two's-complement into long
+                fps.append(v - (1 << 64) if v >= (1 << 63) else v)
             yield pd.DataFrame({id_col: ids, "simhash": fps})
 
     return df.select(id_col, text_col).mapInPandas(
@@ -302,7 +305,12 @@ def simhash_near_dups(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    # LOGICAL shift: the fingerprint is a signed
+                    # reinterpretation of 64 unsigned bits — an arithmetic
+                    # shift would smear the sign into the top chunk
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
                     for i in range(n_chunks)
                 ]
             )

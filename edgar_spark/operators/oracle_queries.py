@@ -1257,16 +1257,22 @@ def _simhash_cte() -> str:
             SELECT doc_id, len(tk) AS n,
                    list_transform(tk, t -> md5_number_lower(t)) AS H
             FROM toks
-        ), sims AS (
+        ), raw AS (
             SELECT doc_id,
-                   CASE WHEN n = 0 THEN 0
-                        ELSE CAST(list_sum(list_transform(range(64),
+                   CASE WHEN n = 0 THEN CAST(0 AS HUGEINT)
+                        ELSE list_sum(list_transform(range(64),
                             i -> CASE WHEN len(list_filter(H,
                                      h -> ((h >> i) & 1) = 1)) * 2 >= n
                                  THEN {pow2}[i+1] ELSE CAST(0 AS HUGEINT) END))
-                            // 2 AS BIGINT)
-                   END AS simhash
+                   END AS u
             FROM hs
+        ), sims AS (
+            -- full 64 bits, signed two's-complement into BIGINT
+            SELECT doc_id, u,
+                   CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                             THEN u - 18446744073709551616::HUGEINT
+                             ELSE u END AS BIGINT) AS simhash
+            FROM raw
         )"""
 
 
@@ -1281,8 +1287,9 @@ def _simhash_near_dups_oracle_sql(
 ) -> str:
     return f"""{_simhash_cte()}
         , chunked AS (
+            -- chunks from the UNSIGNED value: logical-shift semantics
             SELECT doc_id, c.i AS chunk_idx,
-                   (simhash >> (c.i * 16)) & 65535 AS chunk_val
+                   CAST((u >> (c.i * 16)) & 65535 AS BIGINT) AS chunk_val
             FROM sims CROSS JOIN (SELECT unnest(range({n_chunks})) AS i) c
         ), cand AS (
             SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
