@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
     from edgar_spark.frontier.crawler import CrawlConfig, Crawler
-    from edgar_spark.frontier.robots import rules_from_robots_pages
+    from edgar_spark.frontier.robots import ROBOTS_SCHEMA, rules_from_robots_pages
     from edgar_spark.synth import corpus
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
@@ -74,8 +74,6 @@ def entry(spark: SparkSession) -> DataFrame:
     # broadcast that re-reads the rules table. pandas → Arrow gives a JVM
     # LocalTableScan (a plain row list builds a Python-RDD-backed plan that
     # re-spawns Python workers on every job touching it)
-    from edgar_spark.frontier.robots import ROBOTS_SCHEMA
-
     rule_rows = rules_from_robots_pages(pages, user_agent="edgar-spark").collect()
     robots = spark.createDataFrame(
         pd.DataFrame(

@@ -440,20 +440,20 @@ class Crawler:
             )
 
             # URL-seen: bloom prefilter, exact anti-join for the maybes.
-            # One collect drives the control flow AND maintains the bloom:
-            # for waves under driver_bloom_threshold the candidate URL
-            # column comes back with the probe flags and is hashed into the
-            # filter driver-side on the spot (adding the few rows the exact
-            # anti-join later rejects is harmless — the bloom is a superset
-            # prefilter, membership truth stays with the anti-join).
+            # Filter MAINTENANCE happens after the snapshot write (below):
+            # the filter must hold exactly ONE fingerprint per frontier
+            # ROW — adding per-candidate would duplicate fingerprints on
+            # re-discovery (cuckoo slots exhaust), and skipping probe-
+            # positives would leave a false-positive-but-confirmed-new row
+            # with no fingerprint of its own (its collision partner's
+            # evict would then false-negative it). "Rows that joined this
+            # wave" is the only set that keeps copy-count == row-count,
+            # which is what makes a single delete() per evicted row sound.
             if self._bloom is not None:
                 probed = self._bloom.probe(candidates, "url").persist()
-                thr = cfg.driver_bloom_threshold
                 # the agg scans EVERY partition, fully materializing the
-                # persisted probe BEFORE the driver mutates the filter below
-                # — so the maybe_seen flags later reused by the snapshot
-                # write come from the cache, not a recompute against the
-                # updated filter (metrics and new_rows stay consistent)
+                # persisted probe — the maybe_seen flags reused by the
+                # snapshot write come from the cache, one filter state
                 stats = probed.agg(
                     F.count("*").alias("n"),
                     F.coalesce(
@@ -462,18 +462,6 @@ class Crawler:
                     ).alias("new"),
                 ).collect()[0]
                 n_candidates, n_bloom_passed = stats["n"], int(stats["new"])
-                if n_candidates <= thr:
-                    # only filter-NEGATIVE urls are added: a maybe_seen url
-                    # already probes positive (whether truly seen or a
-                    # false positive), and re-adding it would insert a
-                    # duplicate fingerprint in cuckoo mode — duplicate
-                    # copies eat table slots and accelerate saturation
-                    for r in probed.select("url", "maybe_seen").collect():
-                        if not r["maybe_seen"]:
-                            self._bloom.add(r["url"])
-                    self._bloom_dirty = False
-                else:  # huge wave: distributed build later
-                    self._bloom_dirty = True
                 if n_candidates == 0:
                     new_rows = probed.drop("maybe_seen")  # empty
                 else:
@@ -618,15 +606,21 @@ class Crawler:
             k: v for k, v in metrics.items() if k != "pending_kind_counts"
         }
 
-        # huge-wave seen-filter maintenance: the candidate collect above
-        # already fed the filter for normal waves; only an over-threshold
-        # wave (filter left dirty) pays a distributed position build (bloom)
-        # or a streamed driver add (cuckoo)
-        if self._bloom is not None and getattr(self, "_bloom_dirty", False) and n_new > 0:
+        # seen-filter maintenance: add exactly the rows that JOINED the
+        # frontier this wave (one fingerprint per row — see the probe
+        # comment above), reading them back from the just-written snapshot.
+        # Small waves hash driver-side (one tiny scan); big waves use the
+        # distributed position build (bloom) / int-pair build (cuckoo).
+        # BOTH paths add the same set, so filter contents never depend on
+        # wave size.
+        if self._bloom is not None and n_new > 0:
             new_urls = frontier_next.filter(
                 (F.col("state") == "pending") & (F.col("wave_added") == wave_no)
             ).select("url")
-            if isinstance(self._bloom, ShardedBloom):
+            if n_new <= cfg.driver_bloom_threshold:
+                for r in new_urls.collect():
+                    self._bloom.add(r["url"])
+            elif isinstance(self._bloom, ShardedBloom):
                 self._bloom.merge(
                     ShardedBloom.build(
                         new_urls,
@@ -639,7 +633,6 @@ class Crawler:
                 )
             else:
                 self._bloom.add_positions(new_urls, "url")
-            self._bloom_dirty = False
         if probed is not None:
             probed.unpersist()
         fetched.unpersist()

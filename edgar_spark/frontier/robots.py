@@ -30,6 +30,12 @@ ROBOTS_SCHEMA = StructType(
         StructField("path_prefix", StringType(), False),
         StructField("allowed", BooleanType(), False),
         StructField("crawl_delay_ms", IntegerType(), True),
+        # REP precedence length of the ORIGINAL pattern (NULL ⇒ use
+        # length(path_prefix)). A wildcard Disallow is matched by its
+        # truncated prefix but must keep its full pattern length for
+        # longest-match, or a longer literal Allow would out-rank it and
+        # UNDER-block.
+        StructField("pattern_len", IntegerType(), True),
     ]
 )
 
@@ -47,10 +53,14 @@ def split_robots(
     broadcast-joins on host, and the winner is folded per row with a
     higher-order ``aggregate`` — the frontier side never moves.
     """
+    if "pattern_len" not in robots.columns:  # older callers' rule tables
+        robots = robots.withColumn("pattern_len", F.lit(None).cast("int"))
     rules_per_host = robots.groupBy("host").agg(
         F.collect_list(
             F.struct(
-                F.length("path_prefix").alias("plen"),
+                F.coalesce(
+                    F.col("pattern_len"), F.length("path_prefix").cast("int")
+                ).alias("plen"),
                 F.col("path_prefix").alias("prefix"),
                 F.col("allowed").alias("allowed"),
             )
@@ -109,7 +119,11 @@ def rules_from_robots_pages(
                 host = re.match(r"^https?://([^/]+)/", t.url).group(1)
                 rows.extend(parse_robots_txt(host, t.text or "", user_agent))
             yield pd.DataFrame(
-                rows, columns=["host", "path_prefix", "allowed", "crawl_delay_ms"]
+                rows,
+                columns=[
+                    "host", "path_prefix", "allowed", "crawl_delay_ms",
+                    "pattern_len",
+                ],
             )
 
     return robots_pages.mapInPandas(gen, ROBOTS_SCHEMA)
@@ -168,14 +182,17 @@ def parse_robots_txt(
                 path = val.split("*", 1)[0] or "/"
             else:
                 path = val
-            rules.append((path, key == "allow"))
+            # precedence uses the ORIGINAL pattern length: a truncated
+            # wildcard Disallow must still out-rank any shorter literal
+            # Allow it overlaps, else the allow would punch an unsafe hole
+            rules.append((path, key == "allow", len(val)))
         elif key == "crawl-delay":
             in_rules = True
             try:
                 ms = float(val) * 1000
-                # clamp to int32 (schema) and reject inf/nan/negatives
-                if ms == ms and 0 <= ms < 2**31:
-                    delay = int(ms)
+                # clamp to int32 (inf → max politeness); nan/negatives drop
+                if ms == ms and ms >= 0:
+                    delay = int(min(ms, 2**31 - 1))
             except (ValueError, OverflowError):
                 pass
     flush()
@@ -186,13 +203,14 @@ def parse_robots_txt(
         chosen = [g for g in groups if "*" in g[0]]
     rows = []
     for _, grules, gdelay in chosen:
-        for path, is_allow in grules:
+        for path, is_allow, plen in grules:
             rows.append(
                 {
                     "host": host,
                     "path_prefix": path,
                     "allowed": is_allow,
                     "crawl_delay_ms": gdelay,
+                    "pattern_len": plen,
                 }
             )
         if not grules and gdelay is not None:
@@ -202,6 +220,7 @@ def parse_robots_txt(
                     "path_prefix": "/",
                     "allowed": True,
                     "crawl_delay_ms": gdelay,
+                    "pattern_len": 1,
                 }
             )
     return rows

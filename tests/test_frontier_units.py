@@ -133,6 +133,43 @@ Disallow: /
     # wildcard paths truncate to a conservative prefix; empty Disallow = noop
     wild = parse_robots_txt("h", "User-agent: *\nDisallow: /a/*/b\nDisallow:\n")
     assert [(r["path_prefix"], r["allowed"]) for r in wild] == [("/a/", False)]
+    # precedence keeps the ORIGINAL pattern length, match uses the prefix
+    assert wild[0]["pattern_len"] == len("/a/*/b")
+    # wildcard Allow is dropped (truncation would widen the allow)
+    wa = parse_robots_txt("h", "User-agent: *\nAllow: /x*\nDisallow: /x\n")
+    assert [(r["path_prefix"], r["allowed"]) for r in wa] == [("/x", False)]
+    # crawl-delay clamps (inf → int32 max) and drops nan/negatives
+    inf_rows = parse_robots_txt("h", "User-agent: *\nDisallow: /\nCrawl-delay: inf\n")
+    assert inf_rows[0]["crawl_delay_ms"] == 2**31 - 1
+    neg = parse_robots_txt("h", "User-agent: *\nDisallow: /\nCrawl-delay: -3\n")
+    assert neg[0]["crawl_delay_ms"] is None
+
+
+def test_split_robots_wildcard_disallow_keeps_precedence(spark):
+    """A truncated wildcard Disallow must out-rank a longer LITERAL Allow
+    it overlaps (REP compares original pattern lengths) — the truncated
+    prefix must never under-block."""
+    import pandas as pd
+
+    from edgar_spark.frontier.robots import ROBOTS_SCHEMA, parse_robots_txt, split_robots
+
+    rows = parse_robots_txt(
+        "h.example", "User-agent: *\nDisallow: /files*private\nAllow: /files2\n"
+    )
+    robots = spark.createDataFrame(pd.DataFrame(rows), ROBOTS_SCHEMA)
+    frontier = spark.createDataFrame(
+        [
+            ("https://h.example/files2private", "h.example"),  # REP: blocked
+            ("https://h.example/files2public", "h.example"),  # over-blocked (safe)
+            ("https://h.example/other", "h.example"),  # allowed
+        ],
+        ["url", "host"],
+    )
+    allowed, blocked = split_robots(frontier, robots)
+    got_blocked = {r["url"] for r in blocked.collect()}
+    assert "https://h.example/files2private" in got_blocked
+    assert "https://h.example/files2public" in got_blocked  # conservative
+    assert "https://h.example/other" not in got_blocked
 
 
 def test_split_robots_longest_match(spark):

@@ -199,7 +199,10 @@ def test_simhash_similarity(docs):
     assert sig[1] == sig[2]  # identical text, identical fingerprint
 
     def ham(a, b):
-        return bin(a ^ b).count("1")
+        # fingerprints are signed 64-bit reinterpretations: mask the xor
+        # back to 64 unsigned bits before popcount (bin() of a negative
+        # int would count the magnitude instead)
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
     assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])  # near dup closer
     assert sig[5] == 0
