@@ -946,7 +946,7 @@ _ORACLES: Dict[str, str] = {
         )
         SELECT k.source,
                count(*) AS n_docs,
-               sum(q.n_tok) AS total_tokens,
+               CAST(sum(q.n_tok) AS BIGINT) AS total_tokens,
                round(CAST(sum(CAST(q.qs AS DECIMAL(18,6))) AS DOUBLE)
                      / count(*), 6) AS avg_quality
         FROM kept k

@@ -9,11 +9,18 @@ canonicalizations:
 * **coerced** — every Decimal coerced to float64 first (the pandas fetch
   path the driver may use on either side).
 
-A key passes only if ALL FOUR hashes (2 canonicalizations × 2 engines)
-agree — i.e. the result is rendering-invariant no matter which fetch path
-the driver's canonicalizer takes on which side. Round 1 shipped 8 red rows
-because the old single-canon gate str()'d Decimals identically on both
-sides while the driver coerced only one side; this closes that hole.
+plus a THIRD pair computed from the **pandas fetch path** — the frames
+``sdf.toPandas()`` and ``cur.fetchdf()`` rendered with plain ``str()`` per
+value, which is how the driver sees them. A key passes only if the four
+native-path hashes (strict + coerced × 2 engines) agree AND the pandas
+pair agrees — i.e. the result is
+rendering-invariant no matter which fetch path the driver's canonicalizer
+takes on which side. Round 1 shipped 8 red rows because the old
+single-canon gate str()'d Decimals identically on both sides while the
+driver coerced only one side; round 2 shipped 1 red row because
+``fetchall()`` turns a DuckDB HUGEINT into a native int while the driver's
+``fetchdf()`` turns it into float64 (``807`` vs ``807.0``). The pandas
+pair closes the whole fetch-path class.
 
 Usage: python tools/check_oracle.py [sf_dir] [key ...]
 """
@@ -54,6 +61,37 @@ def canon(v, coerce_decimal: bool) -> str:
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def _pd_canon(v) -> str:
+    """Render a pandas-fetched value the way the driver's pandas path does:
+    plain ``str()``, so int64 807 and float64 807.0 hash DIFFERENTLY —
+    exactly the divergence that made corpus_curation red in round 2."""
+    import numpy as np
+
+    if v is None:
+        return "\\N"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, np.ndarray):
+        return str([x.item() if isinstance(x, np.generic) else x for x in v])
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    return str(v)
+
+
+def pandas_frame_hash(pdf) -> str:
+    cols = list(pdf.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(_pd_canon(r[i]) for i in order)
+        for r in pdf.itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
 
 
 def frame_hash(cols: list[str], rows: list[tuple], coerce_decimal: bool) -> str:
@@ -105,6 +143,7 @@ def main() -> None:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {key:24s} spark error: {e}")
             failures.append(key)
@@ -116,6 +155,7 @@ def main() -> None:
             cur = con.execute(oracles[key])
             d_cols = [d[0] for d in cur.description]
             d_rows = cur.fetchall()
+            d_pdf = con.execute(oracles[key]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {key:24s} duckdb error: {e}")
             failures.append(key)
@@ -130,10 +170,12 @@ def main() -> None:
             hd = frame_hash(d_cols, d_rows, coerce_decimal=False)
             hs_c = frame_hash(s_cols, s_rows, coerce_decimal=True)
             hd_c = frame_hash(d_cols, d_rows, coerce_decimal=True)
-            if len({hs, hd, hs_c, hd_c}) != 1:
+            hs_p = pandas_frame_hash(s_pdf)
+            hd_p = pandas_frame_hash(d_pdf)
+            if len({hs, hd, hs_c, hd_c}) != 1 or hs_p != hd_p:
                 problems.append(
-                    f"hash strict {hs} vs {hd}, coerced {hs_c} vs {hd_c} "
-                    "(all four must agree)"
+                    f"hash strict {hs} vs {hd}, coerced {hs_c} vs {hd_c}, "
+                    f"pandas {hs_p} vs {hd_p} (all six must agree)"
                 )
         if problems:
             print(f"FAIL  {key:24s} {'; '.join(problems)}")
