@@ -306,6 +306,23 @@ class CuckooFilter:
         for u in urls:
             self.add(u)
 
+    # -- (de)serialization for the sharded distributed build ----------
+    def state_tuple(self) -> tuple:
+        return (
+            self.table.tobytes(),
+            sorted([list(p) for p in self.stash]),
+            self.saturated,
+        )
+
+    def load_state(self, table_bytes: bytes, stash, saturated: bool) -> None:
+        self.table = (
+            np.frombuffer(table_bytes, dtype=np.uint16)
+            .reshape(self.n, 4)
+            .copy()
+        )
+        self.stash = {(int(a), int(b)) for a, b in stash}
+        self.saturated = bool(saturated)
+
     def delete(self, item: str) -> bool:
         fp = self._fp(item)
         for i in (self._i1(item), self._i2(self._i1(item), fp)):
@@ -318,3 +335,182 @@ class CuckooFilter:
                 self.stash.discard((i, fp))
                 return True
         return False
+
+
+_CUCKOO_STATE_SCHEMA = (
+    "shard int, tbl binary, stash array<array<int>>, saturated boolean"
+)
+
+
+class ShardedCuckoo:
+    """Sharded cuckoo filter — the deletable URL-seen set at frontier scale.
+
+    A single :class:`CuckooFilter` build funnels one (bucket, fingerprint)
+    pair per URL through the driver, whose kick-loop insertion is a serial
+    bottleneck and whose table is one driver-memory blob. Sharding by an
+    independent url-hash fixes both, mirroring :class:`ShardedBloom`:
+
+    * **build/maintenance is distributed** — executors hash URLs to
+      (shard, bucket, fingerprint), pairs shuffle once on shard, and each
+      shard's kick-loop insertion runs inside ONE ``applyInPandas`` task
+      against that shard's own table; only the updated serialized tables
+      (n_shards rows, never per-URL pairs) return to the driver;
+    * **state is per-shard** — at design scale shard tables live in a
+      keyed table and probes broadcast only the shards a partition needs
+      (same story as the bloom's 12 GB @ 10^10 keys); saturation degrades
+      per shard, not globally.
+
+    Insertion order within a shard is made deterministic by sorting the
+    wave's pairs, so the built tables are independent of input
+    partitioning. Same no-false-negative contract as the single filter:
+    stash + per-shard saturation degrade to maybe-seen, the crawler's
+    exact anti-join decides.
+    """
+
+    def __init__(
+        self,
+        n_shards: int = 4,
+        n_buckets_per_shard: int = 1 << 16,
+        max_kicks: int = 500,
+        stash_max: int = 512,
+    ) -> None:
+        self.n_shards = n_shards
+        self.shards: List[CuckooFilter] = [
+            CuckooFilter(n_buckets_per_shard, max_kicks, stash_max)
+            for _ in range(n_shards)
+        ]
+
+    def _shard(self, item: str) -> int:
+        # blake2b upper-64 — independent of both the crc32 fingerprint and
+        # the lower-64 bucket index, so shard routing does not correlate
+        # with in-shard placement
+        _, h2 = _hash_pair(item)
+        return h2 % self.n_shards
+
+    # -- driver-side ops (seeds, small waves, evict) -------------------
+    def add(self, item: str) -> bool:
+        return self.shards[self._shard(item)].add(item)
+
+    def add_all(self, urls) -> None:
+        for u in urls:
+            self.add(u)
+
+    def contains(self, item: str) -> bool:
+        return self.shards[self._shard(item)].contains(item)
+
+    def delete(self, item: str) -> bool:
+        return self.shards[self._shard(item)].delete(item)
+
+    @property
+    def saturated(self) -> bool:
+        return all(s.saturated for s in self.shards)
+
+    def probe(self, df, url_col: str, flag_col: str = "maybe_seen"):
+        """Vectorized probe, same surface as ShardedBloom/CuckooFilter."""
+        filt = self
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[flag_col] = [
+                    bool(u is not None and filt.contains(u)) for u in pdf[url_col]
+                ]
+                yield pdf
+
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        schema = StructType(df.schema.fields + [StructField(flag_col, BooleanType())])
+        return df.mapInPandas(gen, schema=schema)
+
+    # -- distributed build / maintenance -------------------------------
+    def _pairs_df(self, df, url_col: str):
+        n_shards = self.n_shards
+        n = self.shards[0].n
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                sh, i1s, fps = [], [], []
+                for u in pdf[url_col]:
+                    if u is not None:
+                        h1, h2 = _hash_pair(u)
+                        sh.append(h2 % n_shards)
+                        i1s.append(h1 % n)
+                        fps.append((zlib.crc32(u.encode("utf-8")) & 0xFFFF) or 1)
+                yield pd.DataFrame(
+                    {
+                        "shard": np.array(sh, dtype=np.int32),
+                        "i1": np.array(i1s, dtype=np.int64),
+                        "fp": np.array(fps, dtype=np.int64),
+                    }
+                )
+
+        return df.select(url_col).mapInPandas(gen, schema="shard int, i1 long, fp long")
+
+    def add_positions(self, df, url_col: str = "url") -> None:
+        """Distributed incremental insert (the cuckoo twin of the bloom's
+        position build, now with shard-local kick loops): executors hash,
+        pairs shuffle once on shard, each shard's insertion runs in one
+        task over the shard's CURRENT state, and only the n_shards updated
+        serialized tables come back to the driver."""
+        spark = df.sparkSession
+        pairs = self._pairs_df(df, url_col)
+
+        states = [
+            (i,) + self.shards[i].state_tuple() for i in range(self.n_shards)
+        ]
+        state_df = spark.createDataFrame(  # Arrow path: JVM LocalTableScan
+            pd.DataFrame(
+                states, columns=["shard", "tbl", "stash", "saturated"]
+            ),
+        )
+        params = (self.shards[0].n, self.shards[0].max_kicks, self.shards[0].stash_max)
+
+        def upd(key, pairs_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+            filt = CuckooFilter(*params)
+            if len(state_pdf):
+                filt.load_state(
+                    state_pdf["tbl"].iloc[0],
+                    state_pdf["stash"].iloc[0],
+                    state_pdf["saturated"].iloc[0],
+                )
+            if len(pairs_pdf):
+                # deterministic insertion order: the built table must not
+                # depend on how the wave's pairs were partitioned
+                pairs_pdf = pairs_pdf.sort_values(["i1", "fp"], kind="mergesort")
+                for i1, fp in zip(pairs_pdf["i1"], pairs_pdf["fp"]):
+                    filt.add_pair(int(i1), int(fp))
+            tbl, stash, sat = filt.state_tuple()
+            return pd.DataFrame(
+                {
+                    "shard": [int(key[0])],
+                    "tbl": [tbl],
+                    "stash": [stash],
+                    "saturated": [sat],
+                }
+            )
+
+        rows = (
+            pairs.groupBy("shard")
+            .cogroup(state_df.groupBy("shard"))
+            .applyInPandas(upd, _CUCKOO_STATE_SCHEMA)
+            .collect()
+        )
+        for r in rows:
+            self.shards[r["shard"]].load_state(
+                bytes(r["tbl"]), r["stash"], r["saturated"]
+            )
+
+    @classmethod
+    def build(
+        cls,
+        df,
+        url_col: str,
+        n_shards: int = 4,
+        n_buckets_per_shard: int = 1 << 16,
+        max_kicks: int = 500,
+        stash_max: int = 512,
+    ) -> "ShardedCuckoo":
+        """Bulk distributed build from an empty filter."""
+        out = cls(n_shards, n_buckets_per_shard, max_kicks, stash_max)
+        out.add_positions(df, url_col)
+        return out

@@ -82,10 +82,11 @@ class CrawlConfig:
     checkpoint_dir: Optional[str] = None
     use_bloom: bool = True
     # "bloom" (sharded, append-only; the 10^10 scale path) or "cuckoo"
-    # (supports delete — enables mark_for_recrawl; driver-resident at
-    # sandbox scale, sharded the same way as the bloom at design scale)
+    # (supports delete — enables mark_for_recrawl; sharded like the bloom:
+    # executors hash, kick loops run per-shard in applyInPandas tasks)
     seen_filter: str = "bloom"
     cuckoo_buckets: int = 1 << 16
+    cuckoo_shards: int = 4
     bloom_shards: int = 4
     bloom_bits_per_shard: int = 1 << 22  # ~4 Mbit/shard; size up per SURVEY §7.5
     bloom_hashes: int = 5
@@ -161,9 +162,12 @@ class Crawler:
         if not self.cfg.use_bloom:
             self._bloom = None
         elif self.cfg.seen_filter == "cuckoo":
-            from edgar_spark.frontier.bloom import CuckooFilter
+            from edgar_spark.frontier.bloom import ShardedCuckoo
 
-            self._bloom = CuckooFilter(n_buckets=self.cfg.cuckoo_buckets)
+            self._bloom = ShardedCuckoo(
+                n_shards=self.cfg.cuckoo_shards,
+                n_buckets_per_shard=self.cfg.cuckoo_buckets,
+            )
         else:
             self._bloom = ShardedBloom(
                 self.cfg.bloom_shards,

@@ -67,7 +67,17 @@ def split_robots(
         ).alias("_rules")
     )
     with_path = frontier.withColumn(
-        "_path", F.regexp_extract(F.col(url_col), r"^https?://[^/]+(/.*)$", 1)
+        "_path",
+        # A bare-host URL (https://example.com, no trailing slash) extracts
+        # an empty path that would match no rule — not even "Disallow: /".
+        # The REP resolves such URLs as "/", so coalesce before matching.
+        F.when(
+            F.regexp_extract(F.col(url_col), r"^https?://[^/]+(/.*)$", 1)
+            == "",
+            F.lit("/"),
+        ).otherwise(
+            F.regexp_extract(F.col(url_col), r"^https?://[^/]+(/.*)$", 1)
+        ),
     ).join(F.broadcast(rules_per_host), "host", "left")
 
     init = F.struct(

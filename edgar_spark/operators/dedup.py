@@ -19,6 +19,7 @@ per-row Python objects in the driver.
 
 from __future__ import annotations
 
+import itertools
 from typing import Iterator
 
 import numpy as np
@@ -272,49 +273,101 @@ def simhash_signatures(
     )
 
 
+def _chunk_widths(n_chunks: int) -> list:
+    """Split 64 bits into ``n_chunks`` as-even-as-possible widths."""
+    base, extra = divmod(64, n_chunks)
+    return [base + (1 if i < extra else 0) for i in range(n_chunks)]
+
+
+def auto_simhash_chunks(
+    n_docs: int, max_hamming: int, target_load: float = 16.0
+) -> int:
+    """Pick the chunk count for combination banding so the expected
+    bucket population ``n_docs / 2^key_width`` stays ≤ ``target_load``
+    under a uniform-hash model (key_width = the SMALLEST combo width, i.e.
+    the sum of the ``n_chunks - max_hamming`` narrowest chunk widths).
+
+    Growing ``n_chunks`` beyond the pigeonhole minimum ``max_hamming+1``
+    widens the join key (combos of ``n_chunks - max_hamming`` chunks
+    instead of single chunks) at the cost of C(n_chunks, r) keys per doc —
+    the Manku-style trade that keeps in-bucket joins bounded as the corpus
+    grows past 2^16 docs. Capped at 64 keys per doc; returns the widest
+    feasible chunk count if even that cannot meet the load target (at
+    which point a per-bucket size cap is the remaining lever).
+    """
+    import math as _math
+
+    best = max_hamming + 1
+    for c in range(max_hamming + 1, 17):
+        r = c - max_hamming
+        if _math.comb(c, r) > 64:
+            break
+        key_width = sum(sorted(_chunk_widths(c))[:r])
+        best = c
+        if n_docs / float(2 ** min(key_width, 62)) <= target_load:
+            return c
+    return best
+
+
 def simhash_near_dups(
     df: DataFrame,
     max_hamming: int = 3,
     n_chunks: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_count: int = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole banding: the 64-bit fingerprint splits into ``n_chunks``
-    16-bit chunks; any pair within ``max_hamming`` ≤ n_chunks-1 bit flips
-    must share at least one EXACT chunk, so candidates come from a
-    chunk-equality self-join (one shuffle on (chunk_idx, chunk_val)) and
-    the O(n²) pair space never materializes. Verification is
-    bit_count(xor) on the candidate pairs only — all JVM-side exprs.
+    Combination banding (pigeonhole, exact recall): the 64-bit fingerprint
+    splits into ``n_chunks`` as-even-as-possible chunks; a pair within
+    ``max_hamming`` bit flips leaves at least ``r = n_chunks - max_hamming``
+    chunks untouched, so the pair agrees EXACTLY on some r-subset of
+    chunks — and therefore on that subset's concatenated join key. Each doc
+    emits one key per r-combination (C(n_chunks, r) keys); candidates come
+    from a key-equality self-join (one shuffle on (combo_id, key)) and the
+    O(n²) pair space never materializes. Verification is bit_count(xor) on
+    the candidate pairs only — all JVM-side exprs.
     Output: (id_a, id_b, hamming) with id_a < id_b.
 
-    SCALE NOTE: a 16-bit chunk has 65,536 values, so past ~10^7 docs the
-    per-bucket population (and its quadratic in-bucket join) grows — at
-    that scale split the fingerprint into FEWER, WIDER chunks (2×32-bit
-    covers max_hamming=1, the common exact-near-dup radius) or band
-    hierarchically (chunk prefix first, full chunk within the bucket);
-    dup-heavy corpora additionally want a per-bucket size cap with the
-    overflow routed through minhash verification.
+    ``n_chunks = max_hamming + 1`` (the default 4 for hamming ≤ 3) gives
+    the classic single-chunk banding with 16-bit keys — fine below ~10^6
+    docs. Pass ``n_chunks=None`` to AUTO-SELECT from the corpus size
+    (``corpus_count`` if given, else one counting scan): the chunk count
+    grows until the expected bucket population under a uniform-hash model
+    is bounded, widening keys to ~25/32/36 bits as the corpus passes
+    10^7/10^9/10^10 docs. Dup-heavy corpora additionally want a per-bucket
+    size cap with the overflow routed through minhash verification.
     """
+    if n_chunks is None:
+        n = corpus_count if corpus_count is not None else df.count()
+        n_chunks = auto_simhash_chunks(n, max_hamming)
     if max_hamming > n_chunks - 1:
         raise ValueError("pigeonhole needs max_hamming <= n_chunks - 1")
+    widths = _chunk_widths(n_chunks)
+    starts = [sum(widths[:i]) for i in range(n_chunks)]
+
+    def chunk_expr(i):
+        # LOGICAL shift: the fingerprint is a signed reinterpretation of
+        # 64 unsigned bits — an arithmetic shift would smear the sign into
+        # the top chunk
+        return F.shiftrightunsigned(F.col("simhash"), starts[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    r = n_chunks - max_hamming
+    combos = list(itertools.combinations(range(n_chunks), r))
+    key_exprs = []
+    for subset in combos:
+        key = chunk_expr(subset[0])
+        for i in subset[1:]:
+            key = F.shiftleft(key, widths[i]).bitwiseOR(chunk_expr(i))
+        key_exprs.append(key)
+
     sigs = simhash_signatures(df, text_col, id_col)
     chunked = sigs.select(
         id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    # LOGICAL shift: the fingerprint is a signed
-                    # reinterpretation of 64 unsigned bits — an arithmetic
-                    # shift would smear the sign into the top chunk
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
-                        F.lit(0xFFFF)
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+        F.posexplode(F.array(*key_exprs)).alias("chunk_idx", "chunk_val"),
     )
     left = chunked.select(F.col(id_col).alias("id_a"), "chunk_idx", "chunk_val")
     right = chunked.select(F.col(id_col).alias("id_b"), "chunk_idx", "chunk_val")

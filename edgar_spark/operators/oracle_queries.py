@@ -250,8 +250,9 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints. Fully oracled: per-token md5-lower-64 hashes,
-    64-bit majority vote, and the sign-safe >>1 are reproduced in SQL."""
+    """SimHash fingerprints. Fully oracled: per-token md5-lower-64 hashes
+    and the full-64-bit majority vote (signature kept as a two's-complement
+    signed long, bit 63 included) are reproduced in SQL."""
     from edgar_spark.operators.dedup import simhash_signatures
 
     return simhash_signatures(_t(spark, sf_dir, "documents"))

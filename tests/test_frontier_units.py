@@ -57,6 +57,55 @@ def test_cuckoo_filter_no_false_negative_when_full():
     assert all(c2.contains(u) for u in spill)
 
 
+def test_sharded_cuckoo_distributed_build(spark):
+    """The sharded distributed build (executors hash → shuffle on shard →
+    shard-local kick loops in applyInPandas) honors the seen-filter
+    contract, is invariant to input partitioning, and supports delete."""
+    import pandas as pd
+
+    from edgar_spark.frontier.bloom import ShardedCuckoo
+
+    urls = [f"https://www.sec.gov/Archives/edgar/data/{i}/R1.htm" for i in range(2000)]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+
+    built = ShardedCuckoo.build(df.repartition(13), "url", n_shards=4,
+                                n_buckets_per_shard=1 << 12)
+    assert all(built.contains(u) for u in urls)  # no false negatives
+    fresh = [f"https://www.sec.gov/other/{i}" for i in range(2000)]
+    assert sum(built.contains(u) for u in fresh) / len(fresh) < 0.05
+
+    # partitioning-invariant: sorted insertion makes shard tables identical
+    again = ShardedCuckoo.build(df.repartition(1), "url", n_shards=4,
+                                n_buckets_per_shard=1 << 12)
+    for s1, s2 in zip(built.shards, again.shards):
+        assert (s1.table == s2.table).all()
+        assert s1.stash == s2.stash and s1.saturated == s2.saturated
+
+    # distributed incremental == driver add on top of the same state
+    more = [f"https://www.sec.gov/extra/{i}" for i in range(500)]
+    built.add_positions(spark.createDataFrame(pd.DataFrame({"url": more})))
+    assert all(built.contains(u) for u in urls + more)
+
+    assert built.delete(urls[0])
+    assert not built.contains(urls[0])
+    assert built.contains(urls[1])
+
+
+def test_sharded_cuckoo_saturation_is_per_shard():
+    """Overloading tiny shards degrades precision per shard only — and
+    never yields a false negative anywhere."""
+    from edgar_spark.frontier.bloom import ShardedCuckoo
+
+    f = ShardedCuckoo(n_shards=4, n_buckets_per_shard=2, stash_max=2)
+    urls = [f"u{i}" for i in range(400)]  # ~100 per shard >> 8 slots + 2
+    f.add_all(urls)
+    assert all(f.contains(u) for u in urls)
+    assert f.saturated  # all four shards overloaded
+    f2 = ShardedCuckoo(n_shards=4, n_buckets_per_shard=1 << 10)
+    f2.add_all(urls)
+    assert not f2.saturated
+
+
 def test_canonicalize_and_bucket(spark):
     from pyspark.sql import functions as F
 
@@ -170,6 +219,32 @@ def test_split_robots_wildcard_disallow_keeps_precedence(spark):
     assert "https://h.example/files2private" in got_blocked
     assert "https://h.example/files2public" in got_blocked  # conservative
     assert "https://h.example/other" not in got_blocked
+
+
+def test_split_robots_bare_host_url(spark):
+    """A bare-host URL (no path at all) resolves to "/" under the REP, so a
+    host-wide Disallow must block it — the empty extracted path must not
+    slip past every rule."""
+    import pandas as pd
+
+    from edgar_spark.frontier.robots import ROBOTS_SCHEMA, parse_robots_txt, split_robots
+
+    rows = parse_robots_txt("h.example", "User-agent: *\nDisallow: /\n")
+    robots = spark.createDataFrame(pd.DataFrame(rows), ROBOTS_SCHEMA)
+    frontier = spark.createDataFrame(
+        [
+            ("https://h.example", "h.example"),  # bare host → path "/"
+            ("https://h.example/", "h.example"),
+            ("https://open.example", "open.example"),  # no rules → allowed
+        ],
+        ["url", "host"],
+    )
+    allowed, blocked = split_robots(frontier, robots)
+    assert {r["url"] for r in blocked.collect()} == {
+        "https://h.example",
+        "https://h.example/",
+    }
+    assert {r["url"] for r in allowed.collect()} == {"https://open.example"}
 
 
 def test_split_robots_longest_match(spark):

@@ -223,6 +223,56 @@ def test_simhash_near_dups(docs):
         simhash_near_dups(docs, max_hamming=4, n_chunks=4)  # pigeonhole bound
 
 
+def test_simhash_combination_banding_equivalence(spark):
+    """Combination banding (wide keys, n_chunks > max_hamming+1) is exact:
+    the pair set on a real corpus must equal the classic single-chunk
+    16-bit banding's, for both a hand-picked wide setting and the
+    auto-selected one."""
+    from edgar_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def pair_set(**kw):
+        return {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dups(docs, max_hamming=3, **kw).collect()
+        }
+
+    classic = pair_set(n_chunks=4)
+    assert classic  # the fixture must actually contain near-dups
+    assert pair_set(n_chunks=6) == classic  # C(6,3)=20 keys, ~32-bit wide
+    # auto path: a claimed 10^9-doc corpus picks wider-than-16-bit keys
+    assert pair_set(n_chunks=None, corpus_count=10**9) == classic
+
+
+def test_auto_simhash_chunks_bounds():
+    """Auto-selection widens the join key as the corpus grows, keeps the
+    pigeonhole minimum for small corpora, and caps keys-per-doc at 64."""
+    import math
+
+    from edgar_spark.operators.dedup import _chunk_widths, auto_simhash_chunks
+
+    assert auto_simhash_chunks(10**4, 3) == 4  # small corpus: classic 4×16
+    assert auto_simhash_chunks(10**4, 1) == 2  # hamming 1: 2×32 suffices
+    grows = [auto_simhash_chunks(n, 3) for n in (10**6, 10**7, 10**9, 10**12)]
+    assert grows == sorted(grows) and grows[-1] > 4
+    for n in (10**6, 10**9, 10**12, 10**15):
+        for h in (1, 2, 3):
+            c = auto_simhash_chunks(n, h)
+            r = c - h
+            assert r >= 1 and math.comb(c, r) <= 64
+            # expected bucket load bounded whenever a feasible width exists
+            key_width = sum(sorted(_chunk_widths(c))[:r])
+            if key_width < 62:
+                feasible = any(
+                    math.comb(cc, cc - h) <= 64
+                    and n / 2 ** sum(sorted(_chunk_widths(cc))[: cc - h]) <= 16
+                    for cc in range(h + 1, 17)
+                )
+                if feasible:
+                    assert n / 2**key_width <= 16
+
+
 def test_brute_force_vs_ann(spark):
     from edgar_spark.operators.similarity import ann_topk, brute_force_topk
 
