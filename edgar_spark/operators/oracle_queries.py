@@ -290,6 +290,56 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run of the streaming exact-dedup twin:
+    the documents table replayed as a bounded file stream (availableNow),
+    complete-mode aggregation into a memory sink, whose final contents —
+    returned as a batch DataFrame — must equal the batch operator / the
+    plain GROUP BY oracle. Gives the streaming tier a driver-gated key
+    instead of pytest-only coverage."""
+    from edgar_spark.streaming.pipeline import streaming_exact_dedup
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory: stream sf_dir, glob to this table
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    qname = "streaming_exact_dedup_sink"
+    q = (
+        streaming_exact_dedup(src)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-quantizer IVF assignment — the k-means trainer's driver key.
+    Runs ``kmeans_centroids`` (seeds = k lowest-id vectors, 2 Lloyd rounds,
+    per-round means quantized via ROUND so float summation order cannot
+    diverge across engines) and assigns every corpus vector to its nearest
+    trained centroid. The oracle unrolls the SAME iterations in SQL:
+    assignment = round-6 cosine rank, mean update = round-9 avg per
+    (cluster, dim), empty clusters keep their previous centroid."""
+    import numpy as np
+
+    from edgar_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k, n_iter = 8, 2
+    cmat = kmeans_centroids(emb, k=k, n_iter=n_iter, mean_round_dp=9)
+    return ivf_assign(
+        emb, cmat, np.arange(k, dtype=np.int64), n_probe=1
+    ).select("vec_id", "centroid_id")
+
+
 def q_mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column stats: documents text re-encoded as an opaque
     payload, length + content hash computed JVM-side."""
@@ -650,6 +700,8 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": q_simhash_near_dups,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_assign": q_ivf_assign,
+    "streaming_exact_dedup": q_streaming_exact_dedup,
     "corpus_curation": q_corpus_curation,
     "mm_byte_stats": q_mm_byte_stats,
     "mm_image_stats": q_mm_image_stats,
@@ -741,6 +793,10 @@ _ORACLES: Dict[str, str] = {
         GROUP BY year(o_orderdate)
     """,
     "exact_dedup": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "streaming_exact_dedup": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)
     """,
@@ -1395,7 +1451,69 @@ def _ivf_topk_oracle_sql(n_centroids: int = 16, n_probe: int = 2, k: int = 5) ->
     """
 
 
+def _ivf_assign_oracle_sql(k: int = 8, n_iter: int = 2, mean_dp: int = 9) -> str:
+    """Unrolled Lloyd's k-means + final assignment, reproducing
+    ``kmeans_centroids(mean_round_dp=9)`` → ``ivf_assign`` exactly:
+    seeds = the k lowest-vec_id vectors (centroid ids 0..k-1 in vec_id
+    order); each round assigns by round-6 cosine (ties → lowest centroid
+    id) then replaces each centroid with the round-9 per-dimension mean of
+    its members, empty clusters keeping their previous centroid."""
+    parts = [
+        f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), ex AS (
+            SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+            FROM e
+        ), c0 AS (
+            SELECT s.cid, ex.pos, ex.x AS val
+            FROM (
+                SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+                FROM e ORDER BY vec_id LIMIT {k}
+            ) s JOIN ex ON ex.vec_id = s.vec_id
+        )"""
+    ]
+    for i in range(n_iter):
+        parts.append(f"""
+        , cl{i} AS (
+            SELECT cid, list(val ORDER BY pos) AS cv FROM c{i} GROUP BY cid
+        ), a{i} AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
+                                    DESC, c.cid
+                       ) AS r
+                FROM e CROSS JOIN cl{i} c
+            ) WHERE r = 1
+        ), c{i + 1} AS (
+            SELECT p.cid, p.pos, coalesce(m.val, p.val) AS val
+            FROM c{i} p LEFT JOIN (
+                SELECT a.cid, ex.pos, round(avg(ex.x), {mean_dp}) AS val
+                FROM a{i} a JOIN ex ON ex.vec_id = a.vec_id
+                GROUP BY a.cid, ex.pos
+            ) m ON m.cid = p.cid AND m.pos = p.pos
+        )""")
+    parts.append(f"""
+        , clf AS (
+            SELECT cid, list(val ORDER BY pos) AS cv
+            FROM c{n_iter} GROUP BY cid
+        )
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.cid AS centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.cid
+                   ) AS r
+            FROM e CROSS JOIN clf c
+        ) WHERE r = 1""")
+    return "".join(parts)
+
+
 _ORACLES["ivf_topk"] = _ivf_topk_oracle_sql()
+_ORACLES["ivf_assign"] = _ivf_assign_oracle_sql()
 _ORACLES["ngram_jaccard_lsh"] = _ngram_jaccard_lsh_oracle_sql()
 _ORACLES["minhash_near_dups"] = _minhash_oracle_sql()
 _ORACLES["simhash"] = _simhash_oracle_sql()

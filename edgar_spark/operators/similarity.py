@@ -214,6 +214,7 @@ def kmeans_centroids(
     n_iter: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    mean_round_dp: int | None = None,
 ) -> np.ndarray:
     """Deterministic distributed Lloyd's k-means for the IVF coarse
     quantizer: seeds = the k lowest-id vectors, fixed ``n_iter`` rounds.
@@ -222,8 +223,13 @@ def kmeans_centroids(
     (cluster, dim_pos, value), partial-agg'd avg, and only the k×dim means
     cross to the driver. Empty clusters keep their previous centroid.
     Deterministic given the corpus (no RNG), so an index built twice is
-    identical — but float mean order still varies across engines, which is
-    why the oracled ``ivf_topk`` uses the seed quantizer directly."""
+    identical.
+
+    ``mean_round_dp`` rounds each iteration's means (SQL ROUND semantics,
+    via ``F.round``): float mean order varies across engines in the last
+    ulp, so quantizing the per-round centroids makes the whole trainer
+    byte-reproducible in the DuckDB oracle (the ``ivf_assign`` driver
+    key unrolls these exact iterations in SQL)."""
     seed_rows = (
         corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
         .orderBy(id_col)
@@ -236,12 +242,17 @@ def kmeans_centroids(
         assign = ivf_assign(
             corpus, cmat, cids, n_probe=1, vec_col=vec_col, id_col=id_col
         )
+        mean_expr = (
+            F.avg("x")
+            if mean_round_dp is None
+            else F.round(F.avg("x"), mean_round_dp)
+        )
         means = (
             corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
             .join(assign.select(id_col, "centroid_id"), id_col)
             .select("centroid_id", F.posexplode("_v").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_expr.alias("m"))
             .collect()
         )
         nxt = cmat.copy()  # clusters absent from `means` keep their centroid

@@ -333,6 +333,12 @@ def test_kmeans_centroids(spark):
     )
     assert mean_best_cos(c1) >= mean_best_cos(seeds) - 1e-9
 
+    # mean_round_dp (the oracle-able mode): quantized per-round means,
+    # training still actually moves the centroids off the seeds
+    cq = kmeans_centroids(emb, k=4, n_iter=2, mean_round_dp=9)
+    assert (cq == np.round(cq, 9)).all()
+    assert not np.array_equal(cq, seeds)
+
 
 def test_embedding_near_dups(spark):
     from edgar_spark.operators.similarity import embedding_near_dups
