@@ -563,15 +563,38 @@ class Crawler:
             _cnt(pend & (F.col("kind") == "index")).alias("p_index"),
             _cnt(pend & (F.col("kind") == "report")).alias("p_report"),
         )
-        a_obs = Observation()
-        facts_instr = facts_next.observe(a_obs, F.count(F.lit(1)).alias("facts"))
+        # a wave with no report pages pending cannot add facts — carry the
+        # previous snapshot's facts files forward (Iceberg shared-manifest
+        # pattern) instead of re-writing an unchanged table: one fewer
+        # write job + its planning per discovery wave (measured ~0.5-1 s of
+        # the per-wave constant at sandbox scale; at 10^10 rows it is a
+        # full-table rewrite avoided). Falls back to writing when there is
+        # no previous facts path (first wave) so every snapshot stays a
+        # complete resume point.
+        # (the _last_metrics guard: right after resume() the previous facts
+        # count is unknown, so the first resumed wave writes — and thereby
+        # re-counts — the table; later waves carry again)
+        prev_facts_path = self.catalog.table_path("facts")
+        carry_facts = (
+            "report" not in kinds
+            and prev_facts_path is not None
+            and self._last_metrics is not None
+        )
 
         nsp = cfg.snapshot_partitions
+        tables = {"frontier": frontier_instr.repartition(nsp)}
+        a_obs = Observation()
+        if carry_facts:
+            carry = {"facts": prev_facts_path}
+        else:
+            carry = None
+            facts_instr = facts_next.observe(
+                a_obs, F.count(F.lit(1)).alias("facts")
+            )
+            tables["facts"] = facts_instr.repartition(nsp)
         self.catalog.commit_snapshot(
-            {
-                "frontier": frontier_instr.repartition(nsp),
-                "facts": facts_instr.repartition(nsp),
-            },
+            tables,
+            carry=carry,
             # previous wave's metrics ride the manifest: every snapshot is a
             # resume point AND a lineage record (observations for THIS wave
             # only resolve once these writes run, so they land in the next
@@ -583,7 +606,12 @@ class Crawler:
         frontier_next = self.catalog.read(spark, "frontier")
         facts_next = self.catalog.read(spark, "facts")
 
-        fm, am = f_obs.get, a_obs.get
+        fm = f_obs.get
+        n_facts = (
+            int((self._last_metrics or {}).get("facts", 0))
+            if carry_facts
+            else int(a_obs.get["facts"])
+        )
         n_new = int(fm["n_new"])
         pending_kinds_next = {
             k: int(fm[f"p_{k}"])
@@ -600,7 +628,7 @@ class Crawler:
             "bloom_candidates": n_candidates,
             "bloom_passed": n_bloom_passed,
             "fetch_join": fetch_join,
-            "facts": int(am["facts"]),
+            "facts": n_facts,
             "pending_next": int(fm["pending_next"]),
             "pending_kinds": sorted(pending_kinds_next),
             "pending_kind_counts": pending_kinds_next,

@@ -41,6 +41,31 @@ def test_three_waves_and_no_pending(crawl):
     assert res.frontier.filter("state = 'pending'").count() == 0
 
 
+def test_facts_carry_on_discovery_waves(spark, tmp_path):
+    """Waves that fetch no report pages (query/index discovery) must not
+    rewrite the facts table: the snapshot manifest carries the previous
+    wave's facts path forward (shared-manifest), and the facts metric
+    stays the previous count."""
+    from edgar_spark.icelite.table import IceliteCatalog
+
+    pages = corpus.build_pages(spark, N_COMPANIES, n_filings=N_FILINGS)
+    seeds = corpus.build_seeds(spark, N_COMPANIES)
+    ckpt = str(tmp_path / "carry")
+    res = Crawler(
+        spark, pages, seeds, config=CrawlConfig(max_waves=5, checkpoint_dir=ckpt)
+    ).run()
+    cat = IceliteCatalog(ckpt)
+    # wave 0 = query (writes the initial empty facts), wave 1 = index
+    # (no reports pending → carried), wave 2 = report (writes)
+    p0 = cat.table_path("facts", snap_id=1)
+    p1 = cat.table_path("facts", snap_id=2)
+    p2 = cat.table_path("facts", snap_id=3)
+    assert p0 == p1  # discovery wave carried the facts files
+    assert p2 != p1  # report wave wrote new facts
+    assert res.metrics[1]["facts"] == res.metrics[0]["facts"] == 0
+    assert res.metrics[2]["facts"] > 0
+
+
 def test_golden_filing_assembled(crawl):
     """The AAPL 10-Q assembled from the reference's own sample pages matches
     the per-document goldens of parser_test.go under consolidation."""
