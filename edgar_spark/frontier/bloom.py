@@ -41,6 +41,26 @@ def optimal_hashes(bits: int, n_keys: int) -> int:
     return max(1, int(round(bits / max(n_keys, 1) * math.log(2))))
 
 
+def probe_seen(filt, df, url_col: str, flag_col: str = "maybe_seen"):
+    """Append a boolean ``maybe_seen`` column (vectorized per batch; the
+    filter state rides to executors inside the closure — at design scale
+    this becomes a broadcast variable per shard group). Shared by every
+    seen-filter class so the probe path cannot diverge between modes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[flag_col] = [
+                bool(u is not None and filt.contains(u)) for u in pdf[url_col]
+            ]
+            yield pdf
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField(flag_col, BooleanType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
 class ShardedBloom:
     def __init__(self, n_shards: int, bits_per_shard: int, n_hashes: int) -> None:
         self.n_shards = n_shards
@@ -150,23 +170,7 @@ class ShardedBloom:
         return out
 
     def probe(self, df, url_col: str, flag_col: str = "maybe_seen"):
-        """Append a boolean ``maybe_seen`` column (vectorized per batch; the
-        filter shards ride to executors inside the closure — at design scale
-        this becomes a broadcast variable per shard group)."""
-        bloom = self
-
-        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf[flag_col] = [
-                    bool(u is not None and bloom.contains(u)) for u in pdf[url_col]
-                ]
-                yield pdf
-
-        from pyspark.sql.types import BooleanType, StructField, StructType
-
-        schema = StructType(df.schema.fields + [StructField(flag_col, BooleanType())])
-        return df.mapInPandas(gen, schema=schema)
+        return probe_seen(self, df, url_col, flag_col)
 
 
 class CuckooFilter:
@@ -285,22 +289,7 @@ class CuckooFilter:
         )
 
     def probe(self, df, url_col: str, flag_col: str = "maybe_seen"):
-        """Same vectorized probe surface as ShardedBloom.probe, so the
-        crawler can use either seen-filter implementation."""
-        filt = self
-
-        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf[flag_col] = [
-                    bool(u is not None and filt.contains(u)) for u in pdf[url_col]
-                ]
-                yield pdf
-
-        from pyspark.sql.types import BooleanType, StructField, StructType
-
-        schema = StructType(df.schema.fields + [StructField(flag_col, BooleanType())])
-        return df.mapInPandas(gen, schema=schema)
+        return probe_seen(self, df, url_col, flag_col)
 
     def add_all(self, urls) -> None:
         for u in urls:
@@ -406,21 +395,7 @@ class ShardedCuckoo:
         return all(s.saturated for s in self.shards)
 
     def probe(self, df, url_col: str, flag_col: str = "maybe_seen"):
-        """Vectorized probe, same surface as ShardedBloom/CuckooFilter."""
-        filt = self
-
-        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf[flag_col] = [
-                    bool(u is not None and filt.contains(u)) for u in pdf[url_col]
-                ]
-                yield pdf
-
-        from pyspark.sql.types import BooleanType, StructField, StructType
-
-        schema = StructType(df.schema.fields + [StructField(flag_col, BooleanType())])
-        return df.mapInPandas(gen, schema=schema)
+        return probe_seen(self, df, url_col, flag_col)
 
     # -- distributed build / maintenance -------------------------------
     def _pairs_df(self, df, url_col: str):

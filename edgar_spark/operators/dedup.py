@@ -335,8 +335,8 @@ def simhash_near_dups(
     docs. Pass ``n_chunks=None`` to AUTO-SELECT from the corpus size
     (``corpus_count`` if given, else one counting scan): the chunk count
     grows until the expected bucket population under a uniform-hash model
-    is bounded, widening keys to ~25/32/36 bits as the corpus passes
-    10^7/10^9/10^10 docs. Dup-heavy corpora additionally want a per-bucket
+    is bounded, widening keys to ~25/31/35 bits as the corpus passes
+    10^7/10^9/10^12 docs. Dup-heavy corpora additionally want a per-bucket
     size cap with the overflow routed through minhash verification.
     """
     if n_chunks is None:
@@ -351,9 +351,10 @@ def simhash_near_dups(
         # LOGICAL shift: the fingerprint is a signed reinterpretation of
         # 64 unsigned bits — an arithmetic shift would smear the sign into
         # the top chunk
-        return F.shiftrightunsigned(F.col("simhash"), starts[i]).bitwiseAND(
-            F.lit((1 << widths[i]) - 1)
-        )
+        shifted = F.shiftrightunsigned(F.col("simhash"), starts[i])
+        if widths[i] == 64:  # whole-hash chunk (n_chunks=1): the 64-bit
+            return shifted  # mask literal would overflow LongType
+        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1))
 
     r = n_chunks - max_hamming
     combos = list(itertools.combinations(range(n_chunks), r))
@@ -364,7 +365,10 @@ def simhash_near_dups(
             key = F.shiftleft(key, widths[i]).bitwiseOR(chunk_expr(i))
         key_exprs.append(key)
 
-    sigs = simhash_signatures(df, text_col, id_col)
+    # the Python signature kernel is the dominant cost and this plan scans
+    # it from four places (candidate left/right + verify a/b): persist the
+    # small (id, long) signature table so it computes ONCE
+    sigs = simhash_signatures(df, text_col, id_col).persist()
     chunked = sigs.select(
         id_col,
         F.posexplode(F.array(*key_exprs)).alias("chunk_idx", "chunk_val"),

@@ -245,6 +245,26 @@ def test_simhash_combination_banding_equivalence(spark):
     assert pair_set(n_chunks=None, corpus_count=10**9) == classic
 
 
+def test_simhash_whole_hash_chunk(spark):
+    """max_hamming=0 auto-selects a single 64-bit chunk (exact-fingerprint
+    radius); the full-width chunk must not overflow the long mask literal,
+    and the pair set must equal the 2x32 banding's."""
+    from edgar_spark.operators.dedup import auto_simhash_chunks, simhash_near_dups
+
+    assert auto_simhash_chunks(10**3, 0) == 1
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def pair_set(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_dups(docs, max_hamming=0, **kw).collect()
+        }
+
+    whole = pair_set(n_chunks=None, corpus_count=10**3)  # 1 chunk of 64 bits
+    assert whole  # exact dup fingerprints exist in the fixture
+    assert whole == pair_set(n_chunks=2)
+
+
 def test_auto_simhash_chunks_bounds():
     """Auto-selection widens the join key as the corpus grows, keeps the
     pigeonhole minimum for small corpora, and caps keys-per-doc at 64."""

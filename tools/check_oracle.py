@@ -143,7 +143,7 @@ def main() -> None:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
-            s_pdf = fn(spark, sf_dir).toPandas()
+            s_pdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {key:24s} spark error: {e}")
             failures.append(key)
