@@ -143,6 +143,9 @@ OPERATOR_KEYS = [
     "mm_image_stats",
     "ngram_jaccard_lsh",
     "ivf_topk",
+    "ivf_assign",
+    "simhash_dedup_edges",
+    "streaming_exact_dedup",
     "corpus_curation",
 ]
 

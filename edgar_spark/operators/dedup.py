@@ -342,6 +342,20 @@ def simhash_near_dups(
     if n_chunks is None:
         n = corpus_count if corpus_count is not None else df.count()
         n_chunks = auto_simhash_chunks(n, max_hamming)
+    # the Python signature kernel is the dominant cost and the band plan
+    # scans it from four places (candidate left/right + verify a/b):
+    # persist the small (id, long) signature table so it computes ONCE
+    sigs = simhash_signatures(df, text_col, id_col).persist()
+    return _simhash_band_pairs(sigs, max_hamming, n_chunks, id_col)
+
+
+def _simhash_band_pairs(
+    sigs: DataFrame, max_hamming: int, n_chunks: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Combination-banding candidate generation + exact Hamming verify over
+    a precomputed ``(id, simhash)`` table — the shared core of
+    ``simhash_near_dups`` (raw docs) and ``simhash_dedup_edges``
+    (signature-collapsed representatives)."""
     if max_hamming > n_chunks - 1:
         raise ValueError("pigeonhole needs max_hamming <= n_chunks - 1")
     widths = _chunk_widths(n_chunks)
@@ -365,10 +379,6 @@ def simhash_near_dups(
             key = F.shiftleft(key, widths[i]).bitwiseOR(chunk_expr(i))
         key_exprs.append(key)
 
-    # the Python signature kernel is the dominant cost and this plan scans
-    # it from four places (candidate left/right + verify a/b): persist the
-    # small (id, long) signature table so it computes ONCE
-    sigs = simhash_signatures(df, text_col, id_col).persist()
     chunked = sigs.select(
         id_col,
         F.posexplode(F.array(*key_exprs)).alias("chunk_idx", "chunk_val"),
@@ -393,6 +403,56 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_dedup_edges(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dup-heavy-corpus scale shape of SimHash near-dup detection:
+    an edge set (id_a, id_b, hamming) whose connected components equal
+    those of the full ``simhash_near_dups`` pair set, but LINEAR in the
+    duplicate count instead of quadratic.
+
+    Two problems make raw pair banding collapse on template-heavy web
+    corpora (the per-bucket-cap situation): a 10^6-copy boilerplate page
+    puts 10^6 identical fingerprints into every one of its band buckets
+    (quadratic in-bucket join), and the qualifying pair OUTPUT is itself
+    10^12 rows. Both vanish by collapsing identical fingerprints first:
+
+    * group by the 64-bit fingerprint; the minimum id is the group's
+      representative — each group emits (rep, member, hamming 0) STAR
+      edges (linear), which connect exactly what in-group all-pairs would;
+    * banding runs over DISTINCT fingerprints only (one row per group),
+      so bucket populations count signatures, not copies — auto chunk
+      selection (``n_chunks=None``, the default here) sizes keys from the
+      distinct-signature count;
+    * cross-group near-dup edges come from the same combination-banding +
+      bit_count verify as ``simhash_near_dups``, between representatives.
+
+    Feed the result straight to ``dedup_representatives`` /
+    ``connected_components`` — transitive closure recovers every doc pair
+    relationship the quadratic output encoded.
+    """
+    sigs = simhash_signatures(df, text_col, id_col).persist()
+    groups = sigs.groupBy("simhash").agg(F.min(id_col).alias("_rep"))
+    star = (
+        sigs.join(groups, "simhash")
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("id_a"),  # rep = group min ⇒ id_a < id_b
+            F.col(id_col).alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    reps = groups.select(F.col("_rep").alias(id_col), "simhash").persist()
+    if n_chunks is None:
+        n_chunks = auto_simhash_chunks(reps.count(), max_hamming)
+    rep_pairs = _simhash_band_pairs(reps, max_hamming, n_chunks, id_col)
+    return star.unionByName(rep_pairs)
 
 
 def _sym(edges: DataFrame) -> DataFrame:

@@ -266,6 +266,21 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_simhash_dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-heavy scale shape: identical fingerprints collapse to star
+    edges around the min-id representative BEFORE banding; cross-group
+    edges come from banding over DISTINCT fingerprints. Fully oracled —
+    the SQL reproduces the signature group-by, the star edges, and the
+    4×16 chunk banding between representatives."""
+    from edgar_spark.operators.dedup import simhash_dedup_edges
+
+    # explicit n_chunks: the auto path depends on the distinct-signature
+    # count, which must not vary the plan between oracle scales
+    return simhash_dedup_edges(
+        _t(spark, sf_dir, "documents"), max_hamming=3, n_chunks=4
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k. Approximate vs brute force by design,
     but fully DETERMINISTIC: the hyperplanes are embedded as SQL literals,
@@ -698,6 +713,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash": q_simhash,
     "simhash_near_dups": q_simhash_near_dups,
+    "simhash_dedup_edges": q_simhash_dedup_edges,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "ivf_assign": q_ivf_assign,
@@ -1363,6 +1379,41 @@ def _simhash_near_dups_oracle_sql(
     """
 
 
+def _simhash_dedup_edges_oracle_sql(
+    max_hamming: int = 3, n_chunks: int = 4
+) -> str:
+    return f"""{_simhash_cte()}
+        , grp AS (
+            SELECT simhash, u, min(doc_id) AS rep
+            FROM sims GROUP BY simhash, u
+        ), star AS (
+            SELECT g.rep AS id_a, s.doc_id AS id_b, 0 AS hamming
+            FROM sims s JOIN grp g ON g.simhash = s.simhash
+            WHERE s.doc_id != g.rep
+        ), chunked AS (
+            SELECT rep AS doc_id, simhash, c.i AS chunk_idx,
+                   CAST((u >> (c.i * 16)) & 65535 AS BIGINT) AS chunk_val
+            FROM grp CROSS JOIN (SELECT unnest(range({n_chunks})) AS i) c
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM chunked x JOIN chunked y
+              ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val
+             AND x.doc_id < y.doc_id
+        ), rep_pairs AS (
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(ga.simhash, gb.simhash)) AS INT)
+                       AS hamming
+            FROM cand
+            JOIN grp ga ON ga.rep = id_a
+            JOIN grp gb ON gb.rep = id_b
+            WHERE bit_count(xor(ga.simhash, gb.simhash)) <= {max_hamming}
+        )
+        SELECT id_a, id_b, hamming FROM star
+        UNION ALL
+        SELECT id_a, id_b, hamming FROM rep_pairs
+    """
+
+
 def _lsh_bucket_cte(n_planes: int, dim: int = 64) -> str:
     """Shared CTE body computing (vec_id, v, bucket) for every embedding,
     with the deterministic hyperplanes inlined as literals."""
@@ -1518,6 +1569,7 @@ _ORACLES["ngram_jaccard_lsh"] = _ngram_jaccard_lsh_oracle_sql()
 _ORACLES["minhash_near_dups"] = _minhash_oracle_sql()
 _ORACLES["simhash"] = _simhash_oracle_sql()
 _ORACLES["simhash_near_dups"] = _simhash_near_dups_oracle_sql()
+_ORACLES["simhash_dedup_edges"] = _simhash_dedup_edges_oracle_sql()
 _ORACLES["ann_topk"] = _ann_topk_oracle_sql()
 _ORACLES["embedding_near_dups_lsh"] = _embedding_near_dups_oracle_sql()
 

@@ -265,6 +265,48 @@ def test_simhash_whole_hash_chunk(spark):
     assert whole == pair_set(n_chunks=2)
 
 
+def test_simhash_dedup_edges_dup_heavy(spark):
+    """The signature-collapsed edge set must (a) produce the same clusters
+    as the full quadratic pair set and (b) stay linear where the pair set
+    is quadratic — a 60-copy boilerplate doc yields 59 star edges, not
+    60·59/2 pairs."""
+    import pandas as pd
+
+    from edgar_spark.operators.dedup import (
+        dedup_representatives,
+        simhash_dedup_edges,
+        simhash_near_dups,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    boiler = docs.orderBy("doc_id").first()["text"]
+    copies = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [100_000 + i for i in range(60)], "text": [boiler] * 60}
+        )
+    )
+    aug = docs.unionByName(copies)
+
+    pairs = simhash_near_dups(aug, max_hamming=3, n_chunks=4)
+    edges = simhash_dedup_edges(aug, max_hamming=3)
+    n_pairs, n_edges = pairs.count(), edges.count()
+    assert n_pairs >= 60 * 61 // 2  # the quadratic blowup is real
+    assert n_edges < n_pairs / 10  # and the edge set avoids it
+
+    all_ids = aug.select("doc_id")
+    reps_pairs = {
+        (r["doc_id"], r["representative"])
+        for r in dedup_representatives(pairs, all_ids).collect()
+    }
+    reps_edges = {
+        (r["doc_id"], r["representative"])
+        for r in dedup_representatives(edges, all_ids).collect()
+    }
+    assert reps_pairs == reps_edges  # identical clustering
+
+
 def test_auto_simhash_chunks_bounds():
     """Auto-selection widens the join key as the corpus grows, keeps the
     pigeonhole minimum for small corpora, and caps keys-per-doc at 64."""
