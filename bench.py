@@ -145,6 +145,7 @@ OPERATOR_KEYS = [
     "ivf_topk",
     "ivf_assign",
     "simhash_dedup_edges",
+    "minhash_dedup_edges",
     "streaming_exact_dedup",
     "corpus_curation",
 ]

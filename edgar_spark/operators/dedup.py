@@ -233,6 +233,57 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_dedup_edges(
+    df: DataFrame,
+    threshold: float = 0.7,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dup-heavy-corpus scale shape of the MinHash near-dup pipeline — the
+    minhash twin of ``simhash_dedup_edges``: identical signature vectors
+    collapse to min-id representatives BEFORE banding, so band-bucket
+    populations count distinct signatures (a boilerplate page with 10^6
+    exact/shingle-identical copies is ONE banding row) and the output is
+    (rep, member, est_jaccard 1.0) star edges plus banded-and-verified
+    edges between representatives — linear in the copy count where the
+    pair pipeline is quadratic. Connected components over the edges equal
+    CC over the ``minhash_dedup_pairs`` output at the same threshold."""
+    sigs = minhash_signatures(df, n_hashes, shingle_k, text_col, id_col).persist()
+    groups = sigs.groupBy("sig").agg(F.min(id_col).alias("_rep"))
+    star = (
+        sigs.join(groups, "sig")
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("id_a"),  # rep = group min ⇒ id_a < id_b
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    reps = groups.select(F.col("_rep").alias(id_col), "sig")
+    cand = minhash_lsh_candidates(reps, bands, id_col)
+    a = reps.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = reps.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.size("sig_a")
+    )
+    rep_pairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return star.unionByName(rep_pairs)
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

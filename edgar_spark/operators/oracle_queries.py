@@ -249,6 +249,20 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-heavy scale shape of the MinHash pipeline: identical signature
+    vectors collapse to min-id star edges (est_jaccard 1.0) before
+    banding; cross-group edges are banded and verified between
+    representatives only. Fully oracled — the SQL groups the signature
+    lists, emits the star edges, and restricts the shared banding CTE to
+    representative rows."""
+    from edgar_spark.operators.dedup import minhash_dedup_edges
+
+    return minhash_dedup_edges(
+        _t(spark, sf_dir, "documents"), threshold=0.5, n_hashes=64, bands=16
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints. Fully oracled: per-token md5-lower-64 hashes
     and the full-64-bit majority vote (signature kept as a two's-complement
@@ -711,6 +725,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
     "minhash_near_dups": q_minhash_near_dups,
+    "minhash_dedup_edges": q_minhash_dedup_edges,
     "simhash": q_simhash,
     "simhash_near_dups": q_simhash_near_dups,
     "simhash_dedup_edges": q_simhash_dedup_edges,
@@ -1291,6 +1306,45 @@ def _minhash_oracle_sql(
     """
 
 
+def _minhash_dedup_edges_oracle_sql(
+    n_hashes: int = 64, shingle_k: int = 5, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """Signature-collapsed minhash edges: group the signature LISTS, emit
+    min-id star edges, and band only representative rows (restricting the
+    shared CTE's per-doc banding to rep ids is identical to banding the
+    rep table, since banding is per-row)."""
+    return f"""{_minhash_cte(n_hashes, shingle_k, bands)}
+        , grp AS (
+            SELECT sig AS gsig, min(doc_id) AS rep FROM sig GROUP BY sig
+        ), star AS (
+            SELECT g.rep AS id_a, s.doc_id AS id_b,
+                   CAST(1 AS DOUBLE) AS est_jaccard
+            FROM sig s JOIN grp g ON g.gsig = s.sig
+            WHERE s.doc_id != g.rep
+        ), banded_r AS (
+            SELECT b.* FROM banded b JOIN grp g ON g.rep = b.doc_id
+        ), cand_r AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM banded_r x JOIN banded_r y
+              ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+        ), rep_pairs AS (
+            SELECT id_a, id_b,
+                   CAST(len(list_filter(range({n_hashes}),
+                        i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE)
+                       / {n_hashes} AS est_jaccard
+            FROM cand_r
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+            WHERE CAST(len(list_filter(range({n_hashes}),
+                       i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE)
+                      / {n_hashes} >= {threshold}
+        )
+        SELECT id_a, id_b, est_jaccard FROM star
+        UNION ALL
+        SELECT id_a, id_b, est_jaccard FROM rep_pairs
+    """
+
+
 def _ngram_jaccard_lsh_oracle_sql(n: int = 3) -> str:
     """LSH candidates (shared minhash CTE) verified with exact word-n-gram
     Jaccard — the production near-dup pipeline end-to-end in SQL."""
@@ -1567,6 +1621,7 @@ _ORACLES["ivf_topk"] = _ivf_topk_oracle_sql()
 _ORACLES["ivf_assign"] = _ivf_assign_oracle_sql()
 _ORACLES["ngram_jaccard_lsh"] = _ngram_jaccard_lsh_oracle_sql()
 _ORACLES["minhash_near_dups"] = _minhash_oracle_sql()
+_ORACLES["minhash_dedup_edges"] = _minhash_dedup_edges_oracle_sql()
 _ORACLES["simhash"] = _simhash_oracle_sql()
 _ORACLES["simhash_near_dups"] = _simhash_near_dups_oracle_sql()
 _ORACLES["simhash_dedup_edges"] = _simhash_dedup_edges_oracle_sql()

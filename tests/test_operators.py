@@ -307,6 +307,42 @@ def test_simhash_dedup_edges_dup_heavy(spark):
     assert reps_pairs == reps_edges  # identical clustering
 
 
+def test_minhash_dedup_edges_dup_heavy(spark):
+    """MinHash twin of the signature-collapse edge set: same clusters as
+    the quadratic pair pipeline, linear edge count on a 60-copy doc."""
+    import pandas as pd
+
+    from edgar_spark.operators.dedup import (
+        dedup_representatives,
+        minhash_dedup_edges,
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    boiler = docs.orderBy("doc_id").first()["text"]
+    copies = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [100_000 + i for i in range(60)], "text": [boiler] * 60}
+        )
+    )
+    aug = docs.unionByName(copies)
+
+    pairs = minhash_dedup_pairs(aug, threshold=0.5)
+    edges = minhash_dedup_edges(aug, threshold=0.5)
+    n_pairs, n_edges = pairs.count(), edges.count()
+    assert n_pairs >= 60 * 61 // 2
+    assert n_edges < n_pairs / 10
+
+    all_ids = aug.select("doc_id")
+    reps_of = lambda e: {  # noqa: E731
+        (r["doc_id"], r["representative"])
+        for r in dedup_representatives(e, all_ids).collect()
+    }
+    assert reps_of(pairs) == reps_of(edges)
+
+
 def test_auto_simhash_chunks_bounds():
     """Auto-selection widens the join key as the corpus grows, keeps the
     pigeonhole minimum for small corpora, and caps keys-per-doc at 64."""
