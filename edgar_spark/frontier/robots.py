@@ -5,13 +5,15 @@ page.go:21-28); this is a north-rule capability. Rules are tiny relative to
 the frontier, so gating is two broadcast semi/anti joins — the frontier side
 is never shuffled.
 
-Semantics: a URL is blocked iff any rule row with ``allowed = false`` matches
-(same host, ``path_prefix`` is a prefix of the URL path). Unmatched hosts
-default to allowed.
+Semantics: REP longest-match — among the rules matching a URL (same host;
+literal rules prefix-match, ``*``/``$`` rules match their translated
+anchored regex), the longest ORIGINAL pattern wins, ties go to Allow;
+unmatched hosts/paths default to allowed.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Tuple
 
 from pyspark.sql import DataFrame
@@ -36,6 +38,10 @@ ROBOTS_SCHEMA = StructType(
         # longest-match, or a longer literal Allow would out-rank it and
         # UNDER-block.
         StructField("pattern_len", IntegerType(), True),
+        # anchored Java-compatible regex for rules containing '*' or a
+        # trailing '$' (exact REP wildcard semantics); NULL ⇒ plain
+        # prefix match on path_prefix
+        StructField("pattern_regex", StringType(), True),
     ]
 )
 
@@ -55,6 +61,8 @@ def split_robots(
     """
     if "pattern_len" not in robots.columns:  # older callers' rule tables
         robots = robots.withColumn("pattern_len", F.lit(None).cast("int"))
+    if "pattern_regex" not in robots.columns:
+        robots = robots.withColumn("pattern_regex", F.lit(None).cast("string"))
     rules_per_host = robots.groupBy("host").agg(
         F.collect_list(
             F.struct(
@@ -63,6 +71,7 @@ def split_robots(
                 ).alias("plen"),
                 F.col("path_prefix").alias("prefix"),
                 F.col("allowed").alias("allowed"),
+                F.col("pattern_regex").alias("regex"),
             )
         ).alias("_rules")
     )
@@ -85,7 +94,12 @@ def split_robots(
     )
 
     def fold(acc, r):
-        wins = F.col("_path").startswith(r["prefix"]) & (
+        # wildcard/$ rules match by their translated regex, plain rules by
+        # prefix — both JVM-side
+        matched = F.when(
+            r["regex"].isNotNull(), F.regexp_like(F.col("_path"), r["regex"])
+        ).otherwise(F.col("_path").startswith(r["prefix"]))
+        wins = matched & (
             (r["plen"] > acc["plen"])
             | ((r["plen"] == acc["plen"]) & r["allowed"])
         )
@@ -95,7 +109,8 @@ def split_robots(
 
     decision = F.aggregate(
         F.coalesce(F.col("_rules"), F.array().cast(
-            "array<struct<plen:int,prefix:string,allowed:boolean>>"
+            "array<struct<plen:int,prefix:string,allowed:boolean,"
+            "regex:string>>"
         )),
         init,
         fold,
@@ -132,7 +147,7 @@ def rules_from_robots_pages(
                 rows,
                 columns=[
                     "host", "path_prefix", "allowed", "crawl_delay_ms",
-                    "pattern_len",
+                    "pattern_len", "pattern_regex",
                 ],
             )
 
@@ -149,11 +164,12 @@ def parse_robots_txt(
     ``Disallow`` carry path prefixes (an empty Disallow means allow-all and
     emits nothing); ``Crawl-delay`` seconds become crawl_delay_ms attached
     to the group's rows (clamped to int32, inf/nan/negatives ignored).
-    Wildcards: a ``Disallow`` path truncates at the first ``*`` and an
-    ``Allow`` containing ``*`` is dropped — both choices only ever
-    OVER-block (a truncated Allow could out-length a Disallow in
-    longest-match and widen the allow, so it must not be kept); ``$``
-    anchors are not modeled.
+    Wildcards are EXACT: ``*`` matches any character run and a trailing
+    ``$`` anchors at the end of the path — such patterns are translated to
+    anchored regexes (``pattern_regex``) evaluated JVM-side by
+    ``split_robots``; precedence still ranks by the ORIGINAL pattern
+    length (``pattern_len``). Literal rules stay prefix-matched
+    (``pattern_regex`` NULL).
     """
     groups: list = []  # (agents, rules=[(path, allowed)], delay_ms)
     agents: list = []
@@ -182,20 +198,21 @@ def parse_robots_txt(
             in_rules = True
             if val == "":
                 continue  # empty Disallow = allow everything: no rule row
-            if "*" in val:
-                if key == "allow":
-                    # truncating an Allow pattern would WIDEN the allow and
-                    # could out-length a Disallow in longest-match — drop
-                    # it instead: losing an allow only over-blocks, which
-                    # is the safe direction
-                    continue
-                path = val.split("*", 1)[0] or "/"
+            if "*" in val or val.endswith("$"):
+                # exact REP wildcard semantics: '*' matches any character
+                # run, a trailing '$' anchors at the end of the path;
+                # translated to an anchored regex evaluated JVM-side, so
+                # Allow wildcards are kept (no truncation, no over-block)
+                end = val.endswith("$")
+                core = val[:-1] if end else val
+                regex = "^" + ".*".join(re.escape(p) for p in core.split("*"))
+                if end:
+                    regex += "$"
+                prefix = core.split("*", 1)[0] or "/"
+                # precedence still uses the ORIGINAL pattern length
+                rules.append((prefix, key == "allow", len(val), regex))
             else:
-                path = val
-            # precedence uses the ORIGINAL pattern length: a truncated
-            # wildcard Disallow must still out-rank any shorter literal
-            # Allow it overlaps, else the allow would punch an unsafe hole
-            rules.append((path, key == "allow", len(val)))
+                rules.append((val, key == "allow", len(val), None))
         elif key == "crawl-delay":
             in_rules = True
             try:
@@ -213,7 +230,7 @@ def parse_robots_txt(
         chosen = [g for g in groups if "*" in g[0]]
     rows = []
     for _, grules, gdelay in chosen:
-        for path, is_allow, plen in grules:
+        for path, is_allow, plen, regex in grules:
             rows.append(
                 {
                     "host": host,
@@ -221,6 +238,7 @@ def parse_robots_txt(
                     "allowed": is_allow,
                     "crawl_delay_ms": gdelay,
                     "pattern_len": plen,
+                    "pattern_regex": regex,
                 }
             )
         if not grules and gdelay is not None:
@@ -231,6 +249,7 @@ def parse_robots_txt(
                     "allowed": True,
                     "crawl_delay_ms": gdelay,
                     "pattern_len": 1,
+                    "pattern_regex": None,
                 }
             )
     return rows

@@ -230,7 +230,7 @@ def test_robots_gating(spark, tmp_path):
     pages = corpus.build_pages(spark, 1, n_filings=1)
     seeds = corpus.build_seeds(spark, 1)
     robots = spark.createDataFrame(
-        [("www.sec.gov", "/Archives/", False, 1000, None)], ROBOTS_SCHEMA
+        [("www.sec.gov", "/Archives/", False, 1000, None, None)], ROBOTS_SCHEMA
     )
     cfg = CrawlConfig(max_waves=4, checkpoint_dir=str(tmp_path / "r"))
     res = Crawler(spark, pages, seeds, robots=robots, config=cfg).run()
@@ -419,7 +419,8 @@ def test_crawl_delay_budget(spark):
     robots = spark.createDataFrame(
         pd.DataFrame(
             [{"host": "www.sec.gov", "path_prefix": "/", "allowed": True,
-              "crawl_delay_ms": 10_000, "pattern_len": None}]
+              "crawl_delay_ms": 10_000, "pattern_len": None,
+              "pattern_regex": None}]
         ),
         ROBOTS_SCHEMA,
     )

@@ -179,14 +179,22 @@ Disallow: /
         ("/private/public/", True),
     }
     assert all(r["crawl_delay_ms"] == 2000 for r in star)
-    # wildcard paths truncate to a conservative prefix; empty Disallow = noop
+    # wildcard paths carry an exact anchored regex; empty Disallow = noop
     wild = parse_robots_txt("h", "User-agent: *\nDisallow: /a/*/b\nDisallow:\n")
-    assert [(r["path_prefix"], r["allowed"]) for r in wild] == [("/a/", False)]
-    # precedence keeps the ORIGINAL pattern length, match uses the prefix
+    assert [(r["path_prefix"], r["allowed"], r["pattern_regex"]) for r in wild] == [
+        ("/a/", False, "^/a/.*/b")
+    ]
+    # precedence keeps the ORIGINAL pattern length
     assert wild[0]["pattern_len"] == len("/a/*/b")
-    # wildcard Allow is dropped (truncation would widen the allow)
+    # wildcard Allow is kept (exact regex — no truncation, no over-block)
     wa = parse_robots_txt("h", "User-agent: *\nAllow: /x*\nDisallow: /x\n")
-    assert [(r["path_prefix"], r["allowed"]) for r in wa] == [("/x", False)]
+    assert {(r["path_prefix"], r["allowed"], r["pattern_regex"]) for r in wa} == {
+        ("/x", True, "^/x.*"),
+        ("/x", False, None),
+    }
+    # trailing $ anchors at end-of-path
+    anchored = parse_robots_txt("h", "User-agent: *\nDisallow: /*.pdf$\n")
+    assert anchored[0]["pattern_regex"] == "^/.*\\.pdf$"
     # crawl-delay clamps (inf → int32 max) and drops nan/negatives
     inf_rows = parse_robots_txt("h", "User-agent: *\nDisallow: /\nCrawl-delay: inf\n")
     assert inf_rows[0]["crawl_delay_ms"] == 2**31 - 1
@@ -194,10 +202,10 @@ Disallow: /
     assert neg[0]["crawl_delay_ms"] is None
 
 
-def test_split_robots_wildcard_disallow_keeps_precedence(spark):
-    """A truncated wildcard Disallow must out-rank a longer LITERAL Allow
-    it overlaps (REP compares original pattern lengths) — the truncated
-    prefix must never under-block."""
+def test_split_robots_wildcard_exact_match(spark):
+    """Wildcard rules match EXACTLY (translated regex): a wildcard
+    Disallow blocks precisely the URLs its pattern covers, still
+    out-ranking a shorter literal Allow by ORIGINAL pattern length."""
     import pandas as pd
 
     from edgar_spark.frontier.robots import ROBOTS_SCHEMA, parse_robots_txt, split_robots
@@ -209,16 +217,48 @@ def test_split_robots_wildcard_disallow_keeps_precedence(spark):
     frontier = spark.createDataFrame(
         [
             ("https://h.example/files2private", "h.example"),  # REP: blocked
-            ("https://h.example/files2public", "h.example"),  # over-blocked (safe)
+            ("https://h.example/files2public", "h.example"),  # REP: allowed
             ("https://h.example/other", "h.example"),  # allowed
         ],
         ["url", "host"],
     )
     allowed, blocked = split_robots(frontier, robots)
+    assert {r["url"] for r in blocked.collect()} == {
+        "https://h.example/files2private"
+    }
+    assert {r["url"] for r in allowed.collect()} == {
+        "https://h.example/files2public",
+        "https://h.example/other",
+    }
+
+
+def test_split_robots_dollar_anchor_and_wildcard_allow(spark):
+    """$-anchored Disallow blocks only end-matching paths; a wildcard
+    Allow (kept, exact) punches its hole by original-pattern length."""
+    import pandas as pd
+
+    from edgar_spark.frontier.robots import ROBOTS_SCHEMA, parse_robots_txt, split_robots
+
+    rows = parse_robots_txt(
+        "h.example",
+        "User-agent: *\nDisallow: /*.pdf$\nAllow: /public/*.pdf$\n",
+    )
+    robots = spark.createDataFrame(pd.DataFrame(rows), ROBOTS_SCHEMA)
+    urls = [
+        ("https://h.example/docs/a.pdf", "blocked"),  # matches /*.pdf$
+        ("https://h.example/docs/a.pdfx", "allowed"),  # $ anchor: no match
+        ("https://h.example/public/b.pdf", "allowed"),  # longer Allow wins
+        ("https://h.example/docs/a.html", "allowed"),
+    ]
+    frontier = spark.createDataFrame(
+        [(u, "h.example") for u, _ in urls], ["url", "host"]
+    )
+    allowed, blocked = split_robots(frontier, robots)
+    got_allowed = {r["url"] for r in allowed.collect()}
     got_blocked = {r["url"] for r in blocked.collect()}
-    assert "https://h.example/files2private" in got_blocked
-    assert "https://h.example/files2public" in got_blocked  # conservative
-    assert "https://h.example/other" not in got_blocked
+    for u, expect in urls:
+        assert (u in got_allowed) == (expect == "allowed"), u
+        assert (u in got_blocked) == (expect == "blocked"), u
 
 
 def test_split_robots_bare_host_url(spark):
