@@ -147,6 +147,7 @@ OPERATOR_KEYS = [
     "simhash_dedup_edges",
     "minhash_dedup_edges",
     "streaming_exact_dedup",
+    "streaming_sessionize",
     "corpus_curation",
 ]
 

@@ -476,6 +476,61 @@ def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL applyInPandasWithState sessionization run: the events table
+    replayed as a bounded file stream, event-time-timeout state flushed by
+    a far-future sentinel drop (second availableNow run resumes from the
+    checkpoint; the watermark jump fires every open session's timeout).
+    The emitted sessions must equal the batch window pipeline — the same
+    SQL oracle as ``sessionize_gap`` gates it."""
+    import tempfile
+
+    from edgar_spark.streaming.pipeline import sessionize_stream
+
+    events = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="edgar_spark_sess_stream_")
+    src_dir, out_dir, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    events.write.parquet(src_dir)
+    sentinel = (
+        events.limit(1)
+        .withColumn("event_id", F.lit(10**9).cast("long"))
+        .withColumn("user_id", F.lit(-1).cast(dict(events.dtypes)["user_id"]))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 60 DAYS"))
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    sentinel.write.mode("append").parquet(src_dir)
+    run_once()
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") != -1)
+        .select(
+            "user_id",
+            F.date_format(
+                "session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic pricing-summary report (TPC-H Q1 shape) over lineitem:
     map-side partial agg → 4-group final agg; sums on decimal-quantized
@@ -738,6 +793,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_image_stats": q_mm_image_stats,
     "events_window_agg": q_events_window_agg,
     "sessionize_gap": q_sessionize_gap,
+    "streaming_sessionize": q_streaming_sessionize,
     "tpch_q1": q_tpch_q1,
     "asof_join_last_click": q_asof_join_last_click,
     "bpe_token_count": q_bpe_token_count,
@@ -1620,6 +1676,7 @@ def _ivf_assign_oracle_sql(k: int = 8, n_iter: int = 2, mean_dp: int = 9) -> str
 _ORACLES["ivf_topk"] = _ivf_topk_oracle_sql()
 _ORACLES["ivf_assign"] = _ivf_assign_oracle_sql()
 _ORACLES["ngram_jaccard_lsh"] = _ngram_jaccard_lsh_oracle_sql()
+_ORACLES["streaming_sessionize"] = _ORACLES["sessionize_gap"]
 _ORACLES["minhash_near_dups"] = _minhash_oracle_sql()
 _ORACLES["minhash_dedup_edges"] = _minhash_dedup_edges_oracle_sql()
 _ORACLES["simhash"] = _simhash_oracle_sql()
