@@ -148,6 +148,7 @@ OPERATOR_KEYS = [
     "minhash_dedup_edges",
     "streaming_exact_dedup",
     "streaming_sessionize",
+    "mm_frame_sample",
     "corpus_curation",
 ]
 

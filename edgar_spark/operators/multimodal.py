@@ -253,6 +253,57 @@ def audio_stats(
     )
 
 
+def video_frame_sample(
+    df: DataFrame,
+    every_k: int = 2,
+    bpp: int = 3,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """REAL frame sampling over raw video payloads: the payload is a
+    concatenated sequence of fixed-size uncompressed frames
+    (``width × height × bpp`` bytes — the raw twin of the H.264 stream
+    whose codec decode is the declared ``NotImplementedError`` boundary in
+    ``decode_image``); every ``every_k``-th frame is sliced out of the
+    binary JVM-side (``substr`` on binary, column-valued offsets) and
+    fingerprinted. Output: one row per sampled frame
+    (id, frame_idx, n_frames, frame_md5). A trailing partial frame is
+    dropped; an empty/short payload yields no rows.
+
+    The whole plan is JVM column exprs — frame selection, slicing, and
+    hashing never touch Python, so at 100 TB the decode-free sampling
+    pass prunes to the frames worth shipping to a (Pandas-UDF) decoder."""
+    frame_size = (
+        F.col(width_col) * F.col(height_col) * F.lit(bpp)
+    ).cast("long")
+    n_frames = (F.length(payload_col) / frame_size).cast("long")
+    sampled_idx = F.when(
+        n_frames > 0,
+        F.filter(
+            F.sequence(F.lit(0).cast("long"), n_frames - 1),
+            lambda i: i % every_k == 0,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.withColumn("_fs", frame_size)
+        .withColumn("n_frames", n_frames)
+        .withColumn("frame_idx", F.explode(sampled_idx))
+        .select(
+            id_col,
+            "frame_idx",
+            "n_frames",
+            F.md5(
+                F.col(payload_col).substr(
+                    (F.col("frame_idx") * F.col("_fs") + 1).cast("int"),
+                    F.col("_fs").cast("int"),
+                )
+            ).alias("frame_md5"),
+        )
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000, duration_col: str = "duration_ms"
 ) -> DataFrame:

@@ -440,6 +440,22 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-video frame sampling: documents text re-encoded as a raw
+    concatenated-frame payload (4×2 px × 3 bpp = 24-byte frames), every
+    2nd frame sliced and md5-fingerprinted entirely JVM-side. The oracle
+    reproduces the byte slicing with BLOB substring in SQL."""
+    from edgar_spark.operators.multimodal import video_frame_sample
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(4).alias("width"),
+        F.lit(2).alias("height"),
+    )
+    return video_frame_sample(media, every_k=2, id_col="doc_id")
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event-time aggregation (streaming/pipeline.py shares
     this exact definition with the watermarked streaming mode). Window bounds
@@ -791,6 +807,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
     "mm_byte_stats": q_mm_byte_stats,
     "mm_image_stats": q_mm_image_stats,
+    "mm_frame_sample": q_mm_frame_sample,
     "events_window_agg": q_events_window_agg,
     "sessionize_gap": q_sessionize_gap,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1002,6 +1019,25 @@ _ORACLES: Dict[str, str] = {
                 PARTITION BY query_id ORDER BY cos_sim_r DESC, neighbor_id
             ) AS rank FROM scored
         ) WHERE rank <= 5
+    """,
+    "mm_frame_sample": """
+        -- documents text is pure ASCII (octet_length(encode(text)) =
+        -- length(text) holds for every row), so VARCHAR substring/md5
+        -- are byte-exact against Spark's binary slicing of encode(text)
+        WITH m AS (
+            SELECT doc_id, text, CAST(4 * 2 * 3 AS BIGINT) AS fs,
+                   CAST(floor(length(text) / (4 * 2 * 3)) AS BIGINT)
+                       AS n_frames
+            FROM documents
+        ), idx AS (
+            SELECT doc_id, text, fs, n_frames,
+                   unnest(range(n_frames)) AS frame_idx
+            FROM m WHERE n_frames > 0
+        )
+        SELECT doc_id, frame_idx, n_frames,
+               md5(substring(text, CAST(frame_idx * fs + 1 AS BIGINT),
+                             fs)) AS frame_md5
+        FROM idx WHERE frame_idx % 2 = 0
     """,
     "mm_byte_stats": """
         SELECT doc_id,

@@ -316,6 +316,73 @@ def test_split_robots_longest_match(spark):
         assert (u in got_blocked) == (expect == "blocked"), u
 
 
+def test_split_robots_random_conformance(spark):
+    """Randomized REP conformance: 25 random rule sets (wildcards, $
+    anchors, Allow/Disallow mixes) × 40 random paths each, evaluated in
+    ONE split_robots call (one host per rule set) and compared against a
+    pure-Python longest-match reference implementing the spec directly."""
+    import random
+    import re as _re
+
+    import pandas as pd
+
+    from edgar_spark.frontier.robots import ROBOTS_SCHEMA, parse_robots_txt, split_robots
+
+    rng = random.Random(20260817)
+    seg = ["/a", "/b", "a", "b", "*", "/"]
+
+    def rand_pattern():
+        p = "/" + "".join(rng.choice(seg) for _ in range(rng.randint(0, 3)))
+        if rng.random() < 0.3:
+            p += "$"
+        return p
+
+    all_rules, frontier_rows, expected = [], [], {}
+    for hi in range(25):
+        host = f"h{hi}.example"
+        body = "User-agent: *\n" + "".join(
+            f"{rng.choice(['Allow', 'Disallow'])}: {rand_pattern()}\n"
+            for _ in range(rng.randint(1, 6))
+        )
+        rules = parse_robots_txt(host, body)
+        all_rules.extend(rules)
+
+        def ref_allowed(path):
+            best_len, best_allow = -1, True
+            for r in rules:
+                if r["pattern_regex"] is not None:
+                    m = _re.match(r["pattern_regex"], path) is not None
+                else:
+                    m = path.startswith(r["path_prefix"])
+                if m and (
+                    r["pattern_len"] > best_len
+                    or (r["pattern_len"] == best_len and r["allowed"])
+                ):
+                    best_len, best_allow = r["pattern_len"], r["allowed"]
+            return best_allow
+
+        for pi in range(40):
+            path = "/" + "".join(
+                rng.choice("ab/.") for _ in range(rng.randint(0, 8))
+            )
+            url = f"https://{host}{path}"
+            frontier_rows.append((url, host))
+            expected[url] = ref_allowed(path)
+
+    robots = spark.createDataFrame(pd.DataFrame(all_rules), ROBOTS_SCHEMA)
+    frontier = spark.createDataFrame(frontier_rows, ["url", "host"])
+    allowed, blocked = split_robots(frontier, robots)
+    got_allowed = {r["url"] for r in allowed.collect()}
+    got_blocked = {r["url"] for r in blocked.collect()}
+    assert got_allowed | got_blocked == set(expected) and not (
+        got_allowed & got_blocked
+    )
+    mismatches = [
+        u for u, want in expected.items() if (u in got_allowed) != want
+    ]
+    assert not mismatches, mismatches[:10]
+
+
 def test_rules_from_robots_pages(spark):
     """Robots rules acquired from the crawl corpus itself: /robots.txt
     pages parse on executors into the gating rules table."""

@@ -128,6 +128,52 @@ def test_image_stats_lenient_mode(spark):
         image_stats(df).collect()  # strict default propagates
 
 
+def test_video_frame_sample(spark):
+    """Raw-video frame sampling slices true BINARY frames (arbitrary
+    bytes, not text): every k-th frame's md5 matches Python slicing,
+    trailing partial frames drop, and short payloads yield no rows."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from edgar_spark.operators.multimodal import video_frame_sample
+
+    rng = np.random.default_rng(7)
+    w, h, bpp = 4, 2, 3
+    fs = w * h * bpp
+    payloads = {
+        1: rng.integers(0, 256, fs * 5 + 7, dtype=np.uint8).tobytes(),  # 5 frames + tail
+        2: rng.integers(0, 256, fs, dtype=np.uint8).tobytes(),  # exactly 1
+        3: b"\x00" * (fs - 1),  # short: no frames
+        4: b"",  # empty
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": list(payloads),
+                "payload": list(payloads.values()),
+                "width": w,
+                "height": h,
+            }
+        )
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["n_frames"], r["frame_md5"])
+        for r in video_frame_sample(df, every_k=2).collect()
+    }
+    expect = {}
+    for mid, p in payloads.items():
+        n = len(p) // fs
+        for i in range(0, n, 2):
+            expect[(mid, i)] = (
+                n,
+                hashlib.md5(p[i * fs : (i + 1) * fs]).hexdigest(),
+            )
+    assert got == expect
+    assert {m for m, _ in got} == {1, 2}  # short/empty payloads: no rows
+
+
 def test_audio_stats(spark):
     import struct
 
