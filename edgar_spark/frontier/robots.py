@@ -6,14 +6,13 @@ the frontier, so gating is two broadcast semi/anti joins — the frontier side
 is never shuffled.
 
 Semantics: REP longest-match — among the rules matching a URL (same host;
-literal rules prefix-match, ``*``/``$`` rules match their translated
-anchored regex), the longest ORIGINAL pattern wins, ties go to Allow;
+literal rules prefix-match, ``*``/``$`` rules match via a linear greedy
+glob fold), the longest ORIGINAL pattern wins, ties go to Allow;
 unmatched hosts/paths default to allowed.
 """
 
 from __future__ import annotations
 
-import re
 from typing import Tuple
 
 from pyspark.sql import DataFrame
@@ -38,10 +37,11 @@ ROBOTS_SCHEMA = StructType(
         # longest-match, or a longer literal Allow would out-rank it and
         # UNDER-block.
         StructField("pattern_len", IntegerType(), True),
-        # anchored Java-compatible regex for rules containing '*' or a
-        # trailing '$' (exact REP wildcard semantics); NULL ⇒ plain
-        # prefix match on path_prefix
-        StructField("pattern_regex", StringType(), True),
+        # the ORIGINAL pattern for rules containing '*' or a trailing
+        # '$' (exact REP wildcard semantics, matched by a linear greedy
+        # glob fold in split_robots — never a backtracking regex, since
+        # robots.txt content is untrusted); NULL ⇒ plain prefix match
+        StructField("pattern", StringType(), True),
     ]
 )
 
@@ -61,8 +61,14 @@ def split_robots(
     """
     if "pattern_len" not in robots.columns:  # older callers' rule tables
         robots = robots.withColumn("pattern_len", F.lit(None).cast("int"))
-    if "pattern_regex" not in robots.columns:
-        robots = robots.withColumn("pattern_regex", F.lit(None).cast("string"))
+    if "pattern" not in robots.columns:
+        robots = robots.withColumn("pattern", F.lit(None).cast("string"))
+    # pre-derive the glob shape per rule: end anchor + '*'-split segments
+    # (consecutive '*' leave empty middle segments; the fold skips them)
+    core = F.when(
+        F.col("pattern").endswith("$"),
+        F.expr("substring(pattern, 1, length(pattern) - 1)"),
+    ).otherwise(F.col("pattern"))
     rules_per_host = robots.groupBy("host").agg(
         F.collect_list(
             F.struct(
@@ -71,7 +77,12 @@ def split_robots(
                 ).alias("plen"),
                 F.col("path_prefix").alias("prefix"),
                 F.col("allowed").alias("allowed"),
-                F.col("pattern_regex").alias("regex"),
+                F.when(F.col("pattern").isNotNull(), F.split(core, r"\*", -1))
+                .otherwise(F.lit(None).cast("array<string>"))
+                .alias("segs"),
+                F.coalesce(F.col("pattern").endswith("$"), F.lit(False)).alias(
+                    "anchored"
+                ),
             )
         ).alias("_rules")
     )
@@ -93,11 +104,58 @@ def split_robots(
         F.lit(-1).cast("int").alias("plen"), F.lit(True).alias("allowed")
     )
 
+    def glob_match(path, segs, anchored):
+        """Linear greedy REP glob match of ``path`` against pattern
+        segments ``segs`` (the pattern split on '*'; a trailing '$' sets
+        ``anchored``). Greedy leftmost placement of each inner segment is
+        optimal for '*'-only globs, so this is exact — and it is pure
+        startswith/locate/endswith arithmetic, O(|path|·|pattern|) with
+        NO regex engine, so hostile many-wildcard robots patterns cannot
+        trigger catastrophic backtracking in the crawl gate."""
+        n = F.size(segs)
+        first, last = segs[0], F.element_at(segs, -1)
+        # scan position (1-based) after consuming the first segment
+        pos0 = F.when(
+            path.startswith(first), F.length(first) + 1
+        ).otherwise(F.lit(-1))
+        # greedily place each middle segment at its earliest occurrence
+        pos = F.aggregate(
+            F.slice(segs, 2, F.greatest(n - 2, F.lit(0))),
+            pos0,
+            lambda acc, seg: F.when(acc < 0, F.lit(-1)).otherwise(
+                F.when(F.length(seg) == 0, acc).otherwise(
+                    F.when(
+                        F.call_function("locate", seg, path, acc) > 0,
+                        F.call_function("locate", seg, path, acc)
+                        + F.length(seg),
+                    ).otherwise(F.lit(-1))
+                )
+            ),
+        )
+        one_seg = n == 1  # no '*' at all: pattern is anchored-literal
+        return F.when(
+            one_seg,
+            F.when(anchored, path == first).otherwise(path.startswith(first)),
+        ).otherwise(
+            (pos >= 0)
+            & F.when(
+                anchored,
+                # the last segment must sit at the very end, at or after
+                # the greedy scan position
+                path.endswith(last)
+                & (F.length(path) - F.length(last) + 1 >= pos),
+            ).otherwise(
+                (F.length(last) == 0)
+                | (F.call_function("locate", last, path, pos) > 0)
+            ),
+        )
+
     def fold(acc, r):
-        # wildcard/$ rules match by their translated regex, plain rules by
+        # wildcard/$ rules match by the linear glob fold, plain rules by
         # prefix — both JVM-side
         matched = F.when(
-            r["regex"].isNotNull(), F.regexp_like(F.col("_path"), r["regex"])
+            r["segs"].isNotNull(),
+            glob_match(F.col("_path"), r["segs"], r["anchored"]),
         ).otherwise(F.col("_path").startswith(r["prefix"]))
         wins = matched & (
             (r["plen"] > acc["plen"])
@@ -110,7 +168,7 @@ def split_robots(
     decision = F.aggregate(
         F.coalesce(F.col("_rules"), F.array().cast(
             "array<struct<plen:int,prefix:string,allowed:boolean,"
-            "regex:string>>"
+            "segs:array<string>,anchored:boolean>>"
         )),
         init,
         fold,
@@ -147,7 +205,7 @@ def rules_from_robots_pages(
                 rows,
                 columns=[
                     "host", "path_prefix", "allowed", "crawl_delay_ms",
-                    "pattern_len", "pattern_regex",
+                    "pattern_len", "pattern",
                 ],
             )
 
@@ -165,11 +223,12 @@ def parse_robots_txt(
     emits nothing); ``Crawl-delay`` seconds become crawl_delay_ms attached
     to the group's rows (clamped to int32, inf/nan/negatives ignored).
     Wildcards are EXACT: ``*`` matches any character run and a trailing
-    ``$`` anchors at the end of the path — such patterns are translated to
-    anchored regexes (``pattern_regex``) evaluated JVM-side by
-    ``split_robots``; precedence still ranks by the ORIGINAL pattern
-    length (``pattern_len``). Literal rules stay prefix-matched
-    (``pattern_regex`` NULL).
+    ``$`` anchors at the end of the path — such rules ship their ORIGINAL
+    pattern (``pattern``) and are matched by ``split_robots``'s linear
+    greedy glob fold (no regex engine touches the untrusted pattern);
+    precedence still ranks by the ORIGINAL pattern length
+    (``pattern_len``). Literal rules stay prefix-matched (``pattern``
+    NULL).
     """
     groups: list = []  # (agents, rules=[(path, allowed)], delay_ms)
     agents: list = []
@@ -200,17 +259,16 @@ def parse_robots_txt(
                 continue  # empty Disallow = allow everything: no rule row
             if "*" in val or val.endswith("$"):
                 # exact REP wildcard semantics: '*' matches any character
-                # run, a trailing '$' anchors at the end of the path;
-                # translated to an anchored regex evaluated JVM-side, so
-                # Allow wildcards are kept (no truncation, no over-block)
+                # run, a trailing '$' anchors at the end of the path.
+                # The ORIGINAL pattern ships in the rule row; matching is
+                # a linear greedy glob fold (split_robots), so a hostile
+                # robots.txt cannot smuggle in a catastrophic-backtracking
+                # pattern. Allow wildcards are kept (no truncation).
                 end = val.endswith("$")
                 core = val[:-1] if end else val
-                regex = "^" + ".*".join(re.escape(p) for p in core.split("*"))
-                if end:
-                    regex += "$"
                 prefix = core.split("*", 1)[0] or "/"
                 # precedence still uses the ORIGINAL pattern length
-                rules.append((prefix, key == "allow", len(val), regex))
+                rules.append((prefix, key == "allow", len(val), val))
             else:
                 rules.append((val, key == "allow", len(val), None))
         elif key == "crawl-delay":
@@ -230,7 +288,7 @@ def parse_robots_txt(
         chosen = [g for g in groups if "*" in g[0]]
     rows = []
     for _, grules, gdelay in chosen:
-        for path, is_allow, plen, regex in grules:
+        for path, is_allow, plen, pattern in grules:
             rows.append(
                 {
                     "host": host,
@@ -238,7 +296,7 @@ def parse_robots_txt(
                     "allowed": is_allow,
                     "crawl_delay_ms": gdelay,
                     "pattern_len": plen,
-                    "pattern_regex": regex,
+                    "pattern": pattern,
                 }
             )
         if not grules and gdelay is not None:
@@ -249,7 +307,7 @@ def parse_robots_txt(
                     "allowed": True,
                     "crawl_delay_ms": gdelay,
                     "pattern_len": 1,
-                    "pattern_regex": None,
+                    "pattern": None,
                 }
             )
     return rows

@@ -216,6 +216,16 @@ def minhash_dedup_pairs(
     estimated Jaccard (matching signature fraction) ≥ threshold."""
     sigs = minhash_signatures(df, n_hashes, shingle_k, text_col, id_col)
     cand = minhash_lsh_candidates(sigs, bands, id_col)
+    return _minhash_verified_pairs(sigs, cand, threshold, id_col)
+
+
+def _minhash_verified_pairs(
+    sigs: DataFrame, cand: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Estimated-Jaccard verification of candidate (id_a, id_b) pairs
+    against a ``(id, sig)`` table — the shared verify stage of
+    ``minhash_dedup_pairs`` (all docs) and ``minhash_dedup_edges``
+    (signature-collapsed representatives)."""
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     joined = cand.join(a, "id_a").join(b, "id_b")
@@ -264,23 +274,7 @@ def minhash_dedup_edges(
     )
     reps = groups.select(F.col("_rep").alias(id_col), "sig")
     cand = minhash_lsh_candidates(reps, bands, id_col)
-    a = reps.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    b = reps.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.size("sig_a")
-    )
-    rep_pairs = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
-    )
+    rep_pairs = _minhash_verified_pairs(reps, cand, threshold, id_col)
     return star.unionByName(rep_pairs)
 
 

@@ -499,19 +499,27 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint; the watermark jump fires every open session's timeout).
     The emitted sessions must equal the batch window pipeline — the same
     SQL oracle as ``sessionize_gap`` gates it."""
+    import atexit
+    import shutil
     import tempfile
 
     from edgar_spark.streaming.pipeline import sessionize_stream
 
     events = _t(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="edgar_spark_sess_stream_")
+    # the returned DataFrame lazily reads out_dir, so the root can only go
+    # at interpreter exit; src/ckpt are removed eagerly below
+    atexit.register(shutil.rmtree, root, True)
     src_dir, out_dir, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
     events.write.parquet(src_dir)
+    # sentinel anchored on max(ts): the watermark must jump past EVERY
+    # open session's (last event + gap) timeout, whatever the table spans
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
     sentinel = (
         events.limit(1)
         .withColumn("event_id", F.lit(10**9).cast("long"))
         .withColumn("user_id", F.lit(-1).cast(dict(events.dtypes)["user_id"]))
-        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 60 DAYS"))
+        .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 60 DAYS"))
     )
 
     def run_once():
@@ -530,8 +538,11 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
     sentinel.write.mode("append").parquet(src_dir)
     run_once()
+    result = spark.read.parquet(out_dir)
+    shutil.rmtree(src_dir, ignore_errors=True)  # the events copy + state
+    shutil.rmtree(ckpt, ignore_errors=True)
     return (
-        spark.read.parquet(out_dir)
+        result
         .filter(F.col("user_id") != -1)
         .select(
             "user_id",

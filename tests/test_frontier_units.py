@@ -179,22 +179,22 @@ Disallow: /
         ("/private/public/", True),
     }
     assert all(r["crawl_delay_ms"] == 2000 for r in star)
-    # wildcard paths carry an exact anchored regex; empty Disallow = noop
+    # wildcard paths carry their ORIGINAL pattern; empty Disallow = noop
     wild = parse_robots_txt("h", "User-agent: *\nDisallow: /a/*/b\nDisallow:\n")
-    assert [(r["path_prefix"], r["allowed"], r["pattern_regex"]) for r in wild] == [
-        ("/a/", False, "^/a/.*/b")
+    assert [(r["path_prefix"], r["allowed"], r["pattern"]) for r in wild] == [
+        ("/a/", False, "/a/*/b")
     ]
     # precedence keeps the ORIGINAL pattern length
     assert wild[0]["pattern_len"] == len("/a/*/b")
-    # wildcard Allow is kept (exact regex — no truncation, no over-block)
+    # wildcard Allow is kept (exact glob match — no truncation)
     wa = parse_robots_txt("h", "User-agent: *\nAllow: /x*\nDisallow: /x\n")
-    assert {(r["path_prefix"], r["allowed"], r["pattern_regex"]) for r in wa} == {
-        ("/x", True, "^/x.*"),
+    assert {(r["path_prefix"], r["allowed"], r["pattern"]) for r in wa} == {
+        ("/x", True, "/x*"),
         ("/x", False, None),
     }
     # trailing $ anchors at end-of-path
     anchored = parse_robots_txt("h", "User-agent: *\nDisallow: /*.pdf$\n")
-    assert anchored[0]["pattern_regex"] == "^/.*\\.pdf$"
+    assert anchored[0]["pattern"] == "/*.pdf$"
     # crawl-delay clamps (inf → int32 max) and drops nan/negatives
     inf_rows = parse_robots_txt("h", "User-agent: *\nDisallow: /\nCrawl-delay: inf\n")
     assert inf_rows[0]["crawl_delay_ms"] == 2**31 - 1
@@ -332,7 +332,7 @@ def test_split_robots_random_conformance(spark):
     seg = ["/a", "/b", "a", "b", "*", "/"]
 
     def rand_pattern():
-        p = "/" + "".join(rng.choice(seg) for _ in range(rng.randint(0, 3)))
+        p = "/" + "".join(rng.choice(seg) for _ in range(rng.randint(0, 6)))
         if rng.random() < 0.3:
             p += "$"
         return p
@@ -350,8 +350,14 @@ def test_split_robots_random_conformance(spark):
         def ref_allowed(path):
             best_len, best_allow = -1, True
             for r in rules:
-                if r["pattern_regex"] is not None:
-                    m = _re.match(r["pattern_regex"], path) is not None
+                if r["pattern"] is not None:
+                    # independent reference: translate the glob to a
+                    # Python regex (the spec), vs the engine's greedy fold
+                    pat = r["pattern"]
+                    end = pat.endswith("$")
+                    core = pat[:-1] if end else pat
+                    rx = ".*".join(_re.escape(x) for x in core.split("*"))
+                    m = _re.match("^" + rx + ("$" if end else ""), path) is not None
                 else:
                     m = path.startswith(r["path_prefix"])
                 if m and (
@@ -381,6 +387,32 @@ def test_split_robots_random_conformance(spark):
         u for u, want in expected.items() if (u in got_allowed) != want
     ]
     assert not mismatches, mismatches[:10]
+
+
+def test_split_robots_hostile_pattern_is_linear(spark):
+    """A crafted many-wildcard robots pattern must not hang the gate: the
+    greedy glob fold is linear, where a backtracking regex translation of
+    'Disallow: /*a*a*...*a$' against a long non-matching path would
+    explore a combinatorial number of splits."""
+    import time
+
+    import pandas as pd
+
+    from edgar_spark.frontier.robots import ROBOTS_SCHEMA, parse_robots_txt, split_robots
+
+    hostile = "/" + "*a" * 20 + "$"  # 20 wildcards, $-anchored
+    rows = parse_robots_txt("evil.example", f"User-agent: *\nDisallow: {hostile}\n")
+    robots = spark.createDataFrame(pd.DataFrame(rows), ROBOTS_SCHEMA)
+    near_miss = "https://evil.example/" + "a" * 500 + "b"  # forces full scan
+    match = "https://evil.example/" + "a" * 500
+    frontier = spark.createDataFrame(
+        [(near_miss, "evil.example"), (match, "evil.example")], ["url", "host"]
+    )
+    t0 = time.time()
+    allowed, blocked = split_robots(frontier, robots)
+    got_blocked = {r["url"] for r in blocked.collect()}
+    assert time.time() - t0 < 30  # regex backtracking here would be hours
+    assert got_blocked == {match}  # and the decisions are still exact
 
 
 def test_rules_from_robots_pages(spark):
