@@ -440,6 +440,40 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents text salted with deterministic
+    synthetic PII (per-doc email, phone, SSN-shaped id — the corpus
+    itself contains none, so the injection makes every rule fire and the
+    hash compare meaningful). The oracle runs the same RE2-compatible
+    patterns through DuckDB's regexp functions verbatim."""
+    from edgar_spark.operators.text import redact_pii
+
+    salted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or call 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" id 123-45-6789"),
+        ).alias("text"),
+    )
+    return redact_pii(salted)
+
+
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents with doc_id < 25 act as the
+    held-out probe set; every other document sharing any distinct word
+    4-gram with them is flagged with its overlap count."""
+    from edgar_spark.operators.text import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") >= 25), docs.filter(F.col("doc_id") < 25), n=4
+    )
+
+
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-video frame sampling: documents text re-encoded as a raw
     concatenated-frame payload (4×2 px × 3 bpp = 24-byte frames), every
@@ -819,6 +853,8 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_byte_stats": q_mm_byte_stats,
     "mm_image_stats": q_mm_image_stats,
     "mm_frame_sample": q_mm_frame_sample,
+    "pii_redact": q_pii_redact,
+    "ngram_contamination": q_ngram_contamination,
     "events_window_agg": q_events_window_agg,
     "sessionize_gap": q_sessionize_gap,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1030,6 +1066,46 @@ _ORACLES: Dict[str, str] = {
                 PARTITION BY query_id ORDER BY cos_sim_r DESC, neighbor_id
             ) AS rank FROM scored
         ) WHERE rank <= 5
+    """,
+    "pii_redact": """
+        WITH salted AS (
+            SELECT doc_id,
+                   text || ' contact u' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example or call 555-123-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' id 123-45-6789' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+               len(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phone,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<ID>', 'g'),
+                   '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS clean_text
+        FROM salted
+    """,
+    "ngram_contamination": """
+        WITH tk AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 3, 1) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 3), ' ')
+                   )) AS gs
+            FROM tk
+        ), d AS (
+            SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id >= 25
+        ), p AS (
+            SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id < 25
+        )
+        SELECT d.doc_id, count(DISTINCT d.g) AS n_overlap
+        FROM d JOIN p ON p.g = d.g
+        GROUP BY d.doc_id
     """,
     "mm_frame_sample": """
         -- documents text is pure ASCII (octet_length(encode(text)) =

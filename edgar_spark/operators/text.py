@@ -133,3 +133,74 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     dedup.simhash_signatures)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+#: PII scrub rules applied in order: (name, RE2-compatible pattern — the
+#: subset Java regex and DuckDB agree on: no lookaround, no backrefs —
+#: replacement token). Email first so phone-like digit runs inside an
+#: address are consumed by the email rule.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based PII scrubbing — the redaction pass of a training-data
+    pipeline: emails, SSN-shaped ids, and phone-shaped digit runs replaced
+    by typed placeholder tokens, with a per-type match count. A chain of
+    JVM ``regexp_replace``/``regexp_extract_all`` passes — no Python, no
+    shuffle; the patterns are RE2-compatible so the DuckDB oracle runs
+    them verbatim. Output: (id, n_email, n_ssn, n_phone, clean_text)."""
+    counts = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(id_col, *counts, clean.alias("clean_text"))
+
+
+def word_shingles(c: Column, n: int) -> Column:
+    """Distinct word n-grams of ``c`` (same slice semantics as the
+    n-gram Jaccard operators: a doc shorter than ``n`` tokens yields its
+    whole-token shingle)."""
+    toks = F.split(F.trim(c), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination pass: flag corpus documents sharing any
+    word ``n``-gram with a probe corpus (the held-out benchmark), with the
+    count of distinct overlapping n-grams. The probe side is tiny at
+    production scale (benchmarks vs a 100 TB corpus) so its distinct
+    shingle set broadcasts; the corpus side explodes its distinct
+    shingles once and the overlap is one broadcast-hash join + grouped
+    count — the corpus never shuffles on a text key.
+    Output: (id, n_overlap), flagged docs only."""
+    d = docs.select(
+        id_col, F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    p = probes.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    ).distinct()
+    return (
+        d.join(F.broadcast(p), "g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("g").alias("n_overlap"))
+    )

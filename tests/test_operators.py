@@ -608,3 +608,52 @@ def test_asof_join_null_right_value(spark):
     )
     out = asof_join(left, right, key="user_id", ts="ts", value_col="value").collect()
     assert out[0]["asof_value"] is None  # the t2 row wins, value NULL
+
+
+def test_redact_pii(spark):
+    from edgar_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.co.uk or call 555-123-4567 now"),
+        (2, "ssn 123-45-6789 twice 987-65-4321, phone 555.867.5309"),
+        (3, "no pii here, just 12345 and v1.2.3 and a@b"),  # a@b: TLD too short
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "<EMAIL>" in out[1]["clean_text"] and "<PHONE>" in out[1]["clean_text"]
+    assert "jane.doe" not in out[1]["clean_text"]
+    assert out[2]["n_ssn"] == 2 and out[2]["n_phone"] == 1
+    assert out[2]["clean_text"].count("<ID>") == 2
+    assert out[3]["n_email"] == out[3]["n_ssn"] == out[3]["n_phone"] == 0
+    assert out[3]["clean_text"] == rows[2][1]  # untouched
+    assert out[4]["clean_text"] == ""
+
+
+def test_ngram_contamination(spark):
+    from edgar_spark.operators.text import ngram_contamination, word_shingles
+
+    probe = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma delta epsilon yy"),  # 1 overlapping 5-gram
+            (2, "alpha beta gamma delta epsilon zeta eta"),  # 2 of probe's 2 grams
+            (3, "totally unrelated words in this document here"),
+            (4, "beta gamma delta epsilon"),  # shorter than n: whole-doc shingle, no match
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n_overlap"] for r in ngram_contamination(docs, probe, n=5).collect()}
+    assert out == {1: 1, 2: 2}
+
+    # whole-token shingle for short docs (same contract as the Jaccard ops)
+    sh = (
+        spark.range(1)
+        .select(word_shingles(F.lit("a b"), 5).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert sh == ["a b"]

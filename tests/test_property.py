@@ -79,9 +79,13 @@ def test_normalize_number_roundtrip(whole, cents, parens, dollar):
     """Rendered financial forms round-trip exactly."""
     from edgar_spark.parse.numbers import normalize_number
 
-    mag = abs(whole) + cents / 100.0
     body = f"{abs(whole):,}" + (f".{cents:02d}" if cents else "")
     s = ("$ " if dollar else "") + (f"({body})" if parens else body)
+    # Expected value must be PARSED, not built by float addition —
+    # abs(whole) + cents/100.0 accumulates IEEE error (4 + 0.81 =
+    # 4.8100000000000005) that strconv.ParseFloat-style parsing of
+    # "4.81" never sees.
+    mag = float(f"{abs(whole)}.{cents:02d}" if cents else str(abs(whole)))
     want = -mag if parens else mag
     assert normalize_number(s) == want
 
