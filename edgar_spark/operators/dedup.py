@@ -177,11 +177,62 @@ def minhash_signatures(
     )
 
 
+def _capped_bucket_pairs(
+    banded: DataFrame, key_cols: list, bucket_cap, id_col: str
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from a banded ``(id, *key_cols)`` table,
+    with a per-bucket population cap — the shared overflow lever of the
+    minhash and simhash banding pipelines (the "per-bucket size cap"
+    noted in SCALE.md).
+
+    Buckets at or under ``bucket_cap`` self-join as usual (quadratic in
+    the bucket, bounded by cap²). Overflow buckets — template clusters
+    that survive even representative collapse because their members'
+    signatures differ slightly — skip the all-pairs join and emit STAR
+    candidates instead: every member paired with the bucket's minimum id
+    (LINEAR in the bucket population). Star candidates still pass through
+    the caller's exact verification, so precision is unchanged; recall
+    within an overflow bucket is bounded to rep-adjacent pairs there, but
+    any pair also co-bucketed in a non-overflow band is still found (the
+    OR-construction's other bands are unaffected). ``bucket_cap=None``
+    reproduces the uncapped plan exactly."""
+    if bucket_cap is None:
+        left = banded.select(F.col(id_col).alias("id_a"), *key_cols)
+        right = banded.select(F.col(id_col).alias("id_b"), *key_cols)
+        return (
+            left.join(right, key_cols)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    stats = banded.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_pop"), F.min(id_col).alias("_bmin")
+    )
+    tagged = banded.join(stats, key_cols)
+    small = tagged.filter(F.col("_pop") <= bucket_cap)
+    left = small.select(F.col(id_col).alias("id_a"), *key_cols)
+    right = small.select(F.col(id_col).alias("id_b"), *key_cols)
+    small_pairs = (
+        left.join(right, key_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    star_pairs = (
+        tagged.filter(F.col("_pop") > bucket_cap)
+        .filter(F.col(id_col) != F.col("_bmin"))
+        .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return small_pairs.unionByName(star_pairs).distinct()
+
+
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, id_col: str = "doc_id"
+    sigs: DataFrame, bands: int = 16, id_col: str = "doc_id", bucket_cap: int = None
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band bucket.
-    One explode + one self-join per bucket key; dedup to (a < b) pairs."""
+    One explode + one self-join per bucket key; dedup to (a < b) pairs.
+    ``bucket_cap`` bounds the in-bucket join: overflow buckets emit linear
+    star candidates to the bucket min-id instead (see
+    ``_capped_bucket_pairs``)."""
     n_hashes_col = F.size("sig")
     rows_per_band = (n_hashes_col / bands).cast("int")
     banded = sigs.select(
@@ -193,14 +244,7 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "chunk"),
     ).select(id_col, "band", F.xxhash64(F.col("band"), F.col("chunk")).alias("bucket"))
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _capped_bucket_pairs(banded, ["band", "bucket"], bucket_cap, id_col)
 
 
 def minhash_dedup_pairs(
@@ -211,11 +255,12 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → verify with the
     estimated Jaccard (matching signature fraction) ≥ threshold."""
     sigs = minhash_signatures(df, n_hashes, shingle_k, text_col, id_col)
-    cand = minhash_lsh_candidates(sigs, bands, id_col)
+    cand = minhash_lsh_candidates(sigs, bands, id_col, bucket_cap)
     return _minhash_verified_pairs(sigs, cand, threshold, id_col)
 
 
@@ -251,6 +296,7 @@ def minhash_dedup_edges(
     shingle_k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = None,
 ) -> DataFrame:
     """Dup-heavy-corpus scale shape of the MinHash near-dup pipeline — the
     minhash twin of ``simhash_dedup_edges``: identical signature vectors
@@ -273,7 +319,7 @@ def minhash_dedup_edges(
         )
     )
     reps = groups.select(F.col("_rep").alias(id_col), "sig")
-    cand = minhash_lsh_candidates(reps, bands, id_col)
+    cand = minhash_lsh_candidates(reps, bands, id_col, bucket_cap)
     rep_pairs = _minhash_verified_pairs(reps, cand, threshold, id_col)
     return star.unionByName(rep_pairs)
 
@@ -338,7 +384,7 @@ def auto_simhash_chunks(
     the Manku-style trade that keeps in-bucket joins bounded as the corpus
     grows past 2^16 docs. Capped at 64 keys per doc; returns the widest
     feasible chunk count if even that cannot meet the load target (at
-    which point a per-bucket size cap is the remaining lever).
+    which point ``bucket_cap`` star overflow is the remaining lever).
     """
     import math as _math
 
@@ -361,6 +407,7 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_count: int = None,
+    bucket_cap: int = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -381,8 +428,9 @@ def simhash_near_dups(
     (``corpus_count`` if given, else one counting scan): the chunk count
     grows until the expected bucket population under a uniform-hash model
     is bounded, widening keys to ~25/31/35 bits as the corpus passes
-    10^7/10^9/10^12 docs. Dup-heavy corpora additionally want a per-bucket
-    size cap with the overflow routed through minhash verification.
+    10^7/10^9/10^12 docs. Dup-heavy corpora additionally pass
+    ``bucket_cap``: overflow buckets emit linear star candidates instead
+    of the quadratic in-bucket join (``_capped_bucket_pairs``).
     """
     if n_chunks is None:
         n = corpus_count if corpus_count is not None else df.count()
@@ -391,16 +439,21 @@ def simhash_near_dups(
     # scans it from four places (candidate left/right + verify a/b):
     # persist the small (id, long) signature table so it computes ONCE
     sigs = simhash_signatures(df, text_col, id_col).persist()
-    return _simhash_band_pairs(sigs, max_hamming, n_chunks, id_col)
+    return _simhash_band_pairs(sigs, max_hamming, n_chunks, id_col, bucket_cap)
 
 
 def _simhash_band_pairs(
-    sigs: DataFrame, max_hamming: int, n_chunks: int, id_col: str = "doc_id"
+    sigs: DataFrame,
+    max_hamming: int,
+    n_chunks: int,
+    id_col: str = "doc_id",
+    bucket_cap: int = None,
 ) -> DataFrame:
     """Combination-banding candidate generation + exact Hamming verify over
     a precomputed ``(id, simhash)`` table — the shared core of
     ``simhash_near_dups`` (raw docs) and ``simhash_dedup_edges``
-    (signature-collapsed representatives)."""
+    (signature-collapsed representatives). ``bucket_cap`` bounds the
+    in-bucket join via ``_capped_bucket_pairs`` star overflow."""
     if max_hamming > n_chunks - 1:
         raise ValueError("pigeonhole needs max_hamming <= n_chunks - 1")
     widths = _chunk_widths(n_chunks)
@@ -428,14 +481,7 @@ def _simhash_band_pairs(
         id_col,
         F.posexplode(F.array(*key_exprs)).alias("chunk_idx", "chunk_val"),
     )
-    left = chunked.select(F.col(id_col).alias("id_a"), "chunk_idx", "chunk_val")
-    right = chunked.select(F.col(id_col).alias("id_b"), "chunk_idx", "chunk_val")
-    cand = (
-        left.join(right, ["chunk_idx", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _capped_bucket_pairs(chunked, ["chunk_idx", "chunk_val"], bucket_cap, id_col)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
     return (
@@ -456,6 +502,7 @@ def simhash_dedup_edges(
     n_chunks: int = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = None,
 ) -> DataFrame:
     """Dup-heavy-corpus scale shape of SimHash near-dup detection:
     an edge set (id_a, id_b, hamming) whose connected components equal
@@ -496,7 +543,7 @@ def simhash_dedup_edges(
     reps = groups.select(F.col("_rep").alias(id_col), "simhash").persist()
     if n_chunks is None:
         n_chunks = auto_simhash_chunks(reps.count(), max_hamming)
-    rep_pairs = _simhash_band_pairs(reps, max_hamming, n_chunks, id_col)
+    rep_pairs = _simhash_band_pairs(reps, max_hamming, n_chunks, id_col, bucket_cap)
     return star.unionByName(rep_pairs)
 
 

@@ -657,3 +657,68 @@ def test_ngram_contamination(spark):
         .collect()[0]["s"]
     )
     assert sh == ["a b"]
+
+
+def test_bucket_cap_equivalence_and_overflow(spark):
+    """Per-bucket size cap: a huge cap reproduces the uncapped pair set
+    exactly; a small cap turns hot-bucket all-pairs into linear star
+    candidates that still verify and still connect every member."""
+    from edgar_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        simhash_near_dups,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [(i, base + f" tail{i % 3}") for i in range(30)]
+    rows += [(100, "entirely different content about something else here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_dedup_pairs(df, threshold=0.5).collect()
+    }
+    big_cap = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_dedup_pairs(df, threshold=0.5, bucket_cap=10**6).collect()
+    }
+    assert big_cap == uncapped
+
+    # hot buckets: 30 near-identical docs (3 tail variants) co-bucket in
+    # groups of 10 or 30 — every bucket overflows cap=5, so candidates are
+    # ONLY star pairs to some bucket-local min id (0, 1, or 2), linear in
+    # the cluster size instead of the 435 uncapped pairs.
+    sigs = minhash_signatures(df)
+    cand = minhash_lsh_candidates(sigs, bucket_cap=5).collect()
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cand}
+    assert all(a in {0, 1, 2} for a, _ in cand_pairs)  # stars only
+    assert len(cand_pairs) <= 3 * 29  # linear bound (uncapped = 435)
+
+    capped = minhash_dedup_pairs(df, threshold=0.5, bucket_cap=5).collect()
+    assert all(r["est_jaccard"] >= 0.5 for r in capped)
+    # transitive closure over the star edges still reaches every member
+    parent = {i: i for i in range(30)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in capped:
+        parent[find(r["id_a"])] = find(r["id_b"])
+    assert len({find(i) for i in range(30)}) == 1
+
+    # simhash path: same contract, big cap ≡ uncapped
+    sim_uncapped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(df, max_hamming=3).collect()
+    }
+    sim_big = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(df, max_hamming=3, bucket_cap=10**6).collect()
+    }
+    assert sim_big == sim_uncapped
+    sim_capped = simhash_near_dups(df, max_hamming=3, bucket_cap=5).collect()
+    assert all(r["hamming"] <= 3 for r in sim_capped)  # verify still exact
