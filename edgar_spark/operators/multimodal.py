@@ -54,6 +54,19 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
     return header + info + bytes(body)
 
 
+def encode_wav(samples: "np.ndarray", rate: int = 8000, n_channels: int = 1) -> bytes:
+    """int16 samples (channel-interleaved, 1-D) → 16-bit PCM WAV bytes —
+    the encoder twin of ``decode_wav`` (RIFF + fmt + data chunks)."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    block = n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, rate, rate * block, block, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def _decode_bmp(payload: bytes) -> "np.ndarray":
     """Uncompressed 24/32-bpp BMP → RGB (H, W, 3) uint8 top-down."""
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -237,8 +250,11 @@ def audio_stats(
                 out["n_frames"].append(samples.shape[0])
                 out["n_channels"].append(samples.shape[1])
                 out["duration_ms"].append(int(samples.shape[0] * 1000 / rate))
+                # float64 accumulation: the float32 samples are exact
+                # (int16/2^15 dyadic rationals), so the double mean/sqrt
+                # is bit-reproducible by any IEEE engine — SQL-oracle-able
                 out["rms"].append(
-                    round(float(np.sqrt(np.mean(np.square(samples)))), 6)
+                    round(float(np.sqrt(np.mean(np.square(samples.astype(np.float64))))), 6)
                     if samples.size
                     else 0.0
                 )

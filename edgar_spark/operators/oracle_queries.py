@@ -414,6 +414,44 @@ def q_mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(media).withColumnRenamed("media_id", "doc_id")
 
 
+def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: each document's first 32 codepoints
+    become int16 PCM samples ((cp % 256 − 128) · 256, zero-padded) of a
+    2-channel 8 kHz WAV, serialized with encode_wav and decoded back by
+    the pure struct+numpy WAV parser inside audio_stats. The oracle
+    recomputes rate/frames/duration/rms analytically from the codepoints —
+    a chunk-walk, interleave, or scaling bug in the decoder cannot pass.
+    All sample values are dyadic rationals (v/128), so the float64
+    rms is bit-identical between numpy and DuckDB."""
+    import numpy as np
+
+    from edgar_spark.operators.multimodal import audio_stats, encode_wav
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for t in pdf.itertuples(index=False):
+                s = t.text or ""
+                vals = [
+                    ((ord(s[i]) % 256) - 128) * 256 if i < len(s) else 0
+                    for i in range(32)
+                ]
+                ids.append(t.doc_id)
+                payloads.append(
+                    encode_wav(np.array(vals, dtype="<i2"), rate=8000, n_channels=2)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return audio_stats(media).withColumnRenamed("media_id", "doc_id")
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-training-data pipeline end-to-end in one plan: exact-dedup
     representatives → language filter (en) → quality gate → per-source
@@ -852,6 +890,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
     "mm_byte_stats": q_mm_byte_stats,
     "mm_image_stats": q_mm_image_stats,
+    "mm_audio_stats": q_mm_audio_stats,
     "mm_frame_sample": q_mm_frame_sample,
     "pii_redact": q_pii_redact,
     "ngram_contamination": q_ngram_contamination,
@@ -1146,6 +1185,27 @@ _ORACLES: Dict[str, str] = {
                round(list_sum(list_transform(range(8), k -> v[k*3 + 3])) / 8.0, 6)
                    AS mean_b
         FROM px
+    """,
+    "mm_audio_stats": """
+        WITH v AS (
+            SELECT doc_id,
+                   list_transform(range(32),
+                       i -> CASE WHEN i < length(text)
+                                 THEN (ascii(substr(text, CAST(i AS INT) + 1, 1))
+                                       % 256) - 128
+                                 ELSE 0 END) AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               8000 AS sample_rate,
+               16 AS n_frames,
+               2 AS n_channels,
+               2 AS duration_ms,
+               round_even(
+                   sqrt(list_sum(list_transform(
+                       s, x -> (x / 128.0) * (x / 128.0))) / 32.0),
+                   6) AS rms
+        FROM v
     """,
     "corpus_curation": """
         WITH reps AS (

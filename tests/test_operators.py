@@ -722,3 +722,19 @@ def test_bucket_cap_equivalence_and_overflow(spark):
     assert sim_big == sim_uncapped
     sim_capped = simhash_near_dups(df, max_hamming=3, bucket_cap=5).collect()
     assert all(r["hamming"] <= 3 for r in sim_capped)  # verify still exact
+
+
+def test_encode_wav_roundtrip():
+    """encode_wav → decode_wav recovers rate, channel shape, and exact
+    sample values (int16/2^15 dyadic rationals are exact in float32)."""
+    import numpy as np
+
+    from edgar_spark.operators.multimodal import decode_wav, encode_wav
+
+    vals = np.array([0, 1, -1, 32767, -32768, 256, -256, 12345], dtype="<i2")
+    rate, samples = decode_wav(encode_wav(vals, rate=44100, n_channels=2))
+    assert rate == 44100
+    assert samples.shape == (4, 2)
+    np.testing.assert_array_equal(
+        (samples * 32768.0).astype("<i2").ravel(), vals
+    )
