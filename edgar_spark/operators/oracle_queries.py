@@ -414,6 +414,15 @@ def q_mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(media).withColumnRenamed("media_id", "doc_id")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (top-word / top-bigram / duplicate-
+    bigram fractions) over the documents table — the repetition leg of
+    quality filtering, one tagged explode + one per-doc rollup."""
+    from edgar_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: each document's first 32 codepoints
     become int16 PCM samples ((cp % 256 − 128) · 256, zero-padded) of a
@@ -894,6 +903,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_sample": q_mm_frame_sample,
     "pii_redact": q_pii_redact,
     "ngram_contamination": q_ngram_contamination,
+    "repetition_stats": q_repetition_stats,
     "events_window_agg": q_events_window_agg,
     "sessionize_gap": q_sessionize_gap,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1185,6 +1195,48 @@ _ORACLES: Dict[str, str] = {
                round(list_sum(list_transform(range(8), k -> v[k*3 + 3])) / 8.0, 6)
                    AS mean_b
         FROM px
+    """,
+    "repetition_stats": """
+        WITH tk AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS toks
+            FROM documents
+        ), w AS (
+            SELECT doc_id, unnest(toks) AS g FROM tk
+        ), wc AS (
+            SELECT doc_id, count(*) AS c FROM w GROUP BY doc_id, g
+        ), wagg AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   max(c) AS top_w
+            FROM wc GROUP BY doc_id
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS g
+            FROM tk
+        ), bgc AS (
+            SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, g
+        ), bagg AS (
+            SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg
+            FROM bgc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(w.n_tokens, 0) AS n_tokens,
+               CASE WHEN w.n_tokens > 0
+                    THEN round(w.top_w / CAST(w.n_tokens AS DOUBLE), 6)
+                    ELSE 0.0 END AS top_word_frac,
+               CASE WHEN b.n_bg > 0
+                    THEN round(b.top_bg / CAST(b.n_bg AS DOUBLE), 6)
+                    ELSE 0.0 END AS top_bigram_frac,
+               CASE WHEN b.n_bg > 0
+                    THEN round(b.dup_bg / CAST(b.n_bg AS DOUBLE), 6)
+                    ELSE 0.0 END AS dup_bigram_frac
+        FROM documents d
+        LEFT JOIN wagg w USING (doc_id)
+        LEFT JOIN bagg b USING (doc_id)
     """,
     "mm_audio_stats": """
         WITH v AS (

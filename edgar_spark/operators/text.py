@@ -204,3 +204,95 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.countDistinct("g").alias("n_overlap"))
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition metrics per document — the repetition
+    leg of training-data quality filtering (boilerplate, keyword stuffing,
+    degenerate generations):
+
+    * ``top_word_frac``   — occurrences of the most frequent token / tokens
+    * ``top_bigram_frac`` — occurrences of the most frequent word bigram /
+      bigram positions
+    * ``dup_bigram_frac`` — fraction of bigram positions whose bigram
+      occurs more than once
+
+    One tagged explode (token grams and bigram grams in the same array) →
+    one (id, kind, gram) groupBy with map-side partial aggregation → one
+    per-doc rollup: a single shuffle keyed by document, so at 100 TB the
+    plan is explode-amplified scan + one exchange, no self-joins. Docs
+    with no tokens keep a row (zero counts, 0.0 fractions) via the
+    left join back to the id spine. All fractions round(…, 6) with the
+    same HALF_UP decimal rounding DuckDB's ``round`` applies, so the
+    operator is exactly SQL-oracle-able."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    words = F.transform(
+        toks, lambda w: F.struct(F.lit("w").alias("kind"), w.alias("g"))
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.lit("b").alias("kind"),
+                F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)).alias(
+                    "g"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<kind:string,g:string>>"))
+    grams = df.select(
+        id_col, F.explode(F.concat(words, bigrams)).alias("gram")
+    ).select(id_col, F.col("gram.kind").alias("kind"), F.col("gram.g").alias("g"))
+    counts = grams.groupBy(id_col, "kind", "g").agg(F.count(F.lit(1)).alias("c"))
+    w = F.col("kind") == "w"
+    b = F.col("kind") == "b"
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum(F.when(w, F.col("c")).otherwise(0)).alias("n_tokens"),
+        F.max(F.when(w, F.col("c"))).alias("_top_w"),
+        F.sum(F.when(b, F.col("c")).otherwise(0)).alias("_n_bg"),
+        F.max(F.when(b, F.col("c"))).alias("_top_bg"),
+        F.sum(F.when(b & (F.col("c") > 1), F.col("c")).otherwise(0)).alias("_dup_bg"),
+    )
+
+    def frac(num, den):
+        return F.when(
+            den > 0, F.round(num.cast("double") / den, 6)
+        ).otherwise(F.lit(0.0))
+
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            frac(F.coalesce(F.col("_top_w"), F.lit(0)), F.col("n_tokens")).alias(
+                "top_word_frac"
+            ),
+            frac(F.coalesce(F.col("_top_bg"), F.lit(0)), F.col("_n_bg")).alias(
+                "top_bigram_frac"
+            ),
+            frac(F.col("_dup_bg"), F.col("_n_bg")).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    max_top_word_frac: float = 0.2,
+    max_dup_bigram_frac: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents under the Gopher-style repetition ceilings — the
+    composable gate form of ``repetition_stats`` (broadcast-free: the
+    stats join back on the id spine, one shuffle total)."""
+    stats = repetition_stats(df, text_col, id_col)
+    kept = stats.filter(
+        (F.col("top_word_frac") <= max_top_word_frac)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+    ).select(id_col)
+    return df.join(kept, id_col)

@@ -738,3 +738,36 @@ def test_encode_wav_roundtrip():
     np.testing.assert_array_equal(
         (samples * 32768.0).astype("<i2").ravel(), vals
     )
+
+
+def test_repetition_stats_and_filter(spark):
+    """Gopher-style repetition fractions on crafted docs: degenerate
+    repetition maxes the metrics, varied text stays low, empty/single-token
+    docs keep a zeroed row."""
+    from edgar_spark.operators.text import repetition_filter, repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam"),              # one word: all fracs 1.0
+        (2, "a b c d e f g h"),                  # all distinct: no repetition
+        (3, "x y x y x y"),                      # alternating: dup bigrams
+        (4, ""),                                 # empty: zero row survives
+        (5, "solo"),                             # 1 token: no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0 and out[1]["dup_bigram_frac"] == 1.0
+    assert out[2]["top_word_frac"] == 0.125
+    assert out[2]["dup_bigram_frac"] == 0.0
+    # "x y" appears 3 of 5 bigram positions, "y x" the other 2 — all dup'd
+    assert out[3]["top_bigram_frac"] == 0.6
+    assert out[3]["dup_bigram_frac"] == 1.0
+    assert out[4]["n_tokens"] == 0 and out[4]["top_word_frac"] == 0.0
+    assert out[5]["n_tokens"] == 1 and out[5]["top_bigram_frac"] == 0.0
+
+    kept = {r["doc_id"] for r in repetition_filter(df, 0.2, 0.6).collect()}
+    # 1 and 5 fail top_word_frac, 3 fails dup_bigram_frac; the empty doc
+    # has zero repetition — dropping empties is a length filter's job
+    assert kept == {2, 4}
