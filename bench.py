@@ -149,6 +149,13 @@ OPERATOR_KEYS = [
     "streaming_exact_dedup",
     "streaming_sessionize",
     "mm_frame_sample",
+    "mm_audio_stats",
+    "pii_redact",
+    "ngram_contamination",
+    "repetition_stats",
+    "line_dedup",
+    "corpus_mix",
+    "chunk_docs",
     "corpus_curation",
 ]
 

@@ -1,0 +1,212 @@
+"""Corpus-curation operators for training-data pipelines: line-level
+exact dedup (CCNet/RefinedWeb-style boilerplate removal), deterministic
+budgeted corpus mixing, and fixed-window document chunking.
+
+All three are pure DataFrame compositions (JVM column expressions +
+keyed aggregations — no Python UDFs), so every operator here is exactly
+SQL-oracle-able and whole-stage-codegen'd end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from edgar_spark.operators.text import tokens
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Remove every line that occurs in ``min_docs`` or more *distinct*
+    documents, preserving the order of surviving lines — the line-level
+    exact-dedup pass web-corpus pipelines run before document-level
+    near-dedup (navigation chrome, cookie banners, boilerplate headers
+    repeat verbatim across pages and poison n-gram statistics).
+
+    Returns one row per input document: ``(id, text, n_lines, n_kept)``
+    where ``text`` is the reassembled document (empty string when every
+    line was boilerplate) and ``n_lines``/``n_kept`` count lines before
+    and after removal.
+
+    Scale shape: lines are exploded once; the duplicate set is one
+    (line-keyed) aggregation with map-side partials, membership is a
+    broadcast-free shuffle anti-join on the same line key (so the two
+    stages share their partitioning), and reassembly is one
+    document-keyed aggregation — three exchanges total, none of them
+    O(corpus²), and the heavy key is the line hash, which is naturally
+    high-cardinality (no skew). At 100 TB nothing is driver-resident.
+    """
+    esc = "\\" + delim if delim in ".\\[](){}*+?^$|" else delim
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), esc)).alias("_pos", "_line"),
+    )
+    dups = (
+        lines.groupBy("_line")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_line")
+    )
+    kept = lines.join(dups, "_line", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), esc)).alias("n_lines"),
+        )
+        .join(rebuilt, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce(F.col("_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def to_lines(c: Column, width: int = 8) -> Column:
+    """Reformat flat text into ``width``-token lines joined by ``\\n`` —
+    a deterministic lining both Spark and an ANSI-SQL oracle can compute,
+    used to drive :func:`line_dedup` over corpora that carry no newlines
+    (the synthetic documents table is one flat line per doc)."""
+    toks = tokens(c)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit("")).otherwise(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), F.floor((n - 1) / width).cast("int")),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * width + 1, width)
+                ),
+            ),
+        )
+    )
+
+
+def corpus_mix(
+    df: DataFrame,
+    budgets: Dict[str, int],
+    default_budget: Optional[int] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic budgeted corpus mixing: for each source, admit
+    documents in md5-shuffled order until the source's token budget is
+    reached (the admitting document may cross the budget — "take until
+    full" semantics), producing the per-source token proportions a
+    training-mix spec asks for.
+
+    Ordering is ``(md5(id), id)`` — a deterministic pseudo-random
+    permutation that is identical on any cluster size and any partition
+    layout, so the selected set is reproducible run to run (the property
+    that makes a mix spec auditable). Sources missing from ``budgets``
+    use ``default_budget`` (or are dropped when it is None).
+
+    Output: ``(id, source, n_tok, cum_tok)`` for admitted docs only.
+
+    Scale shape: one hash-partitioned window per source (running sum) —
+    a single exchange keyed by source. Source count is typically small
+    vs corpus size, so per-source partitions can be large; at 100 TB the
+    two-phase alternative (hash-threshold pre-filter to ~budget + exact
+    window over the ~1/1000 survivors) composes from this same operator:
+    filter on md5(id) < t, then corpus_mix the survivors.
+    """
+    items = [x for kv in budgets.items() for x in kv]
+    budget = F.create_map(*[F.lit(x) for x in items])[F.col(source_col)]
+    if default_budget is not None:
+        budget = F.coalesce(budget, F.lit(default_budget))
+    key = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        tokens(F.col(text_col)).alias("_toks"),
+        budget.alias("_budget"),
+    ).select(
+        id_col,
+        source_col,
+        F.size("_toks").cast("long").alias("n_tok"),
+        F.col("_budget"),
+    )
+    return (
+        scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(
+            F.col("_budget").isNotNull()
+            & (F.col("cum_tok") - F.col("n_tok") < F.col("_budget"))
+        )
+        .select(id_col, source_col, "n_tok", "cum_tok")
+    )
+
+
+def chunk_docs(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the packing step before training-sequence assembly. Chunk ``i``
+    covers tokens ``[i·stride + 1, i·stride + chunk_size]`` with
+    ``stride = chunk_size − overlap``; a document of ``n ≤ chunk_size``
+    tokens yields exactly one chunk, otherwise ``ceil((n − chunk_size) /
+    stride) + 1`` chunks (the tail chunk is short rather than spawning a
+    window fully contained in its predecessor). Empty documents yield no
+    rows.
+
+    Output: ``(id, chunk_id, chunk_text, n_chunk_tokens)``.
+
+    Scale shape: a pure per-row explode — zero shuffles; the
+    amplification factor is ~n/stride and each output row is bounded by
+    chunk_size tokens, so downstream stages see uniformly sized units.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.when(n <= chunk_size, F.lit(1)).otherwise(
+            F.floor((n - chunk_size + stride - 1) / stride).cast("int") + 1
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_size)),
+    )
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_text",
+            F.size(tokens(F.col("chunk_text"))).cast("long").alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )

@@ -423,6 +423,47 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level exact dedup: the flat documents
+    are lined into deterministic 8-token lines (the corpus carries no
+    newlines), then every line occurring in ≥2 distinct documents is
+    removed and each document reassembled in order. The oracle replays
+    the lining, the distinct-doc line census, the anti-join, and the
+    ordered reassembly in DuckDB."""
+    from edgar_spark.operators.curation import line_dedup, to_lines
+
+    lined = _t(spark, sf_dir, "documents").select(
+        "doc_id", to_lines(F.col("text"), width=8).alias("text")
+    )
+    return line_dedup(lined, min_docs=2)
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic budgeted corpus mixing: per-source token budgets
+    (src0 800, src1 400, default 300), documents admitted in md5-shuffled
+    order until each budget is crossed. The oracle reproduces the window
+    cumsum over the identical md5 ordering in SQL."""
+    from edgar_spark.operators.curation import corpus_mix
+
+    return corpus_mix(
+        _t(spark, sf_dir, "documents"),
+        budgets={"src0": 800, "src1": 400},
+        default_budget=300,
+    )
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (32-token chunks, 4-token overlap)
+    — the training-sequence packing step; a pure per-row explode with
+    zero shuffles. The oracle unrolls the same stride arithmetic with
+    range + list slices in SQL."""
+    from edgar_spark.operators.curation import chunk_docs
+
+    return chunk_docs(
+        _t(spark, sf_dir, "documents"), chunk_size=32, overlap=4
+    )
+
+
 def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: each document's first 32 codepoints
     become int16 PCM samples ((cp % 256 − 128) · 256, zero-padded) of a
@@ -904,6 +945,9 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "ngram_contamination": q_ngram_contamination,
     "repetition_stats": q_repetition_stats,
+    "line_dedup": q_line_dedup,
+    "corpus_mix": q_corpus_mix,
+    "chunk_docs": q_chunk_docs,
     "events_window_agg": q_events_window_agg,
     "sessionize_gap": q_sessionize_gap,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1237,6 +1281,86 @@ _ORACLES: Dict[str, str] = {
         FROM documents d
         LEFT JOIN wagg w USING (doc_id)
         LEFT JOIN bagg b USING (doc_id)
+    """,
+    "line_dedup": """
+        WITH tk AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS toks
+            FROM documents
+        ), lined AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN ''
+                        ELSE array_to_string(list_transform(
+                            range(0, CAST(floor((len(toks) - 1) / 8) AS INT) + 1),
+                            i -> array_to_string(toks[i*8+1 : i*8+8], ' ')
+                        ), chr(10)) END AS text
+            FROM tk
+        ), l AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS ord
+            FROM lined
+        ), dup AS (
+            SELECT line FROM l GROUP BY line
+            HAVING count(DISTINCT doc_id) >= 2
+        ), kept AS (
+            SELECT l.* FROM l ANTI JOIN dup USING (line)
+        ), agg AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY ord) AS text2,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT li.doc_id,
+               coalesce(a.text2, '') AS text,
+               CAST(len(string_split(li.text, chr(10))) AS INT) AS n_lines,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+        FROM lined li LEFT JOIN agg a USING (doc_id)
+    """,
+    "corpus_mix": """
+        WITH tk AS (
+            SELECT doc_id, source,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM documents
+        ), b AS (
+            SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+                   CASE source WHEN 'src0' THEN 800
+                               WHEN 'src1' THEN 400
+                               ELSE 300 END AS budget,
+                   sum(n_tok) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS cum_tok
+            FROM tk
+        )
+        SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+        FROM b WHERE cum_tok - n_tok < budget
+    """,
+    "chunk_docs": """
+        WITH tk AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS toks
+            FROM documents
+        ), p AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) <= 32 THEN 1
+                        ELSE CAST(floor((len(toks) - 32 + 27) / 28) AS INT) + 1
+                   END AS n_chunks
+            FROM tk WHERE len(toks) > 0
+        ), e AS (
+            SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM p
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_id,
+               array_to_string(toks[i*28+1 : i*28+32], ' ') AS chunk_text,
+               CAST(len(toks[i*28+1 : i*28+32]) AS BIGINT) AS n_chunk_tokens
+        FROM e
     """,
     "mm_audio_stats": """
         WITH v AS (

@@ -771,3 +771,111 @@ def test_repetition_stats_and_filter(spark):
     # 1 and 5 fail top_word_frac, 3 fails dup_bigram_frac; the empty doc
     # has zero repetition — dropping empties is a length filter's job
     assert kept == {2, 4}
+
+
+def test_line_dedup(spark):
+    """Lines shared by ≥2 distinct documents vanish everywhere; order of
+    survivors is preserved; a fully-boilerplate doc keeps an empty row;
+    within-doc repetition alone does not trigger removal."""
+    from edgar_spark.operators.curation import line_dedup
+
+    rows = [
+        (1, "cookie banner\nreal content one\nfooter"),
+        (2, "cookie banner\nreal content two\nfooter"),
+        (3, "cookie banner\nfooter"),                    # all boilerplate
+        (4, "solo line\nsolo line"),                     # same doc twice: kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df, min_docs=2).collect()}
+
+    assert out[1]["text"] == "real content one"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 1
+    assert out[2]["text"] == "real content two"
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text"] == "solo line\nsolo line" and out[4]["n_kept"] == 2
+
+
+def test_to_lines(spark):
+    """8-token lining splits flat text into \\n-joined lines; short and
+    empty docs degrade gracefully."""
+    from edgar_spark.operators.curation import to_lines
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(19))), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["lined"]
+        for r in df.select("doc_id", to_lines(F.col("text"), 8).alias("lined")).collect()
+    }
+    assert out[1].split("\n") == [
+        " ".join(f"w{i}" for i in range(8)),
+        " ".join(f"w{i}" for i in range(8, 16)),
+        " ".join(f"w{i}" for i in range(16, 19)),
+    ]
+    assert out[2] == "a b"
+    assert out[3] == ""
+
+
+def test_corpus_mix(spark):
+    """Budgeted admission in deterministic md5 order: each source stops
+    once its cumulative token count crosses the budget (the crossing doc
+    is admitted), unknown sources fall back to the default budget or are
+    dropped when none is given."""
+    from edgar_spark.operators.curation import corpus_mix
+
+    rows = [
+        (i, "tok " * 10, f"s{i % 2}") for i in range(20)
+    ]  # 10 tokens per doc, sources s0/s1 with 10 docs = 100 tokens each
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    out = corpus_mix(df, budgets={"s0": 35}, default_budget=11).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # s0: docs admitted while cum−n_tok < 35 → cum 10,20,30,40 — 4 docs
+    assert len(by_src["s0"]) == 4
+    assert sorted(r["cum_tok"] for r in by_src["s0"]) == [10, 20, 30, 40]
+    # s1 under default 11 → cum 10, 20 admitted (20−10 < 11), 2 docs
+    assert len(by_src["s1"]) == 2
+
+    # determinism: same selection regardless of partitioning
+    again = corpus_mix(
+        df.repartition(7), budgets={"s0": 35}, default_budget=11
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+    # no default → unknown sources dropped entirely
+    only_s0 = corpus_mix(df, budgets={"s0": 35}).collect()
+    assert {r["source"] for r in only_s0} == {"s0"}
+
+
+def test_chunk_docs(spark):
+    """Stride arithmetic: n ≤ chunk_size → one chunk; overlap windows
+    share `overlap` tokens; no tail chunk fully contained in its
+    predecessor; empty docs vanish."""
+    from edgar_spark.operators.curation import chunk_docs
+
+    toks = [f"t{i}" for i in range(23)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_docs(df, chunk_size=10, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+
+    # doc 1: stride 8, n=23 → ceil((23−10)/8)+1 = 3 chunks
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    assert by_doc[1][0]["chunk_text"].split() == toks[0:10]
+    assert by_doc[1][1]["chunk_text"].split() == toks[8:18]
+    assert by_doc[1][2]["chunk_text"].split() == toks[16:23]
+    assert by_doc[1][2]["n_chunk_tokens"] == 7
+    # doc 2 fits in one chunk; doc 3 yields nothing
+    assert sorted(by_doc[2]) == [0] and by_doc[2][0]["n_chunk_tokens"] == 3
+    assert 3 not in by_doc
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_docs(df, chunk_size=4, overlap=4)
