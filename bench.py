@@ -156,6 +156,7 @@ OPERATOR_KEYS = [
     "line_dedup",
     "corpus_mix",
     "chunk_docs",
+    "stratified_sample",
     "corpus_curation",
 ]
 

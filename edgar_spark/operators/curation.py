@@ -160,6 +160,48 @@ def corpus_mix(
     )
 
 
+def _rate_threshold(rate: float) -> str:
+    """32-hex-digit threshold such that ``md5(id) < threshold`` admits a
+    ``rate`` fraction of a uniform hash population. Hex strings compare
+    lexicographically exactly like the integers they encode (fixed width,
+    ordered alphabet), so the comparison is engine-portable."""
+    if rate < 0.0 or rate > 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    if rate == 1.0:
+        return "g" * 32  # lexicographically above every hex digest
+    return format(int(rate * 16**32), "032x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Dict[str, float],
+    default_rate: float = 0.0,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic importance sampling: admit each document with a
+    per-stratum probability (``rates[key]``, else ``default_rate``) using
+    ``md5(id) < threshold(rate)`` as the coin — the quality-weighted
+    downsampling step of web-corpus pipelines (keep high-quality strata
+    whole, thin low-quality ones).
+
+    Hash-threshold admission is a pure per-row filter: zero shuffles,
+    zero RNG state, identical decisions on any cluster size or partition
+    layout, and the admitted set is a *nested* sample (lowering a rate
+    strictly shrinks the set — the property that makes re-mixes
+    comparable across experiments).
+
+    Output: the input rows that pass, unchanged.
+    """
+    items = []
+    for k, r in rates.items():
+        items.append(F.lit(k))
+        items.append(F.lit(_rate_threshold(r)))
+    thr = F.create_map(*items)[F.col(key_col)] if items else F.lit(None)
+    thr = F.coalesce(thr, F.lit(_rate_threshold(default_rate)))
+    return df.filter(F.md5(F.col(id_col).cast("string")) < thr)
+
+
 def chunk_docs(
     df: DataFrame,
     chunk_size: int = 64,

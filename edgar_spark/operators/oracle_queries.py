@@ -464,6 +464,21 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold importance sampling: src0 kept whole,
+    src1 thinned to 1/2, src2 dropped, every other source thinned to 1/4
+    — the quality-weighted downsampling step, a pure per-row filter with
+    zero shuffles. The oracle compares the same md5 digests against the
+    same literal hex thresholds."""
+    from edgar_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.0},
+        default_rate=0.25,
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: each document's first 32 codepoints
     become int16 PCM samples ((cp % 256 − 128) · 256, zero-padded) of a
@@ -948,6 +963,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "corpus_mix": q_corpus_mix,
     "chunk_docs": q_chunk_docs,
+    "stratified_sample": q_stratified_sample,
     "events_window_agg": q_events_window_agg,
     "sessionize_gap": q_sessionize_gap,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1361,6 +1377,16 @@ _ORACLES: Dict[str, str] = {
                array_to_string(toks[i*28+1 : i*28+32], ' ') AS chunk_text,
                CAST(len(toks[i*28+1 : i*28+32]) AS BIGINT) AS n_chunk_tokens
         FROM e
+    """,
+    "stratified_sample": """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) <
+              CASE source
+                  WHEN 'src0' THEN 'gggggggggggggggggggggggggggggggg'
+                  WHEN 'src1' THEN '80000000000000000000000000000000'
+                  WHEN 'src2' THEN '00000000000000000000000000000000'
+                  ELSE '40000000000000000000000000000000'
+              END
     """,
     "mm_audio_stats": """
         WITH v AS (

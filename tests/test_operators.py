@@ -879,3 +879,40 @@ def test_chunk_docs(spark):
 
     with _pytest.raises(ValueError):
         chunk_docs(df, chunk_size=4, overlap=4)
+
+
+def test_stratified_sample(spark):
+    """Hash-threshold sampling: rate 1 keeps all, rate 0 keeps none,
+    intermediate rates land near expectation, samples are nested
+    (lower rate ⊂ higher rate), and decisions are partition-invariant."""
+    from edgar_spark.operators.curation import stratified_sample
+
+    rows = [(i, "t", ["a", "b"][i % 2]) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    all_a = stratified_sample(df, {"a": 1.0}, default_rate=0.0).collect()
+    assert {r["source"] for r in all_a} == {"a"} and len(all_a) == 200
+
+    half = {
+        r["doc_id"]
+        for r in stratified_sample(df, {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert 140 <= len(half) <= 260  # md5-uniform, n=400
+    eighty = {
+        r["doc_id"]
+        for r in stratified_sample(df, {"a": 0.8, "b": 0.8}).collect()
+    }
+    assert half <= eighty  # nested: lowering a rate only removes docs
+
+    again = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(13), {"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    assert again == half
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_sample(df, {"a": 1.5})
