@@ -157,6 +157,7 @@ OPERATOR_KEYS = [
     "corpus_mix",
     "chunk_docs",
     "stratified_sample",
+    "url_canonicalize",
     "corpus_curation",
 ]
 

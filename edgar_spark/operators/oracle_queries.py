@@ -479,6 +479,35 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (frontier/canonical.py): deterministic messy
+    URLs built from doc_id — site-relative paths, uppercase scheme+host,
+    duplicate slashes, fragments, and a non-http scheme that must pass
+    through — canonicalized by the frontier's column expressions; the
+    oracle replays the same regexp chain (with DuckDB's explicit global
+    replace flag)."""
+    from edgar_spark.frontier.canonical import canonicalize, host_of
+
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 5 == 0, F.concat(F.lit("/Archives//edgar/data/"), d.cast("string"), F.lit("/index.json#frag")))
+        .when(d % 5 == 1, F.concat(F.lit("HTTPS://WWW.SEC.GOV//cgi-bin/browse?action="), d.cast("string")))
+        .when(d % 5 == 2, F.concat(F.lit("https://www.sec.gov/Archives/doc"), d.cast("string"), F.lit(".htm")))
+        .when(d % 5 == 3, F.concat(F.lit("/cgi-bin///x/"), d.cast("string"), F.lit("#s")))
+        .otherwise(F.concat(F.lit("ftp://other.example/"), d.cast("string"), F.lit("#z")))
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            canonicalize(F.col("url")).alias("canon"),
+            host_of(canonicalize(F.col("url"))).alias("host"),
+        )
+    )
+
+
 def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: each document's first 32 codepoints
     become int16 PCM samples ((cp % 256 − 128) · 256, zero-padded) of a
@@ -964,6 +993,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": q_corpus_mix,
     "chunk_docs": q_chunk_docs,
     "stratified_sample": q_stratified_sample,
+    "url_canonicalize": q_url_canonicalize,
     "events_window_agg": q_events_window_agg,
     "sessionize_gap": q_sessionize_gap,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1387,6 +1417,42 @@ _ORACLES: Dict[str, str] = {
                   WHEN 'src2' THEN '00000000000000000000000000000000'
                   ELSE '40000000000000000000000000000000'
               END
+    """,
+    "url_canonicalize": """
+        WITH u AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 5 AS INT)
+                       WHEN 0 THEN '/Archives//edgar/data/' || CAST(doc_id AS VARCHAR) || '/index.json#frag'
+                       WHEN 1 THEN 'HTTPS://WWW.SEC.GOV//cgi-bin/browse?action=' || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN 'https://www.sec.gov/Archives/doc' || CAST(doc_id AS VARCHAR) || '.htm'
+                       WHEN 3 THEN '/cgi-bin///x/' || CAST(doc_id AS VARCHAR) || '#s'
+                       ELSE 'ftp://other.example/' || CAST(doc_id AS VARCHAR) || '#z'
+                   END AS url
+            FROM documents
+        ), c AS (
+            SELECT doc_id, url,
+                   regexp_replace(
+                       CASE WHEN url LIKE '/%'
+                            THEN 'https://www.sec.gov' || url ELSE url END,
+                       '#.*$', '') AS no_frag
+            FROM u
+        ), p AS (
+            SELECT doc_id, url, no_frag,
+                   lower(regexp_extract(no_frag, '^(https?://[^/]+)', 1))
+                       AS scheme_host,
+                   regexp_replace(
+                       regexp_extract(no_frag, '^https?://[^/]+(.*)$', 1),
+                       '//+', '/', 'g') AS rest
+            FROM c
+        ), k AS (
+            SELECT doc_id, url,
+                   CASE WHEN scheme_host = '' THEN no_frag
+                        ELSE scheme_host || rest END AS canon
+            FROM p
+        )
+        SELECT doc_id, url, canon,
+               regexp_extract(canon, '^https?://([^/]+)', 1) AS host
+        FROM k
     """,
     "mm_audio_stats": """
         WITH v AS (
