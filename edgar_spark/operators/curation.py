@@ -36,14 +36,17 @@ def line_dedup(
     and after removal.
 
     Scale shape: lines are exploded once; the duplicate set is one
-    (line-keyed) aggregation with map-side partials, membership is a
-    broadcast-free shuffle anti-join on the same line key (so the two
-    stages share their partitioning), and reassembly is one
-    document-keyed aggregation — three exchanges total, none of them
-    O(corpus²), and the heavy key is the line hash, which is naturally
-    high-cardinality (no skew). At 100 TB nothing is driver-resident.
+    (line-keyed) aggregation with map-side partials; membership is an
+    anti-join on the same line key (AQE broadcasts the dup set while it
+    fits — it only holds lines with ≥min_docs holders — and falls back
+    to a shuffle join that shares the census partitioning when it does
+    not); reassembly is one document-keyed aggregation. No stage is
+    O(corpus²), the heavy key (the line string) is naturally
+    high-cardinality (no skew), and nothing is driver-resident.
     """
-    esc = "\\" + delim if delim in ".\\[](){}*+?^$|" else delim
+    esc = "".join(
+        "\\" + ch if ch in ".\\[](){}*+?^$|" else ch for ch in delim
+    )
     lines = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), esc)).alias("_pos", "_line"),
@@ -129,8 +132,12 @@ def corpus_mix(
     window over the ~1/1000 survivors) composes from this same operator:
     filter on md5(id) < t, then corpus_mix the survivors.
     """
-    items = [x for kv in budgets.items() for x in kv]
-    budget = F.create_map(*[F.lit(x) for x in items])[F.col(source_col)]
+    items = [F.lit(x) for kv in budgets.items() for x in kv]
+    budget = (
+        F.create_map(*items)[F.col(source_col)]
+        if items
+        else F.lit(None).cast("long")
+    )
     if default_budget is not None:
         budget = F.coalesce(budget, F.lit(default_budget))
     key = F.md5(F.col(id_col).cast("string"))
@@ -234,21 +241,27 @@ def chunk_docs(
             F.floor((n - chunk_size + stride - 1) / stride).cast("int") + 1
         )
     )
+    # token count from the slice itself (pre-explode) — re-tokenizing the
+    # joined chunk text would miscount when tokens() yields empty-string
+    # tokens (leading tab/newline survives trim, which strips spaces only)
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_size)),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_size)).alias(
+                "t"
+            ),
+            F.size(F.slice(toks, i * stride + 1, chunk_size))
+            .cast("long")
+            .alias("n"),
+        ),
     )
     return (
         df.filter(n > 0)
-        .select(
-            F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
-        )
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c"))
         .select(
             id_col,
             "chunk_id",
-            "chunk_text",
-            F.size(tokens(F.col("chunk_text"))).cast("long").alias(
-                "n_chunk_tokens"
-            ),
+            F.col("_c.t").alias("chunk_text"),
+            F.col("_c.n").alias("n_chunk_tokens"),
         )
     )

@@ -1438,10 +1438,10 @@ _ORACLES: Dict[str, str] = {
             FROM u
         ), p AS (
             SELECT doc_id, url, no_frag,
-                   lower(regexp_extract(no_frag, '^(https?://[^/]+)', 1))
+                   lower(regexp_extract(no_frag, '^((?i:https?)://[^/]+)', 1))
                        AS scheme_host,
                    regexp_replace(
-                       regexp_extract(no_frag, '^https?://[^/]+(.*)$', 1),
+                       regexp_extract(no_frag, '^(?i:https?)://[^/]+(.*)$', 1),
                        '//+', '/', 'g') AS rest
             FROM c
         ), k AS (
@@ -1451,7 +1451,7 @@ _ORACLES: Dict[str, str] = {
             FROM p
         )
         SELECT doc_id, url, canon,
-               regexp_extract(canon, '^https?://([^/]+)', 1) AS host
+               lower(regexp_extract(canon, '^(?i:https?)://([^/]+)', 1)) AS host
         FROM k
     """,
     "mm_audio_stats": """

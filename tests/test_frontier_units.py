@@ -116,6 +116,10 @@ def test_canonicalize_and_bucket(spark):
             ("/cgi-bin/viewer?action=view&cik=1",),
             ("https://WWW.SEC.gov//Archives//edgar/data/1/R1.htm#frag",),
             ("https://www.sec.gov/ok/path",),
+            # RFC 3986 §3.1: scheme compares case-insensitively too —
+            # an uppercase scheme must not escape URL-seen dedup
+            ("HTTPS://WWW.SEC.GOV//cgi-bin/browse?action=x",),
+            ("ftp://Other.Example/pass#z",),  # non-http: passthrough
         ],
         ["u"],
     ).select(
@@ -127,7 +131,11 @@ def test_canonicalize_and_bucket(spark):
     assert rows[0]["c"] == "https://www.sec.gov/cgi-bin/viewer?action=view&cik=1"
     assert rows[1]["c"] == "https://www.sec.gov/Archives/edgar/data/1/R1.htm"
     assert rows[2]["c"] == "https://www.sec.gov/ok/path"
+    assert rows[3]["c"] == "https://www.sec.gov/cgi-bin/browse?action=x"
+    assert rows[4]["c"] == "ftp://Other.Example/pass"
     assert rows[1]["h"] == "www.sec.gov"
+    assert rows[3]["h"] == "www.sec.gov"
+    assert rows[4]["h"] == ""
     assert all(0 <= r["b"] < 8 for r in rows)
 
 

@@ -794,6 +794,13 @@ def test_line_dedup(spark):
     assert out[3]["text"] == "" and out[3]["n_kept"] == 0
     assert out[4]["text"] == "solo line\nsolo line" and out[4]["n_kept"] == 2
 
+    # multi-char delimiter with regex metachars: every char escaped
+    df2 = spark.createDataFrame(
+        [(1, "shared()rest one"), (2, "shared()rest two")], ["doc_id", "text"]
+    )
+    out2 = {r["doc_id"]: r for r in line_dedup(df2, delim="()").collect()}
+    assert out2[1]["text"] == "rest one" and out2[1]["n_lines"] == 2
+
 
 def test_to_lines(spark):
     """8-token lining splits flat text into \\n-joined lines; short and
@@ -849,6 +856,12 @@ def test_corpus_mix(spark):
     only_s0 = corpus_mix(df, budgets={"s0": 35}).collect()
     assert {r["source"] for r in only_s0} == {"s0"}
 
+    # empty budgets dict + uniform default: every source gets the default
+    uniform = corpus_mix(df, budgets={}, default_budget=25).collect()
+    assert {r["source"] for r in uniform} == {"s0", "s1"}
+    assert len(uniform) == 6  # 3 docs per source (cum 10,20,30)
+    assert corpus_mix(df, budgets={}).count() == 0
+
 
 def test_chunk_docs(spark):
     """Stride arithmetic: n ≤ chunk_size → one chunk; overlap windows
@@ -874,6 +887,15 @@ def test_chunk_docs(spark):
     # doc 2 fits in one chunk; doc 3 yields nothing
     assert sorted(by_doc[2]) == [0] and by_doc[2][0]["n_chunk_tokens"] == 3
     assert 3 not in by_doc
+
+    # n_chunk_tokens counts slice elements (oracle semantics), even when
+    # a leading tab survives trim and tokenizes to an empty-string token
+    tabbed = chunk_docs(
+        spark.createDataFrame([(9, "\ta b c")], ["doc_id", "text"]),
+        chunk_size=3,
+        overlap=1,
+    ).collect()
+    assert [r["n_chunk_tokens"] for r in sorted(tabbed, key=lambda r: r["chunk_id"])] == [3, 2]
 
     import pytest as _pytest
 
