@@ -158,6 +158,7 @@ OPERATOR_KEYS = [
     "chunk_docs",
     "stratified_sample",
     "url_canonicalize",
+    "pack_sequences",
     "corpus_curation",
 ]
 

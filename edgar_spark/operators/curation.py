@@ -167,6 +167,115 @@ def corpus_mix(
     )
 
 
+def global_token_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global prefix sum of ``n_tok`` in ``id`` order WITHOUT a
+    single-partition window: documents land in ordered range buckets
+    (``id ÷ width``), each bucket cumsums locally (one shuffle, bucket
+    parallelism), bucket totals — ``n_buckets`` rows, never the data —
+    come to the driver for an exact prefix, and the per-bucket base
+    offsets join back as a broadcast literal map. The result is
+    identical on any cluster size; only O(n_buckets) crosses the driver.
+
+    A naive ``Window.orderBy(id)`` computes the same thing through ONE
+    reducer — the classic scale cliff this operator exists to avoid.
+
+    Output: input columns + ``offset`` (tokens preceding this doc).
+    """
+    lo, hi = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    if lo is None:
+        return df.withColumn("offset", F.lit(0).cast("long"))
+    width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
+    bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / width).cast("int")
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("_bucket", bucket).withColumn(
+        "_cum", F.sum(F.col(n_tok_col).cast("long")).over(w)
+    )
+    totals = sorted(
+        local.groupBy("_bucket")
+        .agg(F.sum(n_tok_col).cast("long").alias("_t"))
+        .collect(),
+        key=lambda r: r["_bucket"],
+    )
+    base, prefix = 0, {}
+    for row in totals:
+        prefix[row["_bucket"]] = base
+        base += row["_t"]
+    items = [F.lit(x) for b in prefix.items() for x in b]
+    return (
+        local.withColumn(
+            "offset",
+            (
+                F.create_map(*items)[F.col("_bucket")]
+                + F.col("_cum")
+                - F.col(n_tok_col)
+            ).cast("long"),
+        )
+        .drop("_bucket", "_cum")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Training-sequence packing manifest: documents are concatenated in
+    id order and cut every ``seq_len`` tokens (GPT-style packing); each
+    output row tells a dataloader which token span of which document
+    lands where in which sequence:
+
+    ``(seq_id, id, tok_start, tok_end, seq_off)`` — doc tokens
+    ``[tok_start, tok_end)`` (0-based, end-exclusive) occupy sequence
+    ``seq_id`` starting at in-sequence position ``seq_off``.
+
+    Built on :func:`global_token_offsets` (scale-correct prefix sum) +
+    a per-row explode over the sequences a document overlaps — no
+    token-level explode ever happens; rows are O(docs + boundary
+    crossings). Empty documents are skipped.
+    """
+    n = F.size(tokens(F.col(text_col)))
+    sized = df.select(
+        F.col(id_col), n.cast("long").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    with_off = global_token_offsets(sized, id_col, "n_tok", n_buckets)
+    o, ntok = F.col("offset"), F.col("n_tok")
+    s = F.col("seq_id")
+    g0 = F.greatest(o, s * seq_len)
+    g1 = F.least(o + ntok, (s + 1) * seq_len)
+    return (
+        with_off.select(
+            id_col,
+            "n_tok",
+            "offset",
+            F.explode(
+                F.sequence(
+                    F.floor(o / seq_len), F.floor((o + ntok - 1) / seq_len)
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            s.cast("long").alias("seq_id"),
+            F.col(id_col),
+            (g0 - o).cast("long").alias("tok_start"),
+            (g1 - o).cast("long").alias("tok_end"),
+            (g0 - s * seq_len).cast("long").alias("seq_off"),
+        )
+    )
+
+
 def _rate_threshold(rate: float) -> str:
     """32-hex-digit threshold such that ``md5(id) < threshold`` admits a
     ``rate`` fraction of a uniform hash population. Hex strings compare

@@ -479,6 +479,17 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing manifest over documents (seq_len=512):
+    docs concatenate in id order and cut every 512 tokens. The Spark side
+    computes the global prefix sum with ordered range buckets + broadcast
+    base offsets (never a single-partition window); the oracle is the
+    plain global window cumsum it must equal."""
+    from edgar_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (frontier/canonical.py): deterministic messy
     URLs built from doc_id — site-relative paths, uppercase scheme+host,
@@ -994,6 +1005,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_docs": q_chunk_docs,
     "stratified_sample": q_stratified_sample,
     "url_canonicalize": q_url_canonicalize,
+    "pack_sequences": q_pack_sequences,
     "events_window_agg": q_events_window_agg,
     "sessionize_gap": q_sessionize_gap,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1417,6 +1429,38 @@ _ORACLES: Dict[str, str] = {
                   WHEN 'src2' THEN '00000000000000000000000000000000'
                   ELSE '40000000000000000000000000000000'
               END
+    """,
+    "pack_sequences": """
+        WITH tk AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM documents
+        ), s AS (
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok
+            FROM tk WHERE n_tok > 0
+        ), o AS (
+            SELECT doc_id, n_tok,
+                   CAST(coalesce(sum(n_tok) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS o
+            FROM s
+        ), e AS (
+            SELECT doc_id, n_tok, o,
+                   unnest(range(o // 512, (o + n_tok - 1) // 512 + 1))
+                       AS seq_id
+            FROM o
+        )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+               doc_id,
+               CAST(greatest(o, seq_id * 512) - o AS BIGINT) AS tok_start,
+               CAST(least(o + n_tok, (seq_id + 1) * 512) - o AS BIGINT)
+                   AS tok_end,
+               CAST(greatest(o, seq_id * 512) - seq_id * 512 AS BIGINT)
+                   AS seq_off
+        FROM e
     """,
     "url_canonicalize": """
         WITH u AS (

@@ -903,6 +903,48 @@ def test_chunk_docs(spark):
         chunk_docs(df, chunk_size=4, overlap=4)
 
 
+def test_pack_sequences(spark):
+    """Packing manifest: spans tile every sequence exactly, documents
+    split across boundaries keep contiguous token ranges, and the
+    result is invariant to the prefix-sum bucket count."""
+    from edgar_spark.operators.curation import pack_sequences
+
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(7))),   # 7 tokens
+        (2, " ".join(f"b{i}" for i in range(10))),  # 10 tokens
+        (3, ""),                                     # skipped
+        (4, " ".join(f"c{i}" for i in range(5))),   # 5 tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(
+        pack_sequences(df, seq_len=8).collect(),
+        key=lambda r: (r["seq_id"], r["seq_off"]),
+    )
+    got = [
+        (r["seq_id"], r["doc_id"], r["tok_start"], r["tok_end"], r["seq_off"])
+        for r in out
+    ]
+    # concat order: doc1[0:7) doc2[0:10) doc4[0:5) over seqs of 8:
+    # seq0 = d1[0:7) + d2[0:1); seq1 = d2[1:9); seq2 = d2[9:10) + d4[0:5)
+    assert got == [
+        (0, 1, 0, 7, 0),
+        (0, 2, 0, 1, 7),
+        (1, 2, 1, 9, 0),
+        (2, 2, 9, 10, 0),
+        (2, 4, 0, 5, 1),
+    ]
+    # every span's length is positive and sequences tile without gaps
+    total = sum(r["tok_end"] - r["tok_start"] for r in out)
+    assert total == 22
+
+    # bucket count must not change the manifest
+    alt = sorted(
+        pack_sequences(df, seq_len=8, n_buckets=1).collect(),
+        key=lambda r: (r["seq_id"], r["seq_off"]),
+    )
+    assert [tuple(r) for r in alt] == [tuple(r) for r in out]
+
+
 def test_stratified_sample(spark):
     """Hash-threshold sampling: rate 1 keeps all, rate 0 keeps none,
     intermediate rates land near expectation, samples are nested

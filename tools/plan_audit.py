@@ -55,6 +55,9 @@ AUDITS = {
     "chunk_docs": ["Generate", "!Exchange"],
     # hash-threshold sampling: a pure per-row filter — no shuffle, no RNG
     "stratified_sample": ["Filter", "Scan parquet", "!Exchange"],
+    # packing: global prefix sum via ordered range buckets — the window
+    # runs at bucket parallelism, NEVER through one reducer
+    "pack_sequences": ["Window", "Generate", "!Exchange SinglePartition"],
     # winners window prunes to rn=1 before the full sort; widen is one
     # partial-agg'd hash aggregate
     "consolidate_facts": ["WindowGroupLimit", "HashAggregate"],
