@@ -159,6 +159,53 @@ class IceliteCatalog:
                     parent.rmdir()  # drop the now-empty snap-… dir
         return expired
 
+    def compact_table(
+        self,
+        spark,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        meta: Optional[dict] = None,
+    ) -> int:
+        """Iceberg ``rewriteDataFiles`` analog: rewrite ``name``'s data
+        into size-targeted files and publish the result as a NEW snapshot
+        (every other table carries forward via the shared manifest). A
+        one-commit-per-wave crawl accretes per-wave small files; at scale
+        the small-files problem dominates scan planning and open() cost,
+        so compaction to ~target_file_bytes keeps scans at full stride.
+
+        Merging down uses ``coalesce`` (no shuffle — partitions are
+        concatenated); growing the file count needs a real ``repartition``
+        shuffle. The pre-compaction snapshot stays time-travelable until
+        ``expire_snapshots`` retires it, exactly like Iceberg's rewrite:
+        compaction changes files, never rows. Returns the new snapshot id.
+        """
+        path = self.table_path(name)
+        if path is None:
+            raise KeyError(f"table {name} not in current snapshot")
+        files = [
+            f
+            for f in pathlib.Path(path).glob("*.parquet")
+            if f.is_file()
+        ]
+        n_bytes = sum(f.stat().st_size for f in files)
+        n_target = max(1, -(-n_bytes // target_file_bytes))  # ceil
+        df = spark.read.parquet(path)
+        df = (
+            df.coalesce(n_target)
+            if n_target < max(1, len(files))
+            else df.repartition(n_target)
+        )
+        carry = {
+            t: p
+            for t, p in self._read_manifest()["snapshots"][
+                str(self.current_snapshot_id())
+            ]["tables"].items()
+            if t != name
+        }
+        info = {"compacted": name, "from_files": len(files), "to_files": n_target}
+        info.update(meta or {})
+        return self.commit_snapshot({name: df}, meta=info, carry=carry)
+
     def rollback(self, snap_id: int) -> None:
         m = self._read_manifest()
         if str(snap_id) not in m["snapshots"]:

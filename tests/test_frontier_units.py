@@ -155,6 +155,43 @@ def test_icelite_snapshot_roundtrip(spark, tmp_path):
     assert cat.read(spark, "t").count() == 5
 
 
+def test_icelite_compaction(spark, tmp_path):
+    """rewriteDataFiles analog: many small files merge to few, rows are
+    untouched, other tables carry forward, and the pre-compaction
+    snapshot stays time-travelable until expiry retires it."""
+    from pyspark.sql import functions as F
+
+    from edgar_spark.icelite import IceliteCatalog
+
+    cat = IceliteCatalog(str(tmp_path / "tbl"))
+    frag = spark.range(1000).toDF("x").repartition(16)
+    other = spark.range(3).toDF("y")
+    sid1 = cat.commit_snapshot({"t": frag, "o": other}, meta={"wave": 0})
+
+    import pathlib
+
+    def n_files(path):
+        return len(list(pathlib.Path(path).glob("*.parquet")))
+
+    assert n_files(cat.table_path("t")) == 16
+    sid2 = cat.compact_table(spark, "t", target_file_bytes=1 << 30)
+    assert sid2 == sid1 + 1
+    assert n_files(cat.table_path("t")) == 1
+    # rows identical, other table carried (same path, not rewritten)
+    assert cat.read(spark, "t").agg(F.sum("x")).first()[0] == 499500
+    assert cat.table_path("o") == cat.table_path("o", snap_id=sid1)
+    assert cat.snapshot_meta()["from_files"] == 16
+    # time travel to the fragmented version still works…
+    assert n_files(cat.table_path("t", snap_id=sid1)) == 16
+    # …until expiry retires it (current snapshot retained)
+    import pytest
+
+    assert cat.expire_snapshots(keep_last=1) == [sid1]
+    with pytest.raises(KeyError):
+        cat.table_path("t", snap_id=sid1)
+    assert cat.read(spark, "t").count() == 1000
+
+
 def test_parse_robots_txt_groups_and_precedence():
     from edgar_spark.frontier.robots import parse_robots_txt
 
