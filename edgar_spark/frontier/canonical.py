@@ -24,18 +24,20 @@ def canonicalize(url: Column, base: str = SEC_BASE) -> Column:
     no_frag = F.regexp_replace(absolute, r"#.*$", "")
     # scheme matching is case-insensitive (RFC 3986 §3.1: scheme and host
     # compare case-insensitively) — without (?i), HTTPS://HOST/x would pass
-    # through untouched and escape URL-seen dedup of https://host/x
+    # through untouched and escape URL-seen dedup of https://host/x. The
+    # authority ends at '/', '?', or '#' — [^/]+ alone would swallow (and
+    # lowercase) the query string of a path-less URL.
     scheme_host = F.lower(
-        F.regexp_extract(no_frag, r"^((?i:https?)://[^/]+)", 1)
+        F.regexp_extract(no_frag, r"^((?i:https?)://[^/?#]+)", 1)
     )
-    rest = F.regexp_extract(no_frag, r"^(?i:https?)://[^/]+(.*)$", 1)
+    rest = F.regexp_extract(no_frag, r"^(?i:https?)://[^/?#]+(.*)$", 1)
     # collapse duplicate slashes in the path only (host already split off)
     rest = F.regexp_replace(rest, r"//+", "/")
     return F.when(scheme_host == "", no_frag).otherwise(F.concat(scheme_host, rest))
 
 
 def host_of(url: Column) -> Column:
-    return F.lower(F.regexp_extract(url, r"^(?i:https?)://([^/]+)", 1))
+    return F.lower(F.regexp_extract(url, r"^(?i:https?)://([^/?#]+)", 1))
 
 
 def politeness_bucket(url: Column, n_buckets: int) -> Column:

@@ -768,6 +768,53 @@ class Crawler:
                 "recrawl": len(urls),
             },
         )
+    def recanonicalize(self) -> dict:
+        """One-time migration after a canonicalization-rule upgrade: a
+        checkpoint written by an older engine stores frontier URLs in the
+        OLD canonical form, so a link re-extracted under new rules would
+        miss the URL-seen anti-join and duplicate its row. Rewrites every
+        frontier url through the current :func:`canonicalize`, collapses
+        rows that now coincide (most-advanced state wins — fetched work
+        is never redone; ties broken deterministically), and commits the
+        result as a new snapshot. The seen-filter needs no separate
+        migration: :meth:`resume` rebuilds it from the stored frontier.
+        Facts are keyed by (accession, doc_type), not url — untouched.
+
+        Returns ``{"rows_before": n, "rows_after": m}``.
+        """
+        spark = self.spark
+        frontier = self.catalog.read(spark, "frontier")
+        pri = (
+            F.when(F.col("state") == "fetched", 0)
+            .when(F.col("state") == "missing", 1)
+            .when(F.col("state") == "robots_blocked", 2)
+            .otherwise(3)
+        )
+        w = Window.partitionBy("url").orderBy(
+            pri.asc(),
+            F.col("wave").asc_nulls_last(),
+            F.col("kind"),
+            F.col("seed_seq").asc_nulls_last(),
+        )
+        migrated = (
+            frontier.withColumn("url", canonicalize(F.col("url")))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        n_before = frontier.count()
+        nsp = self.cfg.snapshot_partitions
+        self.catalog.commit_snapshot(
+            {"frontier": migrated.repartition(nsp)},
+            meta={
+                "wave": self.catalog.snapshot_meta().get("wave", -1),
+                "recanonicalized": True,
+            },
+            carry={"facts": self.catalog.table_path("facts")},
+        )
+        n_after = self.catalog.read(spark, "frontier").count()
+        return {"rows_before": n_before, "rows_after": n_after}
+
     def evict(self, urls: List[str]) -> None:
         """Remove URLs from the frontier entirely (row + facts + seen-filter
         membership, atomically with the snapshot) so they can be

@@ -173,13 +173,22 @@ class IceliteCatalog:
         the small-files problem dominates scan planning and open() cost,
         so compaction to ~target_file_bytes keeps scans at full stride.
 
-        Merging down uses ``coalesce`` (no shuffle — partitions are
-        concatenated); growing the file count needs a real ``repartition``
-        shuffle. The pre-compaction snapshot stays time-travelable until
-        ``expire_snapshots`` retires it, exactly like Iceberg's rewrite:
-        compaction changes files, never rows. Returns the new snapshot id.
+        Merging uses ``coalesce`` (no shuffle — partitions concatenate);
+        a table already at or below the target file count is a NO-OP
+        (current snapshot id returned, nothing rewritten — Iceberg's
+        rewrite does the same). The pre-compaction snapshot stays
+        time-travelable until ``expire_snapshots`` retires it, exactly
+        like Iceberg's rewrite: compaction changes files, never rows.
+        Returns the snapshot id (new on rewrite, current on no-op).
         """
-        path = self.table_path(name)
+        # one manifest read supplies path + carry so both come from the
+        # SAME snapshot even if another commit lands mid-call
+        m = self._read_manifest()
+        sid = m["current"]
+        if sid == 0:
+            raise KeyError(f"table {name} not in current snapshot")
+        tables = m["snapshots"][str(sid)]["tables"]
+        path = tables.get(name)
         if path is None:
             raise KeyError(f"table {name} not in current snapshot")
         files = [
@@ -189,19 +198,10 @@ class IceliteCatalog:
         ]
         n_bytes = sum(f.stat().st_size for f in files)
         n_target = max(1, -(-n_bytes // target_file_bytes))  # ceil
-        df = spark.read.parquet(path)
-        df = (
-            df.coalesce(n_target)
-            if n_target < max(1, len(files))
-            else df.repartition(n_target)
-        )
-        carry = {
-            t: p
-            for t, p in self._read_manifest()["snapshots"][
-                str(self.current_snapshot_id())
-            ]["tables"].items()
-            if t != name
-        }
+        if n_target >= len(files):
+            return sid  # already compact — no rewrite, no new snapshot
+        df = spark.read.parquet(path).coalesce(n_target)
+        carry = {t: p for t, p in tables.items() if t != name}
         info = {"compacted": name, "from_files": len(files), "to_files": n_target}
         info.update(meta or {})
         return self.commit_snapshot({name: df}, meta=info, carry=carry)

@@ -174,43 +174,52 @@ def global_token_offsets(
     n_buckets: int = 64,
 ) -> DataFrame:
     """Global prefix sum of ``n_tok`` in ``id`` order WITHOUT a
-    single-partition window: documents land in ordered range buckets
-    (``id ÷ width``), each bucket cumsums locally (one shuffle, bucket
-    parallelism), bucket totals — ``n_buckets`` rows, never the data —
-    come to the driver for an exact prefix, and the per-bucket base
-    offsets join back as a broadcast literal map. The result is
-    identical on any cluster size; only O(n_buckets) crosses the driver.
+    single-partition window: documents land in ordered rank buckets
+    (boundaries from ``approxQuantile`` over ``id`` — rank-based, so a
+    sparse or clustered id distribution still spreads evenly), each
+    bucket cumsums locally (one shuffle, bucket parallelism), bucket
+    totals — ≤``n_buckets`` rows, never the data — come to the driver
+    for an exact prefix, and the per-bucket base offsets join back as a
+    broadcast literal map. Bucket BOUNDARIES only affect balance, never
+    the result: offsets are exact for any boundary choice, so the output
+    is identical on any cluster size. Only O(n_buckets) crosses the
+    driver.
 
     A naive ``Window.orderBy(id)`` computes the same thing through ONE
     reducer — the classic scale cliff this operator exists to avoid.
 
     Output: input columns + ``offset`` (tokens preceding this doc).
     """
-    lo, hi = df.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-    ).first()
-    if lo is None:
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = (
+        sorted(set(df.stat.approxQuantile(id_col, qs, 0.001))) if qs else []
+    )
+    if not bounds and df.first() is None:
         return df.withColumn("offset", F.lit(0).cast("long"))
-    width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
-    bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / width).cast("int")
+    # bucket = number of boundaries at or below id — ordered by construction
+    barr = F.array(*[F.lit(b) for b in bounds]) if bounds else F.array().cast(
+        "array<double>"
+    )
+    bucket = F.size(F.filter(barr, lambda b: F.col(id_col) >= b))
     w = (
         Window.partitionBy("_bucket")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    ntok = F.coalesce(F.col(n_tok_col).cast("long"), F.lit(0))
     local = df.withColumn("_bucket", bucket).withColumn(
-        "_cum", F.sum(F.col(n_tok_col).cast("long")).over(w)
+        "_cum", F.sum(ntok).over(w)
     )
     totals = sorted(
         local.groupBy("_bucket")
-        .agg(F.sum(n_tok_col).cast("long").alias("_t"))
+        .agg(F.sum(ntok).alias("_t"))
         .collect(),
         key=lambda r: r["_bucket"],
     )
     base, prefix = 0, {}
     for row in totals:
         prefix[row["_bucket"]] = base
-        base += row["_t"]
+        base += row["_t"] or 0
     items = [F.lit(x) for b in prefix.items() for x in b]
     return (
         local.withColumn(
@@ -218,7 +227,7 @@ def global_token_offsets(
             (
                 F.create_map(*items)[F.col("_bucket")]
                 + F.col("_cum")
-                - F.col(n_tok_col)
+                - F.coalesce(F.col(n_tok_col).cast("long"), F.lit(0))
             ).cast("long"),
         )
         .drop("_bucket", "_cum")

@@ -502,7 +502,7 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("doc_id")
     url = (
         F.when(d % 5 == 0, F.concat(F.lit("/Archives//edgar/data/"), d.cast("string"), F.lit("/index.json#frag")))
-        .when(d % 5 == 1, F.concat(F.lit("HTTPS://WWW.SEC.GOV//cgi-bin/browse?action="), d.cast("string")))
+        .when(d % 5 == 1, F.concat(F.lit("HTTPS://WWW.SEC.GOV?Action="), d.cast("string")))
         .when(d % 5 == 2, F.concat(F.lit("https://www.sec.gov/Archives/doc"), d.cast("string"), F.lit(".htm")))
         .when(d % 5 == 3, F.concat(F.lit("/cgi-bin///x/"), d.cast("string"), F.lit("#s")))
         .otherwise(F.concat(F.lit("ftp://other.example/"), d.cast("string"), F.lit("#z")))
@@ -1467,7 +1467,7 @@ _ORACLES: Dict[str, str] = {
             SELECT doc_id,
                    CASE CAST(doc_id % 5 AS INT)
                        WHEN 0 THEN '/Archives//edgar/data/' || CAST(doc_id AS VARCHAR) || '/index.json#frag'
-                       WHEN 1 THEN 'HTTPS://WWW.SEC.GOV//cgi-bin/browse?action=' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN 'HTTPS://WWW.SEC.GOV?Action=' || CAST(doc_id AS VARCHAR)
                        WHEN 2 THEN 'https://www.sec.gov/Archives/doc' || CAST(doc_id AS VARCHAR) || '.htm'
                        WHEN 3 THEN '/cgi-bin///x/' || CAST(doc_id AS VARCHAR) || '#s'
                        ELSE 'ftp://other.example/' || CAST(doc_id AS VARCHAR) || '#z'
@@ -1482,10 +1482,10 @@ _ORACLES: Dict[str, str] = {
             FROM u
         ), p AS (
             SELECT doc_id, url, no_frag,
-                   lower(regexp_extract(no_frag, '^((?i:https?)://[^/]+)', 1))
+                   lower(regexp_extract(no_frag, '^((?i:https?)://[^/?#]+)', 1))
                        AS scheme_host,
                    regexp_replace(
-                       regexp_extract(no_frag, '^(?i:https?)://[^/]+(.*)$', 1),
+                       regexp_extract(no_frag, '^(?i:https?)://[^/?#]+(.*)$', 1),
                        '//+', '/', 'g') AS rest
             FROM c
         ), k AS (
@@ -1495,7 +1495,7 @@ _ORACLES: Dict[str, str] = {
             FROM p
         )
         SELECT doc_id, url, canon,
-               lower(regexp_extract(canon, '^(?i:https?)://([^/]+)', 1)) AS host
+               lower(regexp_extract(canon, '^(?i:https?)://([^/?#]+)', 1)) AS host
         FROM k
     """,
     "mm_audio_stats": """

@@ -303,6 +303,49 @@ def test_cuckoo_mode_equivalent(spark, tmp_path):
     assert ka == kb and len(ka) > 0
 
 
+def test_recanonicalize_migration(spark, tmp_path):
+    """Canonicalization-rule upgrade: frontier rows stored under an OLD
+    canonical form (simulated with an uppercase-scheme duplicate) collapse
+    onto their new canonical twin, the fetched row winning over pending;
+    facts are untouched (carried path, keyed by accession)."""
+    from pyspark.sql import functions as F
+
+    from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+    from edgar_spark.synth.corpus import build_pages, build_seeds
+
+    ckpt = str(tmp_path / "ck")
+    pages = build_pages(spark, 2, 1)
+    seeds = build_seeds(spark, 2)
+    cfg = CrawlConfig(max_waves=4, checkpoint_dir=ckpt)
+    crawler = Crawler(spark, pages, seeds, config=cfg)
+    crawler.run()
+
+    frontier = crawler.catalog.read(spark, "frontier")
+    n0 = frontier.count()
+    facts_path = crawler.catalog.table_path("facts")
+    # simulate a pre-upgrade checkpoint: one fetched row duplicated under
+    # an old (uppercase-scheme) canonical form, marked pending
+    victim = frontier.filter(F.col("state") == "fetched").limit(1)
+    legacy = victim.withColumn(
+        "url", F.concat(F.lit("HTTPS://"), F.expr("substring(url, 9)"))
+    ).withColumn("state", F.lit("pending"))
+    crawler.catalog.commit_snapshot(
+        {"frontier": frontier.unionByName(legacy)},
+        meta={"wave": crawler.catalog.snapshot_meta().get("wave", -1)},
+        carry={"facts": facts_path},
+    )
+    assert crawler.catalog.read(spark, "frontier").count() == n0 + 1
+
+    out = crawler.recanonicalize()
+    assert out == {"rows_before": n0 + 1, "rows_after": n0}
+    fr2 = crawler.catalog.read(spark, "frontier")
+    # the fetched twin won; no pending duplicate, urls all lowercase-scheme
+    assert fr2.filter(F.col("url").startswith("HTTPS")).count() == 0
+    assert fr2.count() == fr2.select("url").distinct().count()
+    # facts untouched: same carried path
+    assert crawler.catalog.table_path("facts") == facts_path
+
+
 def test_mark_for_recrawl_roundtrip(spark, tmp_path):
     """Recrawl: flip fetched report pages back to pending, purge their
     facts, resume — refetches exactly those pages and reproduces identical

@@ -120,6 +120,8 @@ def test_canonicalize_and_bucket(spark):
             # an uppercase scheme must not escape URL-seen dedup
             ("HTTPS://WWW.SEC.GOV//cgi-bin/browse?action=x",),
             ("ftp://Other.Example/pass#z",),  # non-http: passthrough
+            # path-less URL: authority ends at '?', query case preserved
+            ("HTTPS://WWW.SEC.GOV?Action=View",),
         ],
         ["u"],
     ).select(
@@ -133,9 +135,11 @@ def test_canonicalize_and_bucket(spark):
     assert rows[2]["c"] == "https://www.sec.gov/ok/path"
     assert rows[3]["c"] == "https://www.sec.gov/cgi-bin/browse?action=x"
     assert rows[4]["c"] == "ftp://Other.Example/pass"
+    assert rows[5]["c"] == "https://www.sec.gov?Action=View"
     assert rows[1]["h"] == "www.sec.gov"
     assert rows[3]["h"] == "www.sec.gov"
     assert rows[4]["h"] == ""
+    assert rows[5]["h"] == "www.sec.gov"
     assert all(0 <= r["b"] < 8 for r in rows)
 
 
@@ -181,6 +185,8 @@ def test_icelite_compaction(spark, tmp_path):
     assert cat.read(spark, "t").agg(F.sum("x")).first()[0] == 499500
     assert cat.table_path("o") == cat.table_path("o", snap_id=sid1)
     assert cat.snapshot_meta()["from_files"] == 16
+    # already compact → no-op: same snapshot id, no redundant rewrite
+    assert cat.compact_table(spark, "t", target_file_bytes=1 << 30) == sid2
     # time travel to the fragmented version still works…
     assert n_files(cat.table_path("t", snap_id=sid1)) == 16
     # …until expiry retires it (current snapshot retained)
