@@ -159,6 +159,7 @@ OPERATOR_KEYS = [
     "stratified_sample",
     "url_canonicalize",
     "pack_sequences",
+    "robots_gate",
     "corpus_curation",
 ]
 

@@ -479,6 +479,59 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL robots gate (frontier/robots.py::split_robots) over
+    deterministic URLs exercising every precedence branch: longest-match
+    beats shorter, Allow punches a hole in Disallow, a wildcard rule
+    outranks a shorter literal, a '$'-anchored rule matches exactly, and
+    a rule-less host passes everything. The oracle translates each glob
+    rule to its exact LIKE equivalent ('*'→'%', '$'→no trailing '%') and
+    replays the same longest-match / tie-goes-to-Allow fold in SQL."""
+    import pandas as pd
+
+    from edgar_spark.frontier.canonical import host_of
+    from edgar_spark.frontier.robots import split_robots
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 8 == 0, F.concat(F.lit("https://a.example/public/doc"), ds))
+        .when(d % 8 == 1, F.concat(F.lit("https://a.example/private/doc"), ds))
+        .when(d % 8 == 2, F.concat(F.lit("https://a.example/public/private/doc"), ds))
+        .when(d % 8 == 3, F.concat(F.lit("https://b.example/tmp/x"), ds, F.lit("/draft")))
+        .when(d % 8 == 4, F.concat(F.lit("https://b.example/tmp/final"), ds))
+        .when(d % 8 == 5, F.lit("https://c.example/exact"))
+        .when(d % 8 == 6, F.concat(F.lit("https://c.example/exact"), ds))
+        .otherwise(F.concat(F.lit("https://d.example/any/"), ds))
+    )
+    fr = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", url.alias("url"))
+        .withColumn("host", host_of(F.col("url")))
+    )
+    rules = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("a.example", "/", False, 1, None),
+                ("a.example", "/public/", True, 8, None),
+                ("a.example", "/public/private/", False, 16, None),
+                ("b.example", "/tmp/", True, 5, None),
+                ("b.example", "/tmp/", False, 12, "/tmp/*/draft"),
+                ("c.example", "/exact", False, 7, "/exact$"),
+            ],
+            columns=["host", "path_prefix", "allowed", "pattern_len", "pattern"],
+        ),
+        schema="host string, path_prefix string, allowed boolean, "
+        "pattern_len int, pattern string",
+    )
+    allowed, blocked = split_robots(fr, rules)
+    return (
+        allowed.withColumn("allowed", F.lit(True))
+        .unionByName(blocked.withColumn("allowed", F.lit(False)))
+        .select("doc_id", "url", "allowed")
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing manifest over documents (seq_len=512):
     docs concatenate in id order and cut every 512 tokens. The Spark side
@@ -1006,6 +1059,7 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "url_canonicalize": q_url_canonicalize,
     "pack_sequences": q_pack_sequences,
+    "robots_gate": q_robots_gate,
     "events_window_agg": q_events_window_agg,
     "sessionize_gap": q_sessionize_gap,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1429,6 +1483,49 @@ _ORACLES: Dict[str, str] = {
                   WHEN 'src2' THEN '00000000000000000000000000000000'
                   ELSE '40000000000000000000000000000000'
               END
+    """,
+    "robots_gate": """
+        WITH u AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 8 AS INT)
+                       WHEN 0 THEN 'https://a.example/public/doc' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN 'https://a.example/private/doc' || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN 'https://a.example/public/private/doc' || CAST(doc_id AS VARCHAR)
+                       WHEN 3 THEN 'https://b.example/tmp/x' || CAST(doc_id AS VARCHAR) || '/draft'
+                       WHEN 4 THEN 'https://b.example/tmp/final' || CAST(doc_id AS VARCHAR)
+                       WHEN 5 THEN 'https://c.example/exact'
+                       WHEN 6 THEN 'https://c.example/exact' || CAST(doc_id AS VARCHAR)
+                       ELSE 'https://d.example/any/' || CAST(doc_id AS VARCHAR)
+                   END AS url
+            FROM documents
+        ), p AS (
+            SELECT doc_id, url,
+                   regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                   regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path
+            FROM u
+        ), r(host, plen, allowed, likepat) AS (
+            VALUES ('a.example', 1, FALSE, '/%'),
+                   ('a.example', 8, TRUE, '/public/%'),
+                   ('a.example', 16, FALSE, '/public/private/%'),
+                   ('b.example', 5, TRUE, '/tmp/%'),
+                   ('b.example', 12, FALSE, '/tmp/%/draft%'),
+                   ('c.example', 7, FALSE, '/exact')
+        ), m AS (
+            SELECT p.doc_id, r.plen, r.allowed
+            FROM p JOIN r ON p.host = r.host AND p.path LIKE r.likepat
+        ), w AS (
+            SELECT doc_id, allowed,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY plen DESC, allowed DESC
+                   ) AS rk
+            FROM m
+        ), best AS (
+            SELECT doc_id, allowed FROM w WHERE rk = 1
+        )
+        SELECT p.doc_id, p.url,
+               coalesce(b.allowed, TRUE) AS allowed
+        FROM p LEFT JOIN best b USING (doc_id)
     """,
     "pack_sequences": """
         WITH tk AS (

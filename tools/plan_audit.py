@@ -58,6 +58,10 @@ AUDITS = {
     # packing: global prefix sum via ordered range buckets — the window
     # runs at bucket parallelism, NEVER through one reducer
     "pack_sequences": ["Window", "Generate", "!Exchange SinglePartition"],
+    # robots gate: tiny rules table broadcasts; the precedence fold is a
+    # higher-order aggregate on the frontier side — the frontier never
+    # shuffles for the decision
+    "robots_gate": ["BroadcastHashJoin", "!SortMergeJoin"],
     # winners window prunes to rn=1 before the full sort; widen is one
     # partial-agg'd hash aggregate
     "consolidate_facts": ["WindowGroupLimit", "HashAggregate"],
