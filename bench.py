@@ -160,6 +160,8 @@ OPERATOR_KEYS = [
     "url_canonicalize",
     "pack_sequences",
     "robots_gate",
+    "source_quota",
+    "canonical_doc_select",
     "corpus_curation",
 ]
 

@@ -167,6 +167,78 @@ def corpus_mix(
     )
 
 
+def source_quota(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source quota curation: keep the ``k`` highest-quality documents
+    of each source — the anti-domination cap that stops one domain from
+    flooding a training mix. Ranking uses the ROUNDED (6-dp) quality
+    score with the id as tiebreak, so the selection is engine-portable
+    and deterministic.
+
+    One window keyed by source; Spark compiles the rn ≤ k filter to
+    WindowGroupLimit, so per-source heaps prune before the full sort.
+
+    Output: ``(id, source, quality_score, rk)`` for kept docs.
+    """
+    from edgar_spark.operators.text import quality_score
+
+    scored = quality_score(df, text_col).select(
+        id_col, "quality_score"
+    )
+    joined = df.select(id_col, source_col).join(scored, id_col)
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("quality_score").desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, source_col, "quality_score", "rk")
+    )
+
+
+def canonical_doc_select(
+    df: DataFrame,
+    prefix_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-document selection: cluster documents by a cheap content
+    fingerprint (md5 of the first ``prefix_tokens`` tokens — the
+    template/boilerplate prefix near-identical pages share) and keep the
+    highest-quality member of each cluster (rounded score, id tiebreak).
+    The mirror-page / re-hosted-copy collapse a web corpus runs between
+    exact dedup and full near-dedup: far cheaper than MinHash, catches
+    the same-template cohort early.
+
+    One window keyed by the fingerprint — high-cardinality, no skew
+    beyond true cluster sizes. Output: the winning ``(id, fingerprint,
+    quality_score, cluster_size)`` per cluster.
+    """
+    from edgar_spark.operators.text import quality_score
+
+    toks = tokens(F.col(text_col))
+    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)))
+    scored = quality_score(df, text_col).select(id_col, "quality_score")
+    tagged = df.select(F.col(id_col), fp.alias("fingerprint")).join(
+        scored, id_col
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("quality_score").desc(), F.col(id_col)
+    )
+    cnt = Window.partitionBy("fingerprint")
+    return (
+        tagged.withColumn("rk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "fingerprint", "quality_score", "cluster_size")
+    )
+
+
 def global_token_offsets(
     df: DataFrame,
     id_col: str = "doc_id",

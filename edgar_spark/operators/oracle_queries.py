@@ -479,6 +479,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota curation: top-3 documents per source by rounded
+    quality score (id tiebreak) — the anti-domination cap; WindowGroupLimit
+    prunes per-source heaps before any full sort."""
+    from edgar_spark.operators.curation import source_quota
+
+    return source_quota(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_canonical_doc_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection: cluster by the md5 of the first 8 tokens
+    (same-template cohort) and keep the highest-quality member; the
+    oracle replays the fingerprint, the quality formula, and the
+    rank-1-per-cluster window in SQL."""
+    from edgar_spark.operators.curation import canonical_doc_select
+
+    return canonical_doc_select(_t(spark, sf_dir, "documents"), prefix_tokens=8)
+
+
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL robots gate (frontier/robots.py::split_robots) over
     deterministic URLs exercising every precedence branch: longest-match
@@ -1060,6 +1079,8 @@ _QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "pack_sequences": q_pack_sequences,
     "robots_gate": q_robots_gate,
+    "source_quota": q_source_quota,
+    "canonical_doc_select": q_canonical_doc_select,
     "events_window_agg": q_events_window_agg,
     "sessionize_gap": q_sessionize_gap,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1483,6 +1504,111 @@ _ORACLES: Dict[str, str] = {
                   WHEN 'src2' THEN '00000000000000000000000000000000'
                   ELSE '40000000000000000000000000000000'
               END
+    """,
+    "source_quota": """
+        WITH f AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok,
+                   len(list_filter(
+                       list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      w -> lower(w)),
+                       w -> list_contains(
+                           ['the','and','of','to','a','in','is','it','that','for',
+                            'on','with','as','was','at','by','an','be','this','are'],
+                           w)
+                   )) AS n_stop,
+                   len(regexp_split_to_array(text, '[\\.,;:!\\?]')) - 1 AS n_punct
+            FROM documents
+        ), r AS (
+            SELECT doc_id,
+                   CASE WHEN n_tok > 0
+                        THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END AS stop_r,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_r,
+                   CASE WHEN n_tok > 0
+                        THEN CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok
+                        ELSE 0.0 END AS mwl,
+                   n_tok
+            FROM f
+        ), q AS (
+            SELECT doc_id,
+                   round(
+                       least(n_tok / 100.0, 1.0) * 0.3
+                       + least(stop_r * 3.0, 1.0) * 0.4
+                       + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2
+                       + (CASE WHEN punct_r <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.1,
+                   6) AS quality_score
+            FROM r
+        ), j AS (
+            SELECT d.doc_id, d.source, q.quality_score,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY q.quality_score DESC, d.doc_id
+                   ) AS rk
+            FROM documents d JOIN q USING (doc_id)
+        )
+        SELECT doc_id, source, quality_score, CAST(rk AS INT) AS rk
+        FROM j WHERE rk <= 3
+    """,
+    "canonical_doc_select": """
+        WITH f AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok,
+                   len(list_filter(
+                       list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      w -> lower(w)),
+                       w -> list_contains(
+                           ['the','and','of','to','a','in','is','it','that','for',
+                            'on','with','as','was','at','by','an','be','this','are'],
+                           w)
+                   )) AS n_stop,
+                   len(regexp_split_to_array(text, '[\\.,;:!\\?]')) - 1 AS n_punct
+            FROM documents
+        ), r AS (
+            SELECT doc_id,
+                   CASE WHEN n_tok > 0
+                        THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END AS stop_r,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_r,
+                   CASE WHEN n_tok > 0
+                        THEN CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok
+                        ELSE 0.0 END AS mwl,
+                   n_tok
+            FROM f
+        ), q AS (
+            SELECT doc_id,
+                   round(
+                       least(n_tok / 100.0, 1.0) * 0.3
+                       + least(stop_r * 3.0, 1.0) * 0.4
+                       + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2
+                       + (CASE WHEN punct_r <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.1,
+                   6) AS quality_score
+            FROM r
+        ), t AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       (CASE WHEN trim(text) = '' THEN []
+                             ELSE regexp_split_to_array(trim(text), '\\s+')
+                        END)[1:8], ' ')) AS fingerprint
+            FROM documents
+        ), j AS (
+            SELECT t.doc_id, t.fingerprint, q.quality_score,
+                   row_number() OVER (
+                       PARTITION BY t.fingerprint
+                       ORDER BY q.quality_score DESC, t.doc_id
+                   ) AS rk,
+                   count(*) OVER (PARTITION BY t.fingerprint) AS cluster_size
+            FROM t JOIN q USING (doc_id)
+        )
+        SELECT doc_id, fingerprint, quality_score,
+               CAST(cluster_size AS BIGINT) AS cluster_size
+        FROM j WHERE rk = 1
     """,
     "robots_gate": """
         WITH u AS (

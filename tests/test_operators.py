@@ -903,6 +903,38 @@ def test_chunk_docs(spark):
         chunk_docs(df, chunk_size=4, overlap=4)
 
 
+def test_source_quota_and_canonical_select(spark):
+    """Quota keeps exactly k best-quality docs per source (rank order
+    consistent with the rounded score); canonical selection collapses a
+    shared-prefix cluster to one winner carrying the cluster size."""
+    from edgar_spark.operators.curation import canonical_doc_select, source_quota
+
+    base = "the and of to a in is it "  # 8 stopword tokens: shared prefix
+    rows = [
+        (1, base + "rich extra content words here today", "s0"),
+        (2, base + "x", "s0"),
+        (3, "zz yy", "s0"),
+        (4, "totally different text with words", "s1"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    quota = source_quota(df, k=2).collect()
+    by_src = {}
+    for r in quota:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["s0"]) == 2 and len(by_src["s1"]) == 1
+    s0 = sorted(by_src["s0"], key=lambda r: r["rk"])
+    assert s0[0]["quality_score"] >= s0[1]["quality_score"]
+
+    sel = canonical_doc_select(df, prefix_tokens=8).collect()
+    by_id = {r["doc_id"]: r for r in sel}
+    # docs 1 and 2 share the 8-token fingerprint: one winner, size 2
+    assert (1 in by_id) != (2 in by_id)
+    winner = by_id.get(1) or by_id.get(2)
+    assert winner["cluster_size"] == 2
+    assert by_id[3]["cluster_size"] == 1 and by_id[4]["cluster_size"] == 1
+
+
 def test_pack_sequences(spark):
     """Packing manifest: spans tile every sequence exactly, documents
     split across boundaries keep contiguous token ranges, and the

@@ -62,6 +62,9 @@ AUDITS = {
     # higher-order aggregate on the frontier side — the frontier never
     # shuffles for the decision
     "robots_gate": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # per-source quota: rn ≤ k compiles to WindowGroupLimit — per-source
+    # heaps prune before the full sort
+    "source_quota": ["WindowGroupLimit"],
     # winners window prunes to rn=1 before the full sort; widen is one
     # partial-agg'd hash aggregate
     "consolidate_facts": ["WindowGroupLimit", "HashAggregate"],
