@@ -903,6 +903,30 @@ def test_chunk_docs(spark):
         chunk_docs(df, chunk_size=4, overlap=4)
 
 
+def test_global_token_offsets_sparse_ids(spark):
+    """Rank-based bucketing: a huge outlier id must not collapse the
+    prefix sum into one bucket (the value-range failure mode), and the
+    offsets must equal the naive sorted cumsum exactly."""
+    from edgar_spark.operators.curation import global_token_offsets
+
+    rows = [(i, (i % 7) + 1) for i in range(100)] + [(10**12, 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = {r["doc_id"]: r["offset"] for r in
+           global_token_offsets(df, n_buckets=16).collect()}
+
+    expect, acc = {}, 0
+    for i, n in sorted(rows):
+        expect[i] = acc
+        acc += n
+    assert out == expect
+
+    # the quantile boundaries actually spread the dense mass (the
+    # value-range scheme would put all 100 dense ids into bucket 0)
+    qs = [i / 16 for i in range(1, 16)]
+    bounds = df.stat.approxQuantile("doc_id", qs, 0.001)
+    assert len({b for b in bounds if b < 100}) >= 8
+
+
 def test_source_quota_and_canonical_select(spark):
     """Quota keeps exactly k best-quality docs per source (rank order
     consistent with the rounded score); canonical selection collapses a
