@@ -31,8 +31,12 @@ def canonicalize(url: Column, base: str = SEC_BASE) -> Column:
         F.regexp_extract(no_frag, r"^((?i:https?)://[^/?#]+)", 1)
     )
     rest = F.regexp_extract(no_frag, r"^(?i:https?)://[^/?#]+(.*)$", 1)
-    # collapse duplicate slashes in the path only (host already split off)
-    rest = F.regexp_replace(rest, r"//+", "/")
+    # collapse duplicate slashes in the PATH only; the query string is
+    # preserved verbatim (a '?next=https://x//y' value must not be mangled
+    # — distinct query URLs would otherwise collapse in URL-seen dedup)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_replace(rest, r"^[^?]*", "")
+    rest = F.concat(F.regexp_replace(path, r"//+", "/"), query)
     return F.when(scheme_host == "", no_frag).otherwise(F.concat(scheme_host, rest))
 
 

@@ -187,15 +187,14 @@ def source_quota(
     """
     from edgar_spark.operators.text import quality_score
 
-    scored = quality_score(df, text_col).select(
-        id_col, "quality_score"
-    )
-    joined = df.select(id_col, source_col).join(scored, id_col)
+    # quality_score preserves every input column — no join-back needed,
+    # the table is scanned exactly once
+    scored = quality_score(df, text_col)
     w = Window.partitionBy(source_col).orderBy(
         F.col("quality_score").desc(), F.col(id_col)
     )
     return (
-        joined.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(id_col, source_col, "quality_score", "rk")
     )
@@ -223,10 +222,8 @@ def canonical_doc_select(
 
     toks = tokens(F.col(text_col))
     fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)))
-    scored = quality_score(df, text_col).select(id_col, "quality_score")
-    tagged = df.select(F.col(id_col), fp.alias("fingerprint")).join(
-        scored, id_col
-    )
+    # single scan: quality_score keeps text, so the fingerprint rides it
+    tagged = quality_score(df, text_col).withColumn("fingerprint", fp)
     w = Window.partitionBy("fingerprint").orderBy(
         F.col("quality_score").desc(), F.col(id_col)
     )

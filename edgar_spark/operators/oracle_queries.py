@@ -1703,14 +1703,19 @@ _ORACLES: Dict[str, str] = {
                             THEN 'https://www.sec.gov' || url ELSE url END,
                        '#.*$', '') AS no_frag
             FROM u
-        ), p AS (
+        ), p0 AS (
             SELECT doc_id, url, no_frag,
                    lower(regexp_extract(no_frag, '^((?i:https?)://[^/?#]+)', 1))
                        AS scheme_host,
-                   regexp_replace(
-                       regexp_extract(no_frag, '^(?i:https?)://[^/?#]+(.*)$', 1),
-                       '//+', '/', 'g') AS rest
+                   regexp_extract(no_frag, '^(?i:https?)://[^/?#]+(.*)$', 1)
+                       AS rest0
             FROM c
+        ), p AS (
+            SELECT doc_id, url, no_frag, scheme_host,
+                   regexp_replace(regexp_extract(rest0, '^([^?]*)', 1),
+                                  '//+', '/', 'g')
+                   || regexp_replace(rest0, '^[^?]*', '') AS rest
+            FROM p0
         ), k AS (
             SELECT doc_id, url,
                    CASE WHEN scheme_host = '' THEN no_frag

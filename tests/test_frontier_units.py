@@ -122,6 +122,9 @@ def test_canonicalize_and_bucket(spark):
             ("ftp://Other.Example/pass#z",),  # non-http: passthrough
             # path-less URL: authority ends at '?', query case preserved
             ("HTTPS://WWW.SEC.GOV?Action=View",),
+            # '//' inside a QUERY VALUE is data, not a path separator —
+            # collapsing it would alias distinct redirect targets
+            ("https://www.sec.gov//r//x?next=https://a.example//b//c",),
         ],
         ["u"],
     ).select(
@@ -136,6 +139,7 @@ def test_canonicalize_and_bucket(spark):
     assert rows[3]["c"] == "https://www.sec.gov/cgi-bin/browse?action=x"
     assert rows[4]["c"] == "ftp://Other.Example/pass"
     assert rows[5]["c"] == "https://www.sec.gov?Action=View"
+    assert rows[6]["c"] == "https://www.sec.gov/r/x?next=https://a.example//b//c"
     assert rows[1]["h"] == "www.sec.gov"
     assert rows[3]["h"] == "www.sec.gov"
     assert rows[4]["h"] == ""
