@@ -1,0 +1,103 @@
+"""Integer-quantized character-trigram language-model quality filter.
+
+CCNet-style corpus curation scores each document by the perplexity of a
+small LM and drops the worst tail. A float log-prob sum over shuffled
+rows is not order-invariant, so — like graph.pagerank — this filter is
+built on integers end-to-end: per-trigram surprisal is the *bit length*
+of ``total div count`` (an integer ≈ log2 of the inverse unigram-of-
+trigrams probability, exact on both engines via ``length(bin(x)) - 1``),
+and a document's score is the exact BIGINT sum of its trigram surprisals.
+The keep/drop decision thresholds the milli-average ``(sum*1000) div
+n_trigrams``. Quantizing log2 to integers costs <1 bit of resolution per
+trigram — irrelevant for a tail filter — and buys bit-identical,
+engine-independent results.
+
+The model is trained on the corpus itself (self-perplexity, as CCNet
+trains on the target distribution): trigram counts over the first
+``prefix_chars`` lowercased characters of every document. The trigram
+vocabulary is bounded (≤ charset³, in practice ~50k), so the
+counts→documents join is a **broadcast** — the scale-correct plan: one
+Arrow-free JVM pass to count, one map-side join to score, no shuffle of
+the corpus at all beyond the fixed-size count aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["doc_trigrams", "trigram_counts", "lm_surprisal"]
+
+
+def _prefix(text_col: str, prefix_chars: int) -> Column:
+    return F.lower(F.substring(F.col(text_col), 1, prefix_chars))
+
+
+def doc_trigrams(
+    df: DataFrame, id_col: str, text_col: str, prefix_chars: int = 256
+) -> DataFrame:
+    """(id, trigram) — one row per character trigram of the lowercased
+    ``prefix_chars``-char prefix. Docs shorter than 3 chars emit nothing."""
+    s = _prefix(text_col, prefix_chars)
+    tris = F.transform(
+        F.sequence(F.lit(1), F.length(s) - 2),
+        lambda i: F.substr(s, i, F.lit(3)),
+    )
+    return (
+        df.filter(F.length(s) >= 3)
+        .select(F.col(id_col), F.explode(tris).alias("trigram"))
+    )
+
+
+def trigram_counts(
+    df: DataFrame, id_col: str, text_col: str, prefix_chars: int = 256
+) -> DataFrame:
+    """Corpus-wide trigram model: (trigram, cnt BIGINT). Bounded key
+    space (charset³) — partial-aggregates map-side, output is tiny."""
+    return (
+        doc_trigrams(df, id_col, text_col, prefix_chars)
+        .groupBy("trigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def lm_surprisal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_chars: int = 256,
+    keep_below_milli: int = 9000,
+) -> DataFrame:
+    """Score every document against the corpus trigram model.
+
+    Returns (id, n_trigrams BIGINT, total_surprisal BIGINT,
+    avg_surprisal_milli BIGINT, keep BOOLEAN). ``avg_surprisal_milli`` is
+    milli-bits of quantized surprisal per trigram; ``keep`` thresholds it
+    (lower = more typical of the corpus). Every value is an exact integer.
+    """
+    counts = trigram_counts(df, id_col, text_col, prefix_chars)
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    # int log2(total/cnt): bit_length(total div cnt) - 1, 0 when cnt==total
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "trigram",
+        (F.length(F.bin(F.expr("_total div cnt"))) - 1)
+        .cast("long")
+        .alias("surprisal"),
+    )
+    scored = (
+        doc_trigrams(df, id_col, text_col, prefix_chars)
+        .join(F.broadcast(model), "trigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum("surprisal").alias("total_surprisal"),
+        )
+    )
+    avg = F.expr("(total_surprisal * 1000) div n_trigrams")
+    return scored.select(
+        id_col,
+        "n_trigrams",
+        "total_surprisal",
+        avg.alias("avg_surprisal_milli"),
+        (avg < keep_below_milli).alias("keep"),
+    )

@@ -2396,6 +2396,238 @@ def _ivf_assign_oracle_sql(k: int = 8, n_iter: int = 2, mean_dp: int = 9) -> str
     return "".join(parts)
 
 
+# ------------------------------------------------- link graph / LM / sketches
+
+
+_PR_MAPS = ((7, 1), (13, 5), (31, 11))  # affine out-link maps over doc_id
+_PR_ITER = 5
+_PR_SCALE = 10**12
+_PR_DAMP = 85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over a deterministic doc link graph.
+
+    Vertices are ``documents.doc_id`` (contiguous 0..n-1); each doc emits
+    three out-links ``(doc_id*k + c) % n`` for the affine maps in
+    ``_PR_MAPS``. Integer rank units make the 5-round recurrence exact, so
+    the unrolled-CTE DuckDB oracle must agree bit-for-bit (graph.py).
+    """
+    from edgar_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    total = docs.agg(F.count("*").alias("_n"))
+    edges = docs.crossJoin(F.broadcast(total)).select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[F.expr(f"(doc_id*{k}+{c}) % _n") for k, c in _PR_MAPS]
+            )
+        ).alias("dst"),
+    )
+    return pagerank(
+        docs,
+        edges,
+        id_col="doc_id",
+        n_iter=_PR_ITER,
+        scale=_PR_SCALE,
+        damping_pct=_PR_DAMP,
+    ).orderBy("doc_id")
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fixed-point PageRank recurrence (all-integer, exact)."""
+    links = "\n            UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{k}+{c}) % (SELECT c FROM n) AS dst FROM v"
+        for k, c in _PR_MAPS
+    )
+    parts = [
+        f"""
+        WITH v AS (SELECT doc_id FROM documents),
+        n AS (SELECT count(*) AS c FROM v),
+        params AS (
+            SELECT {_PR_SCALE} // c AS init,
+                   ((100 - {_PR_DAMP}) * ({_PR_SCALE} // c)) // 100 AS base
+            FROM n
+        ),
+        e0 AS (
+            {links}
+        ),
+        outdeg AS (SELECT src, count(*) AS od FROM e0 GROUP BY src),
+        e AS (SELECT e0.src, e0.dst, outdeg.od FROM e0 JOIN outdeg USING (src)),
+        r0 AS (SELECT doc_id, (SELECT init FROM params) AS rank FROM v)"""
+    ]
+    for i in range(_PR_ITER):
+        parts.append(f"""
+        , r{i + 1} AS (
+            SELECT v.doc_id,
+                   (SELECT base FROM params)
+                   + ({_PR_DAMP} * coalesce(s.m, 0)) // 100 AS rank
+            FROM v LEFT JOIN (
+                SELECT e.dst AS doc_id, sum(r{i}.rank // e.od) AS m
+                FROM e JOIN r{i} ON e.src = r{i}.doc_id
+                GROUP BY e.dst
+            ) s USING (doc_id)
+        )""")
+    parts.append(f"""
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank_scaled
+        FROM r{_PR_ITER} ORDER BY doc_id""")
+    return "".join(parts)
+
+
+_LM_KEEP_MILLI = 7400
+_LM_PREFIX = 256
+
+
+def q_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style self-perplexity filter, integer-quantized (lm.py).
+
+    Char-trigram model over the corpus' own 256-char prefixes; per-doc
+    surprisal is an exact BIGINT sum of integer log2 surprisals, so the
+    keep/drop decision is engine-independent. Docs shorter than 3 chars
+    emit no trigrams and are absent (same in the oracle)."""
+    from edgar_spark.operators.lm import lm_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_surprisal(
+        docs,
+        "doc_id",
+        "text",
+        prefix_chars=_LM_PREFIX,
+        keep_below_milli=_LM_KEEP_MILLI,
+    ).orderBy("doc_id")
+
+
+def _lm_quality_oracle_sql() -> str:
+    return f"""
+        WITH p AS (
+            SELECT doc_id, lower(substr(text, 1, {_LM_PREFIX})) AS s
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id, substr(s, CAST(i AS INT), 3) AS trigram
+            FROM p CROSS JOIN unnest(generate_series(1, length(s) - 2)) AS t(i)
+            WHERE length(s) >= 3
+        ),
+        counts AS (SELECT trigram, count(*) AS cnt FROM tri GROUP BY trigram),
+        total AS (SELECT sum(cnt) AS tot FROM counts),
+        model AS (
+            SELECT trigram,
+                   CAST(length(bin(tot // cnt)) - 1 AS BIGINT) AS surprisal
+            FROM counts, total
+        ),
+        scored AS (
+            SELECT doc_id, count(*) AS n_trigrams,
+                   sum(surprisal) AS total_surprisal
+            FROM tri JOIN model USING (trigram) GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_trigrams AS BIGINT) AS n_trigrams,
+               CAST(total_surprisal AS BIGINT) AS total_surprisal,
+               CAST((total_surprisal * 1000) // n_trigrams AS BIGINT)
+                   AS avg_surprisal_milli,
+               (total_surprisal * 1000) // n_trigrams < {_LM_KEEP_MILLI}
+                   AS keep
+        FROM scored ORDER BY doc_id"""
+
+
+_HLL_P = 8
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over ``events.user_id`` (sketches.py).
+
+    The (register, max_rho) table IS the mergeable sketch — ≤2^p rows of
+    exact integers built from md5-derived 60-bit hashes, so the full
+    distributed sketch state is oracle-checkable (Spark's own
+    approx_count_distinct is opaque; this one is replayable)."""
+    from edgar_spark.operators.sketches import hll_register_table
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_register_table(ev, "user_id", p=_HLL_P).orderBy("register")
+
+
+def _hll_oracle_sql() -> str:
+    m = 1 << _HLL_P
+    max_rho = 60 - _HLL_P + 1
+    return f"""
+        WITH h AS (
+            SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h60
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        r AS (
+            SELECT CAST(h60 % {m} AS INT) AS register,
+                   CASE WHEN h60 // {m} = 0 THEN {max_rho}
+                        ELSE bit_count(CAST((((h60 // {m}) & -(h60 // {m})) - 1)
+                                       AS BIGINT)) + 1
+                   END AS rho
+            FROM h
+        )
+        SELECT register, CAST(max(rho) AS INT) AS max_rho
+        FROM r GROUP BY register ORDER BY register"""
+
+
+_CMS_W = 64
+_CMS_D = 4
+
+
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + point queries (sketches.py): estimate the
+    frequency of every distinct ``events.event_type`` from a fixed
+    depth×width counter table. Estimates are exact integers (min over
+    salted-md5 counter rows) — never below the true count."""
+    from edgar_spark.operators.sketches import (
+        cms_estimate_counts,
+        count_min_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = count_min_sketch(ev, "event_type", width=_CMS_W, depth=_CMS_D)
+    items = ev.select("event_type").distinct()
+    return cms_estimate_counts(
+        items, sketch, "event_type", width=_CMS_W, depth=_CMS_D
+    ).orderBy("event_type")
+
+
+def _cms_oracle_sql() -> str:
+    return f"""
+        WITH probes AS (
+            SELECT event_type, row,
+                   CAST(concat('0x', substr(md5(concat(CAST(row AS VARCHAR),
+                        ':', event_type)), 1, 15)) AS BIGINT) % {_CMS_W}
+                       AS bucket
+            FROM events
+            CROSS JOIN unnest(generate_series(0, {_CMS_D - 1})) AS t(row)
+            WHERE event_type IS NOT NULL
+        ),
+        sketch AS (
+            SELECT row, bucket, count(*) AS cnt
+            FROM probes GROUP BY row, bucket
+        ),
+        items AS (
+            SELECT DISTINCT event_type, row,
+                   CAST(concat('0x', substr(md5(concat(CAST(row AS VARCHAR),
+                        ':', event_type)), 1, 15)) AS BIGINT) % {_CMS_W}
+                       AS bucket
+            FROM events
+            CROSS JOIN unnest(generate_series(0, {_CMS_D - 1})) AS t(row)
+            WHERE event_type IS NOT NULL
+        )
+        SELECT i.event_type, min(s.cnt) AS est_count
+        FROM items i JOIN sketch s USING (row, bucket)
+        GROUP BY i.event_type ORDER BY i.event_type"""
+
+
+_QUERIES["pagerank"] = q_pagerank
+_QUERIES["lm_quality_filter"] = q_lm_quality_filter
+_QUERIES["hll_distinct"] = q_hll_distinct
+_QUERIES["cms_frequency"] = q_cms_frequency
+_ORACLES["pagerank"] = _pagerank_oracle_sql()
+_ORACLES["lm_quality_filter"] = _lm_quality_oracle_sql()
+_ORACLES["hll_distinct"] = _hll_oracle_sql()
+_ORACLES["cms_frequency"] = _cms_oracle_sql()
+
 _ORACLES["ivf_topk"] = _ivf_topk_oracle_sql()
 _ORACLES["ivf_assign"] = _ivf_assign_oracle_sql()
 _ORACLES["ngram_jaccard_lsh"] = _ngram_jaccard_lsh_oracle_sql()

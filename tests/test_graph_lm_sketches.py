@@ -1,0 +1,182 @@
+"""Unit tests for the link-graph / LM-filter / sketch operators.
+
+These three families share one design rule: all state is integer, so the
+distributed result is bit-identical across partitionings and engines
+(graph.py / lm.py / sketches.py module docstrings). The tests therefore
+assert exact values against plain-Python references, not tolerances —
+except the HLL *estimate*, which is an approximation by definition and
+gets an error-bound assertion instead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pdf(spark, pdf):
+    return spark.createDataFrame(pdf)
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def _pagerank_ref(ids, edges, n_iter=5, scale=10**12, damping_pct=85):
+    """Driver-side reference of the exact integer recurrence."""
+    n = len(ids)
+    init = scale // n
+    base = ((100 - damping_pct) * init) // 100
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {i: init for i in ids}
+    for _ in range(n_iter):
+        incoming = {}
+        for s, d in edges:
+            incoming[d] = incoming.get(d, 0) + rank[s] // outdeg[s]
+        rank = {
+            i: base + (damping_pct * incoming.get(i, 0)) // 100 for i in ids
+        }
+    return rank
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from edgar_spark.operators.graph import pagerank
+
+    ids = list(range(6))
+    # a hub (0), a sink (5, no out-edges → drops its mass), a multi-edge
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 0), (3, 4), (4, 0), (1, 2)]
+    v = _pdf(spark, pd.DataFrame({"id": ids}))
+    e = _pdf(spark, pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank(v, e, n_iter=5).collect()
+    }
+    assert got == _pagerank_ref(ids, edges)
+    # sink vertex 5 keeps exactly the teleport base every round
+    assert got[5] == ((100 - 85) * (10**12 // 6)) // 100
+
+
+def test_pagerank_checkpoint_equivalence(spark):
+    from edgar_spark.operators.graph import pagerank
+
+    ids = list(range(8))
+    edges = [(i, (i * 3 + 1) % 8) for i in ids] + [(i, (i + 1) % 8) for i in ids]
+    v = _pdf(spark, pd.DataFrame({"id": ids}))
+    e = _pdf(spark, pd.DataFrame(edges, columns=["src", "dst"]))
+    plain = sorted(
+        pagerank(v, e, n_iter=4).collect(), key=lambda r: r["id"]
+    )
+    ck = sorted(
+        pagerank(v, e, n_iter=4, checkpoint_every=2).collect(),
+        key=lambda r: r["id"],
+    )
+    assert [tuple(r) for r in plain] == [tuple(r) for r in ck]
+
+
+def test_pagerank_empty_graph(spark):
+    from edgar_spark.operators.graph import pagerank
+
+    v = spark.range(0).select(F.col("id"))
+    e = spark.range(0).select(
+        F.col("id").alias("src"), F.col("id").alias("dst")
+    )
+    assert pagerank(v, e).count() == 0
+
+
+# -------------------------------------------------------------- sketches
+
+
+def test_hll_estimate_within_bound(spark):
+    from edgar_spark.operators.sketches import hll_estimate, hll_register_table
+
+    n = 5000
+    df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    rows = hll_register_table(df, "v", p=8).collect()
+    est = hll_estimate(rows, p=8)
+    # standard error ~1.04/sqrt(256) = 6.5%; assert 4 sigma
+    assert abs(est - n) / n < 0.26
+    assert len(rows) <= 256
+
+
+def test_hll_merge_is_union(spark):
+    from edgar_spark.operators.sketches import hll_register_table
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("v"))
+    a = hll_register_table(df.filter("id % 2 = 0"), "v", p=6)
+    b = hll_register_table(df.filter("id % 2 = 1"), "v", p=6)
+    merged = (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    full = hll_register_table(df, "v", p=6)
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want
+
+
+def test_cms_overestimates_only_and_fixed_size(spark):
+    from edgar_spark.operators.sketches import (
+        cms_estimate_counts,
+        count_min_sketch,
+    )
+
+    # zipf-ish: value k appears ~200//(k+1) times — heavy head, long tail
+    pdf = pd.DataFrame(
+        {"v": [f"k{k}" for k in range(40) for _ in range(200 // (k + 1))]}
+    )
+    df = _pdf(spark, pdf)
+    sketch = count_min_sketch(df, "v", width=32, depth=4)
+    assert sketch.count() <= 32 * 4
+    true = pdf["v"].value_counts().to_dict()
+    est = cms_estimate_counts(
+        df.select("v").distinct(), sketch, "v", width=32, depth=4
+    ).collect()
+    assert len(est) == len(true)
+    for r in est:
+        assert r["est_count"] >= true[r["v"]]
+    # the heaviest key collides with at most the residual mass: with
+    # depth 4 rows its estimate should stay well under 2x truth here
+    top = next(r for r in est if r["v"] == "k0")
+    assert top["est_count"] < 2 * true["k0"]
+
+
+# ------------------------------------------------------------------- lm
+
+
+def test_lm_surprisal_integers_and_ranking(spark):
+    from edgar_spark.operators.lm import lm_surprisal
+
+    common = "the quick brown fox jumps over the lazy dog. " * 6
+    rows = [(i, common) for i in range(9)] + [(9, "zxqj vvkw qqpz zzzz xqxq")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in lm_surprisal(df, "doc_id", "text", keep_below_milli=6000)
+        .collect()
+    }
+    assert len(out) == 10
+    # identical docs score identically (exact integers, no float drift)
+    firsts = {tuple(out[i])[1:] for i in range(9)}
+    assert len(firsts) == 1
+    # the gibberish outlier is more surprising than the common docs
+    assert out[9]["avg_surprisal_milli"] > out[0]["avg_surprisal_milli"]
+    assert out[0]["keep"] and not out[9]["keep"]
+    # exactness invariant: avg = (total*1000) div n
+    for r in out.values():
+        assert (
+            r["avg_surprisal_milli"]
+            == r["total_surprisal"] * 1000 // r["n_trigrams"]
+        )
+
+
+def test_lm_short_docs_absent(spark):
+    from edgar_spark.operators.lm import lm_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "abcdef")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"] for r in lm_surprisal(df, "doc_id", "text").collect()}
+    assert got == {3}
