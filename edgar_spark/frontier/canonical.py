@@ -44,9 +44,21 @@ def host_of(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, r"^(?i:https?)://([^/?#]+)", 1))
 
 
-def politeness_bucket(url: Column, n_buckets: int) -> Column:
+def politeness_bucket(
+    url: Column, n_buckets: int, hash_fn: str = "xxhash64"
+) -> Column:
     """Salted politeness bucket: EDGAR is a single host, so a plain
     ``hash(host)`` key would send the whole frontier through one reducer.
     Salting by url hash spreads the per-host token accounting across
-    ``n_buckets`` partitions (tokens are budgeted per (host, bucket))."""
+    ``n_buckets`` partitions (tokens are budgeted per (host, bucket)).
+
+    ``hash_fn='xxhash64'`` (default) is the production path — fastest
+    JVM hash. ``hash_fn='md5'`` derives the bucket from the md5-hex
+    prefix instead (the engine's replayable-hash convention,
+    sketches.py), giving identical bucketing semantics that a second
+    engine can reproduce — the driver's ``politeness_bucket`` key
+    oracles this mode; the crawl e2e tests cover the xxhash64 mode."""
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(url), 1, 15), 16, 10).cast("long")
+        return F.pmod(h, F.lit(n_buckets)).cast("int")
     return F.pmod(F.xxhash64(url), F.lit(n_buckets)).cast("int")

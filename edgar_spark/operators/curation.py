@@ -452,3 +452,58 @@ def chunk_docs(
             F.col("_c.n").alias("n_chunk_tokens"),
         )
     )
+
+
+def line_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_alpha_pct: int = 50,
+    min_kept_pct: int = 50,
+    blocklist: "tuple[str, ...]" = ("cookie", "javascript", "subscribe"),
+    delim: str = "\n",
+) -> DataFrame:
+    """C4/RefinedWeb-style line-wise quality filtering.
+
+    A line survives iff it has ≥ ``min_words`` whitespace words, its
+    alphabetic-character share is ≥ ``min_alpha_pct`` %, and it contains
+    no blocklisted substring (case-insensitive). Returns one row per
+    document: ``(id, text, n_lines, n_kept, keep)`` with the surviving
+    lines reassembled in order and ``keep`` true when ≥ ``min_kept_pct``
+    % of lines survived. All decisions are integer comparisons — exact
+    on any engine.
+
+    Unlike :func:`line_dedup` (whose boilerplate test needs a corpus-wide
+    census), every rule here is per-line, so the whole operator is one
+    projection over higher-order functions: **zero shuffles, zero joins**
+    — the plan keeps the scan's partitioning untouched at any corpus
+    size.
+    """
+    esc = "".join(
+        "\\" + ch if ch in ".\\[](){}*+?^$|" else ch for ch in delim
+    )
+    lines = F.split(F.col(text_col), esc)
+
+    def _ok(line: Column) -> Column:
+        words = F.size(
+            F.filter(F.split(F.trim(line), r"\s+"), lambda w: w != "")
+        )
+        alpha = F.length(F.regexp_replace(line, "[^a-zA-Z]", ""))
+        cond = (words >= min_words) & (
+            alpha * 100 >= F.length(line) * min_alpha_pct
+        )
+        for b in blocklist:
+            cond = cond & ~F.lower(line).contains(b.lower())
+        return cond
+
+    kept = F.filter(lines, _ok)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(delim, kept).alias("text"),
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        (n_kept * 100 >= n_lines * min_kept_pct).alias("keep"),
+    )

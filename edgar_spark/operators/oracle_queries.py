@@ -2619,6 +2619,249 @@ def _cms_oracle_sql() -> str:
         GROUP BY i.event_type ORDER BY i.event_type"""
 
 
+# ------------------------------------------ retrieval / line QF / lexicon
+
+
+_TFIDF_QUERIES = (
+    ("q1", "spark window agg"),
+    ("q2", "hash join table"),
+    ("q3", "stream batch vector vector"),  # repeated term → q_tf = 2
+)
+_TFIDF_K = 5
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: top-5 documents per literal query by quantized
+    TF-IDF over the relational inverted index (retrieval.py). Integer
+    scores make the ranking engine-independent; ties rank by doc_id."""
+    import pandas as pd
+
+    from edgar_spark.operators.retrieval import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        pd.DataFrame(_TFIDF_QUERIES, columns=["query_id", "query_text"])
+    )
+    return tfidf_topk(docs, queries, k=_TFIDF_K).orderBy("query_id", "rank")
+
+
+def _tfidf_oracle_sql() -> str:
+    qvals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in _TFIDF_QUERIES)
+    return f"""
+        WITH post AS (
+            SELECT term, doc_id, count(*) AS tf
+            FROM (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    w -> w != '')) AS term
+                FROM documents
+            ) GROUP BY term, doc_id
+        ),
+        n AS (SELECT count(*) AS c FROM documents),
+        idf AS (
+            SELECT term, (((SELECT c FROM n) * 1000) // count(*)) AS idf_scaled
+            FROM post GROUP BY term
+        ),
+        q AS (
+            SELECT query_id, unnest(list_filter(
+                regexp_split_to_array(lower(query_text), '[^a-z0-9]+'),
+                w -> w != '')) AS term
+            FROM (VALUES {qvals}) AS qq(query_id, query_text)
+        ),
+        qt AS (SELECT query_id, term, count(*) AS q_tf FROM q GROUP BY 1, 2),
+        scored AS (
+            SELECT qt.query_id, post.doc_id,
+                   CAST(sum(qt.q_tf * post.tf * idf.idf_scaled) AS BIGINT)
+                       AS score
+            FROM post JOIN qt USING (term) JOIN idf USING (term)
+            GROUP BY qt.query_id, post.doc_id
+        )
+        SELECT query_id, rank, doc_id, score FROM (
+            SELECT query_id, doc_id, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= {_TFIDF_K}
+        ORDER BY query_id, rank"""
+
+
+_LQF_BLOCKLIST = ("cookie", "customer")  # 'customer' occurs in the corpus
+
+
+def q_line_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-wise quality filtering over the 8-token lining
+    (same lining as ``line_dedup``): a line survives with ≥3 words, ≥50 %
+    alphabetic characters, and no blocklisted substring ('customer' is in
+    the synthetic vocabulary, so the blocklist rule really fires). Pure
+    per-row HOF projection — zero shuffles (curation.py)."""
+    from edgar_spark.operators.curation import line_quality_filter, to_lines
+
+    lined = _t(spark, sf_dir, "documents").select(
+        "doc_id", to_lines(F.col("text"), width=8).alias("text")
+    )
+    return line_quality_filter(lined, blocklist=_LQF_BLOCKLIST)
+
+
+def _line_quality_oracle_sql() -> str:
+    block = " AND ".join(
+        f"NOT contains(lower(line), '{b}')" for b in _LQF_BLOCKLIST
+    )
+    return f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS toks
+            FROM documents
+        ), lined AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN ''
+                        ELSE array_to_string(list_transform(
+                            range(0, CAST(floor((len(toks) - 1) / 8) AS INT) + 1),
+                            i -> array_to_string(toks[i*8+1 : i*8+8], ' ')
+                        ), chr(10)) END AS text
+            FROM tk
+        ), l AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS ord
+            FROM lined
+        ), ok AS (
+            SELECT * FROM l
+            WHERE len(list_filter(regexp_split_to_array(trim(line), '\\s+'),
+                                  w -> w != '')) >= 3
+              AND length(regexp_replace(line, '[^a-zA-Z]', '', 'g')) * 100
+                  >= length(line) * 50
+              AND {block}
+        ), agg AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY ord) AS text2,
+                   count(*) AS n_kept
+            FROM ok GROUP BY doc_id
+        )
+        SELECT li.doc_id,
+               coalesce(a.text2, '') AS text,
+               CAST(len(string_split(li.text, chr(10))) AS BIGINT) AS n_lines,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+               coalesce(a.n_kept, 0) * 100
+                   >= len(string_split(li.text, chr(10))) * 50 AS keep
+        FROM lined li LEFT JOIN agg a USING (doc_id)"""
+
+
+_LEXICON = {
+    "execution": {"scan": 2, "filter": 1, "sort": 1, "hash": 2, "merge": 1},
+    "streaming": {"stream": 3, "batch": 2, "window": 1},
+    "storage": {"table": 1, "row": 2, "column": 2, "part": 1},
+}
+
+
+def q_lexicon_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-lexicon topic classification (text.py): per-class BIGINT
+    scores = Σ weight × term-frequency over a literal lexicon; label =
+    deterministic argmax, 'none' when no term matches."""
+    from edgar_spark.operators.text import lexicon_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    return lexicon_classify(docs, _LEXICON).orderBy("doc_id")
+
+
+def _lexicon_oracle_sql() -> str:
+    vals = ", ".join(
+        f"('{t}', '{c}', {w})"
+        for c, terms in sorted(_LEXICON.items())
+        for t, w in sorted(terms.items())
+    )
+    return f"""
+        WITH lex(term, cls, weight) AS (VALUES {vals}),
+        t AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                w -> w != '')) AS term
+            FROM documents
+        ),
+        scores AS (
+            SELECT t.doc_id, lex.cls,
+                   CAST(sum(lex.weight) AS BIGINT) AS cls_score
+            FROM t JOIN lex USING (term)
+            GROUP BY t.doc_id, lex.cls
+        ),
+        best AS (
+            SELECT doc_id, cls, cls_score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY cls_score DESC, cls
+                ) AS rn FROM scores
+            ) WHERE rn = 1
+        )
+        SELECT d.doc_id,
+               coalesce(b.cls, 'none') AS label,
+               CAST(coalesce(b.cls_score, 0) AS BIGINT) AS score
+        FROM documents d LEFT JOIN best b USING (doc_id)
+        ORDER BY d.doc_id"""
+
+
+def q_politeness_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted politeness bucketing (frontier/canonical.py): the per-host
+    token accounting key that spreads a single dominant host across
+    ``n_buckets`` reducers. Uses the replayable md5 hash mode; the
+    oracle recomputes the bucket and the (host, bucket) population — the
+    distribution itself is the thing the salt exists to flatten."""
+    from edgar_spark.frontier.canonical import politeness_bucket
+
+    d = F.col("doc_id")
+    url = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit("https://www.sec.gov/Archives/doc"),
+            d.cast("string"),
+            F.lit(".htm"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("https://data.example.com/x/"), d.cast("string"))
+    )
+    host = F.when(d % 3 == 0, F.lit("www.sec.gov")).otherwise(
+        F.lit("data.example.com")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            host.alias("host"),
+            politeness_bucket(url, 8, hash_fn="md5").alias("bucket"),
+        )
+        .groupBy("host", "bucket")
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy("host", "bucket")
+    )
+
+
+_POLITENESS_ORACLE = """
+    WITH u AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'www.sec.gov'
+                    ELSE 'data.example.com' END AS host,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat('https://www.sec.gov/Archives/doc',
+                                CAST(doc_id AS VARCHAR), '.htm')
+                    ELSE concat('https://data.example.com/x/',
+                                CAST(doc_id AS VARCHAR)) END AS url
+        FROM documents
+    )
+    SELECT host,
+           CAST(CAST(concat('0x', substr(md5(url), 1, 15)) AS BIGINT) % 8
+                AS INT) AS bucket,
+           count(*) AS n_urls
+    FROM u GROUP BY host, bucket ORDER BY host, bucket"""
+
+
+_QUERIES["politeness_bucket"] = q_politeness_bucket
+_ORACLES["politeness_bucket"] = _POLITENESS_ORACLE
+
+_QUERIES["tfidf_topk"] = q_tfidf_topk
+_QUERIES["line_quality_filter"] = q_line_quality_filter
+_QUERIES["lexicon_classify"] = q_lexicon_classify
+_ORACLES["tfidf_topk"] = _tfidf_oracle_sql()
+_ORACLES["line_quality_filter"] = _line_quality_oracle_sql()
+_ORACLES["lexicon_classify"] = _lexicon_oracle_sql()
+
 _QUERIES["pagerank"] = q_pagerank
 _QUERIES["lm_quality_filter"] = q_lm_quality_filter
 _QUERIES["hll_distinct"] = q_hll_distinct

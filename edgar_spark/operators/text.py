@@ -5,7 +5,7 @@ counting, document fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword marker sets (n-gram/stopword heuristic)
@@ -296,3 +296,57 @@ def repetition_filter(
         & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
     ).select(id_col)
     return df.join(kept, id_col)
+
+
+def lexicon_classify(
+    df: DataFrame,
+    lexicon: "dict[str, dict[str, int]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Broadcast-lexicon topic classification — the minimal form of
+    model inference at corpus scale.
+
+    ``lexicon`` maps class → {term: integer weight}. Every document's
+    lowercased alphanumeric terms join the (tiny, broadcast) lexicon;
+    per-class scores are exact BIGINT sums of weight × term-frequency,
+    and the label is the argmax (score desc, class asc — deterministic
+    ties). Docs matching no lexicon term get label ``'none'``, score 0.
+
+    Returns (id, label, score). The corpus never shuffles on a text
+    key: one explode, one broadcast join, one id-keyed aggregation —
+    the same plan a learned linear classifier over hashed features
+    would use, with the weights table swapped in.
+    """
+    import pandas as pd
+
+    rows = [
+        {"term": t, "cls": c, "weight": w}
+        for c, terms in sorted(lexicon.items())
+        for t, w in sorted(terms.items())
+    ]
+    lex = df.sparkSession.createDataFrame(
+        pd.DataFrame(rows, columns=["term", "cls", "weight"])
+    )
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != "")
+        ).alias("term"),
+    )
+    scores = (
+        terms.join(F.broadcast(lex), "term")
+        .groupBy(id_col, "cls")
+        .agg(F.sum("weight").alias("cls_score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cls_score").desc(), F.col("cls"))
+    best = (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cls", "cls_score")
+    )
+    return df.select(id_col).join(best, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cls"), F.lit("none")).alias("label"),
+        F.coalesce(F.col("cls_score"), F.lit(0)).cast("long").alias("score"),
+    )

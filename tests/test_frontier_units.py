@@ -553,3 +553,25 @@ def test_icelite_time_travel_and_carry(spark, tmp_path):
     cat.rollback(s1)
     assert cat.read(spark, "t").count() == 3
     assert cat.current_snapshot_id() == s1
+
+
+def test_politeness_bucket_md5_mode(spark):
+    """The md5 hash mode (the oracle-replayable convention) must bucket
+    into range, match the driver oracle's formula, and spread a single
+    host across buckets like the xxhash64 production mode does."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from edgar_spark.frontier.canonical import politeness_bucket
+
+    urls = [f"https://www.sec.gov/doc{i}.htm" for i in range(64)]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    rows = df.select(
+        "u", politeness_bucket(F.col("u"), 8, hash_fn="md5").alias("b")
+    ).collect()
+    want = {
+        u: int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % 8 for u in urls
+    }
+    assert {r["u"]: r["b"] for r in rows} == want
+    assert len({r["b"] for r in rows}) > 1  # the salt actually spreads

@@ -1,0 +1,118 @@
+"""Unit tests for lexical retrieval, line-quality filtering, and the
+broadcast lexicon classifier."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark spark spark join"),
+        (2, "spark join join table"),
+        (3, "table table row column"),
+        (4, "unrelated words entirely"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_postings_and_idf_shape(spark):
+    from edgar_spark.operators.retrieval import postings
+
+    post = postings(_docs(spark)).collect()
+    tf = {(r["term"], r["doc_id"]): r["tf"] for r in post}
+    assert tf[("spark", 1)] == 3
+    assert tf[("join", 2)] == 2
+    assert ("spark", 3) not in tf
+    # empty doc contributes nothing
+    assert not [r for r in post if r["doc_id"] == 5]
+
+
+def test_tfidf_topk_ranking_and_ties(spark):
+    from edgar_spark.operators.retrieval import tfidf_topk
+
+    queries = spark.createDataFrame(
+        [("q1", "spark"), ("q2", "row column"), ("q3", "absentterm")],
+        ["query_id", "query_text"],
+    )
+    out = tfidf_topk(_docs(spark), queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # q1: doc 1 (tf=3) above doc 2 (tf=1); docs without 'spark' absent
+    q1 = sorted(by_q["q1"], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in q1] == [1, 2]
+    assert q1[0]["score"] == 3 * (5 * 1000 // 2)  # tf=3, N=5, df=2
+    # q2: only doc 3 matches, both terms contribute
+    assert [r["doc_id"] for r in by_q["q2"]] == [3]
+    assert by_q["q2"][0]["score"] == 2 * (5 * 1000 // 1)
+    # q3: no matches → no rows
+    assert "q3" not in by_q
+
+
+def test_tfidf_query_tf_weights(spark):
+    from edgar_spark.operators.retrieval import tfidf_topk
+
+    docs = _docs(spark)
+    single = spark.createDataFrame([("q", "spark")], ["query_id", "query_text"])
+    double = spark.createDataFrame(
+        [("q", "spark spark")], ["query_id", "query_text"]
+    )
+    s1 = {r["doc_id"]: r["score"] for r in tfidf_topk(docs, single).collect()}
+    s2 = {r["doc_id"]: r["score"] for r in tfidf_topk(docs, double).collect()}
+    assert s2 == {d: 2 * v for d, v in s1.items()}
+
+
+def test_line_quality_filter_rules(spark):
+    from edgar_spark.operators.curation import line_quality_filter
+
+    rows = [
+        # 4 lines: good / too-few-words / low-alpha / blocklisted
+        (1, "a good clean line\nab cd\n12 345 678 90\nplease accept cookie banner"),
+        (2, ""),
+        (3, "all lines here are fine\nthis one also survives easily"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_quality_filter(df).collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 1
+    assert out[1]["text"] == "a good clean line"
+    assert not out[1]["keep"]  # 1/4 < 50%
+    assert out[2]["n_lines"] == 1 and out[2]["n_kept"] == 0
+    assert out[2]["text"] == "" and not out[2]["keep"]
+    assert out[3]["n_kept"] == 2 and out[3]["keep"]
+    assert out[3]["text"] == rows[2][1]
+
+
+def test_line_quality_filter_no_shuffle_plan(spark):
+    import contextlib
+    import io
+
+    from edgar_spark.operators.curation import line_quality_filter
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        line_quality_filter(df).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_lexicon_classify(spark):
+    from edgar_spark.operators.text import lexicon_classify
+
+    lex = {
+        "a": {"spark": 2, "join": 1},
+        "b": {"table": 2, "row": 1},
+    }
+    df = _docs(spark)
+    out = {r["doc_id"]: r for r in lexicon_classify(df, lex).collect()}
+    assert out[1]["label"] == "a" and out[1]["score"] == 3 * 2 + 1
+    assert out[3]["label"] == "b" and out[3]["score"] == 2 * 2 + 1
+    # no lexicon hits → 'none', 0 — including the empty doc
+    assert out[4]["label"] == "none" and out[4]["score"] == 0
+    assert out[5]["label"] == "none" and out[5]["score"] == 0
+    # tie breaks to the lexicographically first class
+    tie = spark.createDataFrame([(9, "spark table")], ["doc_id", "text"])
+    r = lexicon_classify(tie, lex).collect()[0]
+    assert r["label"] == "a" and r["score"] == 2

@@ -68,6 +68,27 @@ AUDITS = {
     # winners window prunes to rn=1 before the full sort; widen is one
     # partial-agg'd hash aggregate
     "consolidate_facts": ["WindowGroupLimit", "HashAggregate"],
+    # pagerank round: contributions partial-aggregate on dst (map-side
+    # combine before the shuffle) — the textbook 2-shuffle iteration
+    "pagerank": ["HashAggregate"],
+    # trigram LM: bounded-vocab model broadcasts to the scoring join —
+    # the corpus explode never sort-merge-shuffles on the trigram key
+    "lm_quality_filter": ["Generate", "BroadcastHashJoin", "!SortMergeJoin"],
+    # HLL: one aggregation over ≤2^p registers, no join anywhere
+    "hll_distinct": ["HashAggregate", "!Join"],
+    # CMS probe: depth×width counter table broadcasts to the point query
+    "cms_frequency": ["Generate", "BroadcastHashJoin", "!SortMergeJoin"],
+    # retrieval: postings and idf only ever join a broadcast query-sized
+    # side (idf folds into the query terms first); top-k per query prunes
+    # via WindowGroupLimit — the corpus never shuffles on a text key
+    "tfidf_topk": ["BroadcastHashJoin", "WindowGroupLimit", "!SortMergeJoin"],
+    # line QF: pure per-row HOF projection (the line filter is an
+    # expression inside the Project, not a Filter node) — no Exchange
+    "line_quality_filter": ["Project", "!Exchange"],
+    # lexicon inference: literal weights broadcast to the exploded
+    # terms (the only other join is the id-keyed spine join for no-hit
+    # docs — an id shuffle is the correct plan there, so no !SMJ check)
+    "lexicon_classify": ["Generate", "BroadcastHashJoin"],
 }
 
 
