@@ -59,6 +59,7 @@ def politeness_bucket(
     engine can reproduce — the driver's ``politeness_bucket`` key
     oracles this mode; the crawl e2e tests cover the xxhash64 mode."""
     if hash_fn == "md5":
-        h = F.conv(F.substring(F.md5(url), 1, 15), 16, 10).cast("long")
-        return F.pmod(h, F.lit(n_buckets)).cast("int")
+        from edgar_spark.operators.sketches import hash60
+
+        return F.pmod(hash60(url), F.lit(n_buckets)).cast("int")
     return F.pmod(F.xxhash64(url), F.lit(n_buckets)).cast("int")

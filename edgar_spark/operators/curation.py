@@ -483,7 +483,10 @@ def line_quality_filter(
     esc = "".join(
         "\\" + ch if ch in ".\\[](){}*+?^$|" else ch for ch in delim
     )
-    lines = F.split(F.col(text_col), esc)
+    # null text behaves as empty — otherwise size(split(NULL)) nulls the
+    # counts and the keep flag, and the doc vanishes from BOTH keep and
+    # ~keep downstream filters
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), esc)
 
     def _ok(line: Column) -> Column:
         words = F.size(

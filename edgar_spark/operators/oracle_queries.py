@@ -2614,8 +2614,8 @@ def _cms_oracle_sql() -> str:
             CROSS JOIN unnest(generate_series(0, {_CMS_D - 1})) AS t(row)
             WHERE event_type IS NOT NULL
         )
-        SELECT i.event_type, min(s.cnt) AS est_count
-        FROM items i JOIN sketch s USING (row, bucket)
+        SELECT i.event_type, min(coalesce(s.cnt, 0)) AS est_count
+        FROM items i LEFT JOIN sketch s USING (row, bucket)
         GROUP BY i.event_type ORDER BY i.event_type"""
 
 

@@ -16,10 +16,14 @@ engines (a float log-idf sum is not exactly reproducible in a second
 engine). Ties rank by doc_id for full determinism.
 
 Scale design (10^10 docs):
-- the postings build is one explode + one (doc, term) partial-agg; df is
-  a second bounded agg (vocabulary-sized output);
-- queries are a handful of rows — their tokenized terms **broadcast** to
-  the postings join; the corpus never shuffles on a text key;
+- the index build pays ONE term-keyed shuffle (the exploded corpus
+  hash-partitions into the (term, doc) partial-agg) — that is the cost
+  of building an inverted index anywhere, paid once and amortized over
+  every query against it; df is a second bounded agg over the postings
+  (vocabulary-sized output);
+- at query time nothing corpus-scale moves on a text key again: the
+  tokenized query terms (idf pre-folded) **broadcast** to the postings
+  join;
 - top-k per query compiles to WindowGroupLimit (per-partition heaps
   prune before any global sort).
 """
@@ -29,15 +33,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from edgar_spark.operators.text import alnum_terms
+
 __all__ = ["index_terms", "postings", "tfidf_topk"]
 
 IDF_SCALE = 1000
 
-
-def index_terms(c: Column) -> Column:
-    """Lowercased alphanumeric terms (the indexing tokenizer — identical
-    on both engines: regexp split on non-alphanumerics, empties dropped)."""
-    return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != "")
+# the shared indexing tokenizer (text.py) under its retrieval name
+index_terms = alnum_terms
 
 
 def postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -123,19 +123,27 @@ def count_min_sketch(
 def cms_estimate_counts(
     items: DataFrame, sketch: DataFrame, col: str, width: int = 64, depth: int = 4
 ) -> DataFrame:
-    """Point-query the sketch for every row of ``items[col]``: the CMS
-    estimate is min over rows of the matching counter (≥ true count,
-    always). Returns (col, est_count BIGINT). The sketch side is
-    depth×width rows — broadcast, never shuffled."""
+    """Point-query the sketch for every non-null row of ``items[col]``:
+    the CMS estimate is min over rows of the matching counter (≥ true
+    count, always). Returns (col, est_count BIGINT). The sketch side is
+    depth×width rows — broadcast, never shuffled. The join is LEFT so an
+    empty (absent) counter counts as 0 — an item the sketch never saw
+    gets the true CMS answer 0, not a dropped row or an inflated min
+    over only its colliding buckets. Null items are skipped, symmetric
+    with the build."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     salted = F.concat_ws(":", F.col("row").cast("string"), F.col(col))
-    probes = items.select(F.col(col), rows).select(
-        F.col(col),
-        F.col("row").cast("int").alias("row"),
-        F.pmod(hash60(salted), F.lit(width)).cast("int").alias("bucket"),
+    probes = (
+        items.filter(F.col(col).isNotNull())
+        .select(F.col(col), rows)
+        .select(
+            F.col(col),
+            F.col("row").cast("int").alias("row"),
+            F.pmod(hash60(salted), F.lit(width)).cast("int").alias("bucket"),
+        )
     )
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(col)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )

@@ -34,11 +34,20 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
+def alnum_terms(c: Column) -> Column:
+    """Lowercased alphanumeric terms — THE shared indexing tokenizer
+    (split on non-alphanumerics, empties dropped). One definition so the
+    Python side can never drift from the ``regexp_split_to_array(lower(
+    text), '[^a-z0-9]+')`` replay the DuckDB oracles hard-code; used by
+    retrieval postings, lexicon classification, and the BPE-ish proxy."""
+    return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != "")
+
+
 def bpe_ish_token_count(c: Column) -> Column:
     """A BPE-ish proxy: count word pieces split on non-alphanumerics plus
     length/4 continuation pieces for long words (a cheap, deterministic
     stand-in for subword tokenizers — no tokenizer libs in this sandbox)."""
-    words = F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != "")
+    words = alnum_terms(c)
     pieces = F.aggregate(
         words,
         F.lit(0),
@@ -330,9 +339,7 @@ def lexicon_classify(
     )
     terms = df.select(
         F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != "")
-        ).alias("term"),
+        F.explode(alnum_terms(F.col(text_col))).alias("term"),
     )
     scores = (
         terms.join(F.broadcast(lex), "term")

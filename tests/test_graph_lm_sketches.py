@@ -180,3 +180,26 @@ def test_lm_short_docs_absent(spark):
     )
     got = {r["doc_id"] for r in lm_surprisal(df, "doc_id", "text").collect()}
     assert got == {3}
+
+
+def test_cms_unseen_and_null_items(spark):
+    from edgar_spark.operators.sketches import (
+        cms_estimate_counts,
+        count_min_sketch,
+    )
+
+    df = _pdf(spark, pd.DataFrame({"v": ["a"] * 100 + ["b"] * 3}))
+    sketch = count_min_sketch(df, "v", width=64, depth=4)
+    items = spark.createDataFrame(
+        [("a",), ("b",), ("never-seen",), (None,)], ["v"]
+    )
+    est = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate_counts(items, sketch, "v").collect()
+    }
+    # unseen item: true CMS answer — min over its counters, which with a
+    # sparse table must treat absent counters as 0, not drop the row
+    assert est["never-seen"] == 0
+    assert est["a"] >= 100 and est["b"] >= 3
+    # null probe skipped, symmetric with the build
+    assert None not in est and len(est) == 3

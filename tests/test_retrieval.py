@@ -116,3 +116,17 @@ def test_lexicon_classify(spark):
     tie = spark.createDataFrame([(9, "spark table")], ["doc_id", "text"])
     r = lexicon_classify(tie, lex).collect()[0]
     assert r["label"] == "a" and r["score"] == 2
+
+
+def test_line_quality_filter_null_text(spark):
+    from edgar_spark.operators.curation import line_quality_filter
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a perfectly fine line")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in line_quality_filter(df).collect()}
+    # null text behaves as empty — counts and keep are non-null so the
+    # doc lands in exactly one of keep / ~keep downstream
+    assert out[1]["text"] == "" and out[1]["n_lines"] == 1
+    assert out[1]["n_kept"] == 0 and out[1]["keep"] is False
+    assert out[2]["keep"] is True
