@@ -163,6 +163,15 @@ OPERATOR_KEYS = [
     "source_quota",
     "canonical_doc_select",
     "corpus_curation",
+    "pagerank",
+    "lm_quality_filter",
+    "hll_distinct",
+    "cms_frequency",
+    "streaming_hll",
+    "tfidf_topk",
+    "line_quality_filter",
+    "lexicon_classify",
+    "politeness_bucket",
 ]
 
 

@@ -2862,6 +2862,38 @@ _ORACLES["tfidf_topk"] = _tfidf_oracle_sql()
 _ORACLES["line_quality_filter"] = _line_quality_oracle_sql()
 _ORACLES["lexicon_classify"] = _lexicon_oracle_sql()
 
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run of the HLL sketch: events replayed
+    as a bounded file stream (availableNow), the register table maintained
+    as complete-mode streaming state (≤2^p rows — max-of-rho is a
+    commutative, idempotent streaming aggregate), drained to a memory
+    sink. The final table must equal the batch sketch — same oracle SQL
+    as ``hll_distinct``."""
+    from edgar_spark.streaming.pipeline import streaming_hll
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    qname = "streaming_hll_sink"
+    q = (
+        streaming_hll(src, "user_id", p=_HLL_P)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("register")
+
+
+_QUERIES["streaming_hll"] = q_streaming_hll
+_ORACLES["streaming_hll"] = _hll_oracle_sql()
+
 _QUERIES["pagerank"] = q_pagerank
 _QUERIES["lm_quality_filter"] = q_lm_quality_filter
 _QUERIES["hll_distinct"] = q_hll_distinct

@@ -286,3 +286,19 @@ def streaming_exact_dedup(
         )
         .drop("_h")
     )
+
+
+def streaming_hll(
+    events: DataFrame, col: str = "user_id", p: int = 8
+) -> DataFrame:
+    """Streaming twin of ``sketches.hll_register_table``: the HLL
+    register table IS valid streaming state — bounded (≤2^p rows), its
+    update (max of rho) is a commutative, idempotent streaming
+    aggregate, and the complete-mode output at any trigger equals the
+    batch sketch of everything ingested so far. This is the
+    cardinality-sketch shape for an unbounded crawl: distinct-URL or
+    vocabulary tracking with O(2^p) state where exact COUNT DISTINCT
+    state would grow with the stream."""
+    from edgar_spark.operators.sketches import hll_register_table
+
+    return hll_register_table(events, col, p=p)

@@ -174,3 +174,40 @@ def test_exact_dedup_stream_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dedup_stream").collect()
     }
     assert streamed == batch == {(1, 3), (3, 2), (4, 1)}
+
+
+def test_hll_stream_equals_batch(spark, tmp_path):
+    """The HLL register table as streaming state (complete mode over a
+    bounded file stream) converges to exactly the batch sketch — and
+    incremental delivery (two files) must not change it, since max-of-rho
+    is commutative and idempotent."""
+    from pyspark.sql import functions as F
+
+    from edgar_spark.operators.sketches import hll_register_table
+    from edgar_spark.streaming.pipeline import streaming_hll
+
+    vals = spark.range(500).select(F.col("id").cast("string").alias("v"))
+    batch = {
+        (r["register"], r["max_rho"])
+        for r in hll_register_table(vals, "v", p=6).collect()
+    }
+
+    src_dir = str(tmp_path / "src")
+    # two separate files → at least two input splits for the stream
+    vals.filter("id % 2 = 0").coalesce(1).write.parquet(src_dir)
+    vals.filter("id % 2 = 1").coalesce(1).write.mode("append").parquet(src_dir)
+    src = spark.readStream.schema(vals.schema).parquet(src_dir)
+    q = (
+        streaming_hll(src, "v", p=6)
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["register"], r["max_rho"])
+        for r in spark.sql("SELECT * FROM hll_stream").collect()
+    }
+    assert streamed == batch and len(streamed) <= 64
