@@ -37,16 +37,21 @@ def doc_trigrams(
     df: DataFrame, id_col: str, text_col: str, prefix_chars: int = 256
 ) -> DataFrame:
     """(id, trigram) — one row per character trigram of the lowercased
-    ``prefix_chars``-char prefix. Docs shorter than 3 chars emit nothing."""
-    s = _prefix(text_col, prefix_chars)
+    ``prefix_chars``-char prefix. Docs shorter than 3 chars emit nothing.
+
+    The prefix is projected into a column BEFORE the higher-order
+    transform: referencing the ``lower(substring(...))`` expression
+    inside the lambda makes codegen re-evaluate it per array element
+    (measured 10× slower at sf0.1 — 12.8 s vs 1.3 s for the same 1.06M
+    trigrams)."""
+    pre = df.select(
+        F.col(id_col), _prefix(text_col, prefix_chars).alias("_s")
+    ).filter(F.length("_s") >= 3)
     tris = F.transform(
-        F.sequence(F.lit(1), F.length(s) - 2),
-        lambda i: F.substr(s, i, F.lit(3)),
+        F.sequence(F.lit(1), F.length("_s") - 2),
+        lambda i: F.substr(F.col("_s"), i, F.lit(3)),
     )
-    return (
-        df.filter(F.length(s) >= 3)
-        .select(F.col(id_col), F.explode(tris).alias("trigram"))
-    )
+    return pre.select(F.col(id_col), F.explode(tris).alias("trigram"))
 
 
 def trigram_counts(
