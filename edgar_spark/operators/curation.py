@@ -87,20 +87,26 @@ def to_lines(c: Column, width: int = 8) -> Column:
     """Reformat flat text into ``width``-token lines joined by ``\\n`` —
     a deterministic lining both Spark and an ANSI-SQL oracle can compute,
     used to drive :func:`line_dedup` over corpora that carry no newlines
-    (the synthetic documents table is one flat line per doc)."""
-    toks = tokens(c)
-    n = F.size(toks)
-    return F.when(n == 0, F.lit("")).otherwise(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.sequence(F.lit(0), F.floor((n - 1) / width).cast("int")),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i * width + 1, width)
+    (the synthetic documents table is one flat line per doc). The token
+    array is bound once per row (text.bind) so the line slices don't
+    re-tokenize."""
+    from edgar_spark.operators.text import bind
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(n == 0, F.lit("")).otherwise(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sequence(F.lit(0), F.floor((n - 1) / width).cast("int")),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i * width + 1, width)
+                    ),
                 ),
-            ),
+            )
         )
-    )
+
+    return bind(tokens(c), body)
 
 
 def corpus_mix(
@@ -420,30 +426,38 @@ def chunk_docs(
     """
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
+    from edgar_spark.operators.text import bind
+
     stride = chunk_size - overlap
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.when(n <= chunk_size, F.lit(1)).otherwise(
-            F.floor((n - chunk_size + stride - 1) / stride).cast("int") + 1
+
+    # the token array is bound once per row (text.bind): the window
+    # lambda slices it twice per chunk and must not re-tokenize
+    def _chunks_of(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.when(n <= chunk_size, F.lit(1)).otherwise(
+                F.floor((n - chunk_size + stride - 1) / stride).cast("int") + 1
+            )
         )
-    )
-    # token count from the slice itself (pre-explode) — re-tokenizing the
-    # joined chunk text would miscount when tokens() yields empty-string
-    # tokens (leading tab/newline survives trim, which strips spaces only)
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_size)).alias(
-                "t"
+        # token count from the slice itself (pre-explode) — re-tokenizing
+        # the joined chunk text would miscount when tokens() yields
+        # empty-string tokens (leading tab/newline survives trim, which
+        # strips spaces only)
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                F.concat_ws(
+                    " ", F.slice(toks, i * stride + 1, chunk_size)
+                ).alias("t"),
+                F.size(F.slice(toks, i * stride + 1, chunk_size))
+                .cast("long")
+                .alias("n"),
             ),
-            F.size(F.slice(toks, i * stride + 1, chunk_size))
-            .cast("long")
-            .alias("n"),
-        ),
-    )
+        )
+
+    chunks = bind(tokens(F.col(text_col)), _chunks_of)
     return (
-        df.filter(n > 0)
+        df.filter(F.size(tokens(F.col(text_col))) > 0)
         .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c"))
         .select(
             id_col,

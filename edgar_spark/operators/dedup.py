@@ -120,14 +120,12 @@ def ngram_jaccard(
     of the pair join. When ``pairs`` is None, falls back to consecutive-id
     pairing (id_a + 1 == id_b), the deterministic SQL-oracle-able mode."""
 
+    # shared with text.ngram_contamination — token array bound once per
+    # row so the slicing lambda doesn't re-split (5× at sf0.1, text.bind)
+    from edgar_spark.operators.text import word_shingles
+
     def shingles(c):
-        toks = F.split(F.trim(c), r"\s+")
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        return F.array_distinct(
-            F.transform(
-                idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-            )
-        )
+        return word_shingles(c, n)
 
     a = df_a.select(F.col(id_col).alias("id_a"), shingles(F.col(text_col)).alias("sh_a"))
     b = df_b.select(F.col(id_col).alias("id_b"), shingles(F.col(text_col)).alias("sh_b"))

@@ -34,6 +34,17 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
+def bind(col: Column, f) -> Column:
+    """Evaluate ``col`` once per row and pass the materialized value to
+    ``f`` (a Column → Column function). Wrapping in a one-element array
+    and going through ``transform`` binds the value to a lambda variable;
+    without this, codegen re-evaluates the full expression chain inside
+    every element of any HOF lambda in ``f`` that references it —
+    measured 10× on the LM trigram explode and 5× on word shingles at
+    sf0.1 (lm.py doc_trigrams has the projection form of the same fix)."""
+    return F.get(F.transform(F.array(col), f), 0)
+
+
 def alnum_terms(c: Column) -> Column:
     """Lowercased alphanumeric terms — THE shared indexing tokenizer
     (split on non-alphanumerics, empties dropped). One definition so the
@@ -179,12 +190,16 @@ def redact_pii(
 def word_shingles(c: Column, n: int) -> Column:
     """Distinct word n-grams of ``c`` (same slice semantics as the
     n-gram Jaccard operators: a doc shorter than ``n`` tokens yields its
-    whole-token shingle)."""
-    toks = F.split(F.trim(c), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    )
+    whole-token shingle). The token array is bound once per row — the
+    slicing lambda must not re-split (5× at sf0.1, see :func:`bind`)."""
+
+    def body(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        )
+
+    return bind(F.split(F.trim(c), r"\s+"), body)
 
 
 def ngram_contamination(
@@ -236,25 +251,30 @@ def repetition_stats(
     left join back to the id spine. All fractions round(…, 6) with the
     same HALF_UP decimal rounding DuckDB's ``round`` applies, so the
     operator is exactly SQL-oracle-able."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    words = F.transform(
-        toks, lambda w: F.struct(F.lit("w").alias("kind"), w.alias("g"))
-    )
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.lit("b").alias("kind"),
-                F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)).alias(
-                    "g"
+    # the token array is bound once per row (see bind): the bigram lambda
+    # indexes into it twice per position and must not re-split
+    def _grams_of(toks: Column) -> Column:
+        n = F.size(toks)
+        words = F.transform(
+            toks, lambda w: F.struct(F.lit("w").alias("kind"), w.alias("g"))
+        )
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.lit("b").alias("kind"),
+                    F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ).alias("g"),
                 ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<kind:string,g:string>>"))
+        ).otherwise(F.array().cast("array<struct<kind:string,g:string>>"))
+        return F.concat(words, bigrams)
+
     grams = df.select(
-        id_col, F.explode(F.concat(words, bigrams)).alias("gram")
+        id_col,
+        F.explode(bind(tokens(F.col(text_col)), _grams_of)).alias("gram"),
     ).select(id_col, F.col("gram.kind").alias("kind"), F.col("gram.g").alias("g"))
     counts = grams.groupBy(id_col, "kind", "g").agg(F.count(F.lit(1)).alias("c"))
     w = F.col("kind") == "w"
