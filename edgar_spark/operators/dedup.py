@@ -657,3 +657,75 @@ def dedup_representatives(
             F.coalesce("_rep", F.col(id_col)).alias("representative"),
         )
     )
+
+
+def dup_ngram_spans(
+    df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring duplication coverage — the span-level dedup signal
+    of deduplicate-text-datasets (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): for every document, the fraction of its
+    token positions covered by a word ``n``-gram that also occurs in at
+    least one OTHER document. Unlike document-level MinHash, this catches
+    boilerplate/quoted spans inside otherwise-unique pages — the dominant
+    duplication mode in web text (the reference crawls pages whose headers
+    and footers repeat across every filing, parser.go:326-347).
+
+    Plan (single dedup shuffle, no self-join, no suffix array):
+
+    1. one scan: tokenize, positional ``n``-grams via transform/slice over
+       the projected token array (bound once — text.bind),
+    2. hash each gram to a 60-bit md5 integer (:func:`sketches.hash60`) so
+       the shuffle moves 8-byte keys, never n-word strings — at 100 TB the
+       gram text stays in the scan stage,
+    3. ONE window shuffle on the gram hash: a gram is cross-doc duplicated
+       iff ``min(doc_id) != max(doc_id)`` over its hash partition,
+    4. explode each duplicated gram to its ``n`` covered positions and
+       count distinct positions per doc (map-side partial agg).
+
+    60-bit hash collisions can merge two distinct grams (same acceptance as
+    the minhash family); both engines hash identically so the DuckDB oracle
+    is still exact. Docs shorter than ``n`` tokens have no grams and are
+    not flagged. Output: (doc_id, n_tok, dup_tokens, dup_frac) for flagged
+    docs only, one row per doc.
+    """
+    from pyspark.sql import Window
+
+    from edgar_spark.operators.sketches import hash60
+
+    d = df.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    grams = d.select(
+        id_col,
+        F.size("_toks").alias("n_tok"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                lambda i: F.array_join(F.slice("_toks", i, n), " "),
+            )
+        ).alias("_p0", "_g"),
+    ).select(
+        id_col,
+        "n_tok",
+        (F.col("_p0") + 1).alias("_pos"),
+        hash60(F.col("_g")).alias("_gh"),
+    )
+    w = Window.partitionBy("_gh")
+    flagged = (
+        grams.withColumn("_mn", F.min(id_col).over(w))
+        .withColumn("_mx", F.max(id_col).over(w))
+        .filter(F.col("_mn") != F.col("_mx"))
+    )
+    cov = flagged.select(
+        id_col,
+        "n_tok",
+        F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (n - 1))).alias("_cp"),
+    )
+    return (
+        cov.groupBy(id_col, "n_tok")
+        .agg(F.countDistinct("_cp").alias("dup_tokens"))
+        .withColumn(
+            "dup_frac", F.col("dup_tokens") / F.col("n_tok")
+        )
+    )

@@ -2916,6 +2916,46 @@ _ORACLES["ann_topk"] = _ann_topk_oracle_sql()
 _ORACLES["embedding_near_dups_lsh"] = _embedding_near_dups_oracle_sql()
 
 
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication coverage: for every document,
+    the distinct token positions covered by a word 5-gram that also occurs
+    in another document (dedup.dup_ngram_spans). The md5-hash60 gram keys
+    and the min≠max window test replay exactly in SQL."""
+    from edgar_spark.operators.dedup import dup_ngram_spans
+
+    return dup_ngram_spans(_t(spark, sf_dir, "documents"), n=5).orderBy("doc_id")
+
+
+_DUP_SPANS_ORACLE = """
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), pos AS (
+        SELECT doc_id, len(toks) AS n_tok, CAST(i AS INT) AS pos,
+               array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+        FROM tk, unnest(range(1, len(toks) - 3)) AS t(i)
+        WHERE len(toks) >= 5
+    ), h AS (
+        SELECT doc_id, n_tok, pos,
+               CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS gh
+        FROM pos
+    ), w AS (
+        SELECT doc_id, n_tok, pos,
+               min(doc_id) OVER (PARTITION BY gh) AS mn,
+               max(doc_id) OVER (PARTITION BY gh) AS mx
+        FROM h
+    ), cov AS (
+        SELECT doc_id, n_tok, unnest(range(pos, pos + 5)) AS p
+        FROM w WHERE mn <> mx
+    )
+    SELECT doc_id, n_tok, count(DISTINCT p) AS dup_tokens,
+           count(DISTINCT p) / n_tok AS dup_frac
+    FROM cov GROUP BY doc_id, n_tok ORDER BY doc_id"""
+
+_QUERIES["dup_ngram_spans"] = q_dup_ngram_spans
+_ORACLES["dup_ngram_spans"] = _DUP_SPANS_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

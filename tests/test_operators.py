@@ -1036,3 +1036,37 @@ def test_stratified_sample(spark):
 
     with _pytest.raises(ValueError):
         stratified_sample(df, {"a": 1.5})
+
+
+def test_dup_ngram_spans(docs):
+    from edgar_spark.operators.dedup import dup_ngram_spans
+
+    out = {r["doc_id"]: r for r in dup_ngram_spans(docs, n=5).collect()}
+    # docs 1 and 2 are byte-identical 100-token texts: every position of
+    # both is covered by a shared 5-gram
+    assert out[1]["n_tok"] == 100 and out[1]["dup_tokens"] == 100
+    assert out[1]["dup_frac"] == 1.0
+    assert out[2]["dup_tokens"] == 100
+    # doc 3 shares token0..token96 with 1/2 → 5-grams at positions 1..93
+    # cover positions 1..97; the 3 changed tail words stay uncovered
+    assert out[3]["n_tok"] == 100 and out[3]["dup_tokens"] == 97
+    # unique doc 4 and empty doc 5 are not flagged at all
+    assert 4 not in out and 5 not in out
+    # doc 6 repeats a 9-word sentence 10x but only within ITSELF —
+    # cross-doc coverage requires another document
+    assert 6 not in out
+
+
+def test_dup_ngram_spans_short_docs(spark):
+    from edgar_spark.operators.dedup import dup_ngram_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, None), (4, "x y z w v u t s")],
+        ["doc_id", "text"],
+    )
+    # 4-token docs have no 5-grams — identical or not, never flagged
+    assert dup_ngram_spans(df, n=5).count() == 0
+    # with n=3 the identical short docs flag fully
+    out = {r["doc_id"]: r for r in dup_ngram_spans(df, n=3).collect()}
+    assert out[1]["dup_tokens"] == 4 and out[2]["dup_tokens"] == 4
+    assert 3 not in out and 4 not in out
