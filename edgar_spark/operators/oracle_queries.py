@@ -2956,6 +2956,62 @@ _QUERIES["dup_ngram_spans"] = q_dup_ngram_spans
 _ORACLES["dup_ngram_spans"] = _DUP_SPANS_ORACLE
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: docs < 25 are the held-out benchmark;
+    their distinct 4-grams populate a 2^18-bit relational Bloom filter
+    (md5 double hashing, text.bloom_gram_positions) and every other doc
+    reports how many of its grams are maybe-contaminated. False positives
+    are deterministic (same hashes both engines) so the oracle is exact."""
+    from edgar_spark.operators.text import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        n=4,
+        m_bits=2**18,
+        k=3,
+    ).orderBy("doc_id")
+
+
+_BLOOM_DECON_ORACLE = """
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 3, 1) + 1),
+            i -> array_to_string(list_slice(toks, i, i + 3), ' ')
+        )) AS gs FROM tk
+    ), pg AS (
+        SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id < 25
+    ), bits AS (
+        SELECT DISTINCT
+            (CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+             + j * (CAST(concat('0x', substr(md5(g), 16, 15)) AS BIGINT) | 1))
+            % 262144 AS bpos
+        FROM pg, unnest([0, 1, 2]) AS t(j)
+    ), cp AS (
+        SELECT doc_id, g,
+               (CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                + j * (CAST(concat('0x', substr(md5(g), 16, 15)) AS BIGINT) | 1))
+               % 262144 AS pos
+        FROM (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id >= 25),
+             unnest([0, 1, 2]) AS t(j)
+    ), pm AS (
+        SELECT doc_id, g, count(DISTINCT pos) AS np,
+               count(DISTINCT CASE WHEN b.hit THEN pos END) AS nh
+        FROM cp LEFT JOIN (SELECT bpos, true AS hit FROM bits) b
+          ON cp.pos = b.bpos
+        GROUP BY doc_id, g
+    )
+    SELECT doc_id, count(*) AS n_maybe
+    FROM pm WHERE np = nh GROUP BY doc_id ORDER BY doc_id"""
+
+_QUERIES["bloom_decontaminate"] = q_bloom_decontaminate
+_ORACLES["bloom_decontaminate"] = _BLOOM_DECON_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -377,3 +377,79 @@ def lexicon_classify(
         F.coalesce(F.col("cls"), F.lit("none")).alias("label"),
         F.coalesce(F.col("cls_score"), F.lit(0)).cast("long").alias("score"),
     )
+
+
+def bloom_gram_positions(g: Column, m_bits: int, k: int) -> Column:
+    """The ``k`` Bloom bit positions of gram ``g`` — double hashing
+    ``pos_j = (h1 + j*h2) mod m`` (Kirsch-Mitzenmacher) over two
+    independent 60-bit md5 halves, ``h2`` forced odd. All arithmetic fits
+    int64 (h1 < 2^60, k*h2 < 2^62) and replays exactly in DuckDB
+    (``CAST(concat('0x', substr(md5(g), …, 15)) AS BIGINT)``), unlike the
+    blake2b pair the driver-side frontier filters use (bloom.py:31)."""
+    h = F.md5(g.cast("string"))
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    return F.array(*[(h1 + F.lit(j) * h2) % m_bits for j in range(k)])
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 4,
+    m_bits: int = 2**18,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the constant-memory scale
+    path of :func:`ngram_contamination`. The probe corpus's distinct word
+    ``n``-grams populate an ``m_bits``-bit Bloom filter (built as a
+    relational set of DISTINCT bit positions — the dense bitmap is an
+    encoding detail); a corpus gram is *maybe contaminated* iff every one
+    of its ``k`` distinct positions is set. Output: (doc_id, n_maybe) for
+    docs with at least one maybe-gram.
+
+    Why Bloom here: the exact join needs the probe gram SET (strings)
+    broadcast; at a 10^5-document benchmark suite that is GBs of strings,
+    while the filter is ``m_bits/8`` bytes regardless. False positives are
+    the documented price (rate ~ fill_ratio^k) and only ever OVER-flag —
+    safe for decontamination. Deterministic md5 double-hashing makes even
+    the false positives engine-invariant, so the DuckDB oracle matches
+    bit-for-bit.
+
+    Plan: probe side → distinct grams → ≤ k·|grams| distinct positions
+    (broadcast); corpus side → one scan, distinct grams per doc, k-way
+    position explode, broadcast LEFT join, per-(doc, gram) all-hit test,
+    per-doc count. The corpus never shuffles on gram text.
+    """
+    pg = probes.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    ).distinct()
+    bits = pg.select(
+        F.explode(
+            F.array_distinct(bloom_gram_positions(F.col("g"), m_bits, k))
+        ).alias("pos")
+    ).distinct().withColumn("_hit", F.lit(True))
+    cp = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    ).select(
+        id_col,
+        "g",
+        F.explode(
+            F.array_distinct(bloom_gram_positions(F.col("g"), m_bits, k))
+        ).alias("pos"),
+    )
+    per_gram = (
+        cp.join(F.broadcast(bits), "pos", "left")
+        .groupBy(id_col, "g")
+        .agg(
+            F.countDistinct("pos").alias("_np"),
+            F.countDistinct(F.when(F.col("_hit"), F.col("pos"))).alias("_nh"),
+        )
+    )
+    return (
+        per_gram.filter(F.col("_np") == F.col("_nh"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_maybe"))
+    )

@@ -1070,3 +1070,40 @@ def test_dup_ngram_spans_short_docs(spark):
     out = {r["doc_id"]: r for r in dup_ngram_spans(df, n=3).collect()}
     assert out[1]["dup_tokens"] == 4 and out[2]["dup_tokens"] == 4
     assert 3 not in out and 4 not in out
+
+
+def test_bloom_decontaminate_exact_regime(spark, docs):
+    from edgar_spark.operators.text import bloom_decontaminate, ngram_contamination
+
+    probes = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") > 1)
+    # big sparse filter: zero false positives -> bloom == exact join
+    bloom = {
+        r["doc_id"]: r["n_maybe"]
+        for r in bloom_decontaminate(corpus, probes, n=4, m_bits=2**20).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in ngram_contamination(corpus, probes, n=4).collect()
+    }
+    assert bloom == exact and 2 in bloom and 3 in bloom
+
+
+def test_bloom_decontaminate_false_positives(spark, docs):
+    from edgar_spark.operators.text import bloom_decontaminate, ngram_contamination
+
+    probes = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") > 1)
+    # a 64-bit filter saturates: grams of UNRELATED docs collide into set
+    # bits and over-flag — never under-flag (no false negatives)
+    bloom = {
+        r["doc_id"]: r["n_maybe"]
+        for r in bloom_decontaminate(corpus, probes, n=4, m_bits=64).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in ngram_contamination(corpus, probes, n=4).collect()
+    }
+    for d, n in exact.items():
+        assert bloom.get(d, 0) >= n  # superset guarantee
+    assert sum(bloom.values()) > sum(exact.values())  # FPs actually occurred
