@@ -3012,6 +3012,65 @@ _QUERIES["bloom_decontaminate"] = q_bloom_decontaminate
 _ORACLES["bloom_decontaminate"] = _BLOOM_DECON_ORACLE
 
 
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit scheduling over a fetch history synthesized from
+    events: each user is a URL, its events (by ts) are successive fetch
+    observations, and md5(event_type) is the observed content fingerprint
+    — so a type change is a content change. Exponential backoff on
+    unchanged content, capped at 64 waves (frontier/schedule.py)."""
+    from edgar_spark.frontier.schedule import recrawl_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.format_string(
+            "https://host%d.example.com/u/%d",
+            (F.col("user_id") % 7).cast("int"),
+            F.col("user_id").cast("int"),
+        ).alias("url"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("wave"),
+        F.md5(F.col("event_type")).alias("fp"),
+    )
+    return recrawl_schedule(fetches, max_interval=64).orderBy("url")
+
+
+_RECRAWL_ORACLE = """
+    WITH f AS (
+        SELECT concat('https://host', CAST(user_id % 7 AS VARCHAR),
+                      '.example.com/u/', CAST(user_id AS VARCHAR)) AS url,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS wave,
+               md5(event_type) AS fp
+        FROM events
+    ), c AS (
+        SELECT url, wave,
+               CASE WHEN lag(fp) OVER w IS NULL
+                         OR fp <> lag(fp) OVER w THEN wave END AS chg
+        FROM f WINDOW w AS (PARTITION BY url ORDER BY wave)
+    ), r AS (
+        SELECT url, wave,
+               max(chg) OVER run AS last_change,
+               count(chg) OVER run AS n_changes,
+               count(*) OVER run AS n_fetches
+        FROM c WINDOW run AS (PARTITION BY url ORDER BY wave
+                              ROWS UNBOUNDED PRECEDING)
+        QUALIFY row_number() OVER (PARTITION BY url ORDER BY wave DESC) = 1
+    )
+    SELECT url, n_fetches, n_changes,
+           wave - last_change AS unchanged_run,
+           CAST(1 AS BIGINT) << least(wave - last_change, 6)
+               AS interval_waves,
+           wave + (CAST(1 AS BIGINT) << least(wave - last_change, 6))
+               AS next_due_wave
+    FROM r ORDER BY url"""
+
+_QUERIES["recrawl_schedule"] = q_recrawl_schedule
+_ORACLES["recrawl_schedule"] = _RECRAWL_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -575,3 +575,37 @@ def test_politeness_bucket_md5_mode(spark):
     }
     assert {r["u"]: r["b"] for r in rows} == want
     assert len({r["b"] for r in rows}) > 1  # the salt actually spreads
+
+
+def test_recrawl_schedule_backoff(spark):
+    from edgar_spark.frontier.schedule import recrawl_schedule
+
+    rows = [
+        # url A: changes at every fetch -> interval stays 1
+        ("A", 1, "x"), ("A", 2, "y"), ("A", 3, "z"),
+        # url B: never changes after first sight -> doubling backoff
+        ("B", 1, "x"), ("B", 2, "x"), ("B", 3, "x"), ("B", 4, "x"),
+        # url C: change in the middle resets the run
+        ("C", 1, "x"), ("C", 2, "x"), ("C", 3, "y"), ("C", 4, "y"),
+        # url D: single observation
+        ("D", 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "wave", "fp"])
+    out = {r["url"]: r for r in recrawl_schedule(df, max_interval=4).collect()}
+
+    a = out["A"]
+    assert (a["n_changes"], a["unchanged_run"], a["interval_waves"],
+            a["next_due_wave"]) == (3, 0, 1, 4)
+    b = out["B"]  # run=3 but cap log2(4)=2 -> interval 4
+    assert (b["n_changes"], b["unchanged_run"], b["interval_waves"],
+            b["next_due_wave"]) == (1, 3, 4, 8)
+    c = out["C"]  # last change at wave 3 -> run 1 -> interval 2
+    assert (c["n_changes"], c["unchanged_run"], c["interval_waves"],
+            c["next_due_wave"]) == (2, 1, 2, 6)
+    d = out["D"]  # first sight counts as a change -> due next wave
+    assert (d["n_fetches"], d["interval_waves"], d["next_due_wave"]) == (1, 1, 2)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        recrawl_schedule(df, max_interval=48)
