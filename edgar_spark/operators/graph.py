@@ -99,3 +99,36 @@ def pagerank(
     return ranks.select(
         F.col("_id").alias(id_col), F.col("_rank").alias("rank_scaled")
     )
+
+
+def anchor_text_topk(
+    links: DataFrame,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    k: int = 3,
+) -> DataFrame:
+    """Anchor-text aggregation — the link-graph ranking signal every web
+    index builds (the text OTHER pages use to link to a target describes
+    the target better than its own body; classic BM25F anchor field).
+    Input: one row per hyperlink (dst, anchor). Output: the top ``k``
+    anchors per target by link count, ties broken lexicographically —
+    (dst, anchor, n_links, rank).
+
+    Plan: one groupBy(dst, anchor) with map-side partial agg (the raw link
+    explosion never re-shuffles), then a per-dst top-k window that
+    compiles to WindowGroupLimit — rank never materializes beyond k rows
+    per target. At web scale anchors are heavily skewed toward popular
+    targets; the pre-aggregation collapses duplicate (dst, anchor) pairs
+    BEFORE the window sees them, so hot targets cost |distinct anchors|,
+    not |in-links|.
+    """
+    from pyspark.sql import Window
+
+    agg = links.groupBy(dst_col, anchor_col).agg(F.count("*").alias("n_links"))
+    w = Window.partitionBy(dst_col).orderBy(
+        F.col("n_links").desc(), F.col(anchor_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

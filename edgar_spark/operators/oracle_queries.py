@@ -3071,6 +3071,68 @@ _QUERIES["recrawl_schedule"] = q_recrawl_schedule
 _ORACLES["recrawl_schedule"] = _RECRAWL_ORACLE
 
 
+def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation over the same affine link graph as pagerank
+    (_PR_MAPS): each doc links to (doc_id*k+c) % n with an anchor term
+    drawn deterministically from ITS OWN token array — top-3 anchors per
+    target by link count (graph.anchor_text_topk)."""
+    from edgar_spark.operators.graph import anchor_text_topk
+    from edgar_spark.operators.text import alnum_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.count("*").alias("_n"))
+    toks = docs.select(
+        "doc_id", alnum_terms(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    links = toks.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "_toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.expr(f"(doc_id*{k}+{c}) % _n").alias("dst"),
+                        F.element_at(
+                            "_toks",
+                            (
+                                (F.col("doc_id") + F.lit(k)) % F.size("_toks")
+                            ).cast("int")
+                            + 1,
+                        ).alias("anchor"),
+                    )
+                    for k, c in _PR_MAPS
+                ]
+            )
+        ).alias("_e"),
+    ).select(F.col("_e.dst").alias("dst"), F.col("_e.anchor").alias("anchor"))
+    return anchor_text_topk(links, k=3).orderBy("dst", "rank")
+
+
+_ANCHOR_ORACLE = """
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), n AS (SELECT count(*) AS c FROM documents),
+    e AS (
+        SELECT (doc_id * m.k + m.c) % (SELECT c FROM n) AS dst,
+               toks[CAST((doc_id + m.k) % len(toks) AS INT) + 1] AS anchor
+        FROM tk, (VALUES (7, 1), (13, 5), (31, 11)) AS m(k, c)
+        WHERE len(toks) > 0
+    ), agg AS (
+        SELECT dst, anchor, count(*) AS n_links,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY count(*) DESC, anchor) AS rank
+        FROM e GROUP BY dst, anchor
+    )
+    SELECT dst, anchor, n_links, rank
+    FROM agg WHERE rank <= 3 ORDER BY dst, rank"""
+
+_QUERIES["anchor_text_topk"] = q_anchor_text_topk
+_ORACLES["anchor_text_topk"] = _ANCHOR_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -203,3 +203,21 @@ def test_cms_unseen_and_null_items(spark):
     assert est["a"] >= 100 and est["b"] >= 3
     # null probe skipped, symmetric with the build
     assert None not in est and len(est) == 3
+
+
+def test_anchor_text_topk(spark):
+    from edgar_spark.operators.graph import anchor_text_topk
+
+    links = spark.createDataFrame(
+        [("t1", "spark")] * 3
+        + [("t1", "engine")] * 3
+        + [("t1", "fast"), ("t1", "query"), ("t2", "solo")],
+        ["dst", "anchor"],
+    )
+    out = anchor_text_topk(links, k=2).orderBy("dst", "rank").collect()
+    # t1: tie 3-3 between engine/spark -> lexicographic; 'fast'/'query' cut
+    assert [(r["dst"], r["anchor"], r["n_links"], r["rank"]) for r in out] == [
+        ("t1", "engine", 3, 1),
+        ("t1", "spark", 3, 2),
+        ("t2", "solo", 1, 1),
+    ]
