@@ -132,3 +132,64 @@ def anchor_text_topk(
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 64,
+) -> DataFrame:
+    """Transitive redirect resolution — collapse 3xx chains to their final
+    target before frontier insertion (a crawler that enqueues intermediate
+    hops wastes fetches and splits per-URL state across aliases; the
+    reference never redirects because sec.gov archive URLs are stable,
+    page.go:21-28 — a web frontier cannot assume that).
+
+    ``edges`` holds at most ONE out-edge per ``src`` (HTTP semantics: a
+    URL redirects to exactly one location). Returns one row per src:
+    (src, target, hops, is_resolved) — target/hops NULL when the chain
+    does not reach a terminal within ``max_hops`` (a loop, or longer than
+    the cap: browsers give up the same way).
+
+    Plan: pointer doubling (path halving) — ``ceil(log2(max_hops))``
+    rounds of self-composition ``S'(x) = S(S(x))`` with exact hop sums,
+    each round ONE hash-join shuffle of the (src, cur, hops) state against
+    itself. 10^8-long chains would need 27 rounds, real redirect chains
+    are < 10 — the log-round shape is what survives 10^10 URLs, never a
+    per-hop driver loop (cf. dedup.connected_components, dedup.py:587).
+    """
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    state = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("cur"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    for _ in range(rounds):
+        nxt = state.select(
+            F.col("src").alias("_nsrc"),
+            F.col("cur").alias("_ncur"),
+            F.col("hops").alias("_nhops"),
+        )
+        state = (
+            state.join(nxt, state["cur"] == nxt["_nsrc"], "left")
+            .select(
+                "src",
+                F.coalesce("_ncur", "cur").alias("cur"),
+                (
+                    F.col("hops") + F.coalesce("_nhops", F.lit(0))
+                ).alias("hops"),
+            )
+        )
+    srcs = edges.select(F.col(src_col).alias("cur")).distinct().withColumn(
+        "_is_src", F.lit(True)
+    )
+    resolved = F.col("_is_src").isNull()
+    return state.join(srcs, "cur", "left").select(
+        "src",
+        F.when(resolved, F.col("cur")).alias("target"),
+        F.when(resolved, F.col("hops")).alias("hops"),
+        resolved.alias("is_resolved"),
+    )

@@ -3133,6 +3133,62 @@ _QUERIES["anchor_text_topk"] = q_anchor_text_topk
 _ORACLES["anchor_text_topk"] = _ANCHOR_ORACLE
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive redirect resolution over a synthetic chain graph: every
+    doc_id not divisible by 50 redirects to doc_id-1 (chains up to 49 hops
+    ending at the multiples of 50), plus one injected 2-cycle that must
+    come back unresolved. Pointer doubling vs a recursive-CTE walk."""
+    from edgar_spark.operators.graph import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    chain = docs.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    cyc = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1000001).cast("long").alias("src"),
+                    F.lit(1000002).cast("long").alias("dst"),
+                ),
+                F.struct(
+                    F.lit(1000002).cast("long").alias("src"),
+                    F.lit(1000001).cast("long").alias("dst"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    return resolve_redirects(chain.union(cyc), max_hops=64).orderBy("src")
+
+
+_REDIRECT_ORACLE = """
+    WITH RECURSIVE edges AS (
+        SELECT doc_id AS src, doc_id - 1 AS dst
+        FROM documents WHERE doc_id % 50 <> 0
+        UNION ALL
+        SELECT CAST(src AS BIGINT), CAST(dst AS BIGINT)
+        FROM (VALUES (1000001, 1000002), (1000002, 1000001)) v(src, dst)
+    ), walk AS (
+        SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM edges
+        UNION ALL
+        SELECT w.src, e.dst, w.hops + 1
+        FROM walk w JOIN edges e ON w.cur = e.src WHERE w.hops < 64
+    ), last AS (
+        SELECT src, cur, hops,
+               row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+        FROM walk
+    )
+    SELECT l.src,
+           CASE WHEN s.src IS NULL THEN l.cur END AS target,
+           CASE WHEN s.src IS NULL THEN l.hops END AS hops,
+           s.src IS NULL AS is_resolved
+    FROM last l LEFT JOIN (SELECT DISTINCT src FROM edges) s ON l.cur = s.src
+    WHERE l.rn = 1 ORDER BY l.src"""
+
+_QUERIES["redirect_resolve"] = q_redirect_resolve
+_ORACLES["redirect_resolve"] = _REDIRECT_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -221,3 +221,38 @@ def test_anchor_text_topk(spark):
         ("t1", "spark", 3, 2),
         ("t2", "solo", 1, 1),
     ]
+
+
+def test_resolve_redirects(spark):
+    from edgar_spark.operators.graph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),      # 3-hop chain -> d
+            ("x", "y"), ("y", "x"),                  # 2-cycle
+            ("p", "q"),                              # direct
+            ("m", "x"),                              # chain INTO a cycle
+        ],
+        ["src", "dst"],
+    )
+    out = {r["src"]: r for r in resolve_redirects(edges, max_hops=8).collect()}
+    assert (out["a"]["target"], out["a"]["hops"], out["a"]["is_resolved"]) == ("d", 3, True)
+    assert (out["b"]["target"], out["b"]["hops"]) == ("d", 2)
+    assert (out["p"]["target"], out["p"]["hops"]) == ("q", 1)
+    for cyc in ("x", "y", "m"):
+        r = out[cyc]
+        assert r["target"] is None and r["hops"] is None and not r["is_resolved"]
+
+
+def test_resolve_redirects_hop_cap(spark):
+    from edgar_spark.operators.graph import resolve_redirects
+
+    # a 12-hop chain under an 8-hop cap stays unresolved; under 16 it lands
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"]
+    )
+    capped = {r["src"]: r for r in resolve_redirects(edges, max_hops=8).collect()}
+    assert not capped[0]["is_resolved"]
+    assert capped[5]["is_resolved"] and capped[5]["target"] == 12
+    full = {r["src"]: r for r in resolve_redirects(edges, max_hops=16).collect()}
+    assert full[0]["is_resolved"] and full[0]["target"] == 12 and full[0]["hops"] == 12
