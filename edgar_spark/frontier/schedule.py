@@ -98,3 +98,95 @@ def recrawl_schedule(
         interval.alias("interval_waves"),
         (F.col("wave") + interval).alias("next_due_wave"),
     )
+
+
+def crawl_budget(
+    pending: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    n_col: str = "n_pending",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Proportional-fair allocation of a global per-wave fetch budget
+    across hosts — largest-remainder (Hamilton) apportionment, the exact
+    integer form of "each host gets budget * its share of pending URLs".
+    The reference needs no budget (one host, sec.gov, folder.go:68-97); a
+    web frontier must split a politeness-bounded global wave across ~10^7
+    hosts so that ``sum(alloc) == budget`` exactly and no host is starved
+    by rounding.
+
+    * demand fits (``total <= budget``): every host gets its demand;
+    * scarcity: ``base = budget*n div total`` plus +1 for the hosts with
+      the ``budget - sum(base)`` largest remainders (ties by host name).
+
+    All-integer → bit-identical across engines (exact DuckDB oracle).
+    Overflow bound: ``budget * n_pending`` must fit int64 — fine for any
+    real (budget ≤ 10^9, per-host pending ≤ 10^9) wave.
+
+    The only global order needed is the remainder rank. A naive
+    ``Window.orderBy(rem)`` funnels every host through ONE reducer — the
+    same scale cliff :func:`curation.global_token_offsets` avoids, solved
+    the same way: approxQuantile range-buckets (boundaries only affect
+    balance, never the result), per-bucket local ranks, ≤``n_buckets``
+    bucket counts to the driver, broadcast offsets back.
+    """
+    from pyspark.sql import Window
+
+    total_df = pending.agg(F.sum(n_col).cast("long").alias("_total"))
+    b = pending.crossJoin(F.broadcast(total_df)).select(
+        host_col,
+        n_col,
+        "_total",
+        F.expr(f"(CAST({budget} AS BIGINT) * {n_col}) div _total").alias(
+            "_base"
+        ),
+        ((F.lit(budget).cast("long") * F.col(n_col)) % F.col("_total")).alias(
+            "_rem"
+        ),
+    )
+    leftover_df = b.agg(
+        (F.lit(budget) - F.sum("_base")).cast("long").alias("_leftover")
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(b.stat.approxQuantile("_rem", qs, 0.001))) if qs else []
+    if not bounds and b.first() is None:
+        return pending.select(
+            host_col, n_col, F.lit(0).cast("long").alias("alloc")
+        )
+    barr = (
+        F.array(*[F.lit(x) for x in bounds])
+        if bounds
+        else F.array().cast("array<double>")
+    )
+    bucket = F.size(F.filter(barr, lambda v: F.col("_rem") >= v))
+    local = b.withColumn("_bucket", bucket).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_bucket").orderBy(
+                F.col("_rem").desc(), F.col(host_col)
+            )
+        ),
+    )
+    counts = {
+        r["_bucket"]: r["_c"]
+        for r in local.groupBy("_bucket").agg(F.count("*").alias("_c")).collect()
+    }
+    offs, acc = {}, 0
+    for j in sorted(counts, reverse=True):  # higher bucket = higher rem
+        offs[j] = acc
+        acc += counts[j]
+    off_map = F.create_map(
+        *[x for j, o in offs.items() for x in (F.lit(j), F.lit(o).cast("long"))]
+    )
+    ranked = local.withColumn("_rank", off_map[F.col("_bucket")] + F.col("_rn"))
+    return ranked.crossJoin(F.broadcast(leftover_df)).select(
+        host_col,
+        n_col,
+        F.when(F.col("_total") <= budget, F.col(n_col))
+        .otherwise(
+            F.col("_base")
+            + F.when(F.col("_rank") <= F.col("_leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

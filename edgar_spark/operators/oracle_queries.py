@@ -3189,6 +3189,56 @@ _QUERIES["redirect_resolve"] = q_redirect_resolve
 _ORACLES["redirect_resolve"] = _REDIRECT_ORACLE
 
 
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 1234-fetch global wave budget
+    across per-host pending counts derived from events (user_id % 37 →
+    host). sum(alloc) == budget exactly; all-integer arithmetic so the
+    DuckDB oracle is bit-exact (frontier/schedule.crawl_budget)."""
+    from edgar_spark.frontier.schedule import crawl_budget
+
+    pending = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.format_string(
+                "h%d", (F.col("user_id") % 37).cast("int")
+            ).alias("host")
+        )
+        .agg(F.count("*").alias("n_pending"))
+    )
+    return crawl_budget(pending, budget=1234).orderBy("host")
+
+
+_BUDGET_ORACLE = """
+    WITH p AS (
+        SELECT concat('h', CAST(user_id % 37 AS VARCHAR)) AS host,
+               count(*) AS n_pending
+        FROM events GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(n_pending) AS BIGINT) AS total FROM p
+    ), b AS (
+        SELECT host, n_pending,
+               (1234 * n_pending) // total AS base,
+               (1234 * n_pending) % total AS rem,
+               total
+        FROM p, t
+    ), l AS (
+        SELECT CAST(1234 - sum(base) AS BIGINT) AS leftover FROM b
+    ), r AS (
+        SELECT host, n_pending, base, rem, total,
+               row_number() OVER (ORDER BY rem DESC, host) AS rk
+        FROM b
+    )
+    SELECT host, n_pending,
+           CAST(CASE WHEN total <= 1234 THEN n_pending
+                     ELSE base + CASE WHEN rk <= (SELECT leftover FROM l)
+                                      THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc
+    FROM r ORDER BY host"""
+
+_QUERIES["crawl_budget"] = q_crawl_budget
+_ORACLES["crawl_budget"] = _BUDGET_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

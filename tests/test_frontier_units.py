@@ -609,3 +609,44 @@ def test_recrawl_schedule_backoff(spark):
 
     with pytest.raises(ValueError):
         recrawl_schedule(df, max_interval=48)
+
+
+def test_crawl_budget_scarcity(spark):
+    from edgar_spark.frontier.schedule import crawl_budget
+
+    pending = spark.createDataFrame(
+        [("a", 50), ("b", 30), ("c", 20), ("d", 3)], ["host", "n_pending"]
+    )
+    out = {r["host"]: r["alloc"] for r in crawl_budget(pending, budget=10).collect()}
+    # shares: a 4.854, b 2.912, c 1.941, d 0.291 -> bases 4,2,1,0; 3 bonus
+    # by remainder desc (c .941, b .912, a .854, d .291)
+    assert out == {"a": 5, "b": 3, "c": 2, "d": 0}
+    assert sum(out.values()) == 10
+
+
+def test_crawl_budget_abundance_and_sum(spark):
+    from edgar_spark.frontier.schedule import crawl_budget
+
+    pending = spark.createDataFrame(
+        [("a", 5), ("b", 2)], ["host", "n_pending"]
+    )
+    out = {r["host"]: r["alloc"] for r in crawl_budget(pending, budget=100).collect()}
+    assert out == {"a": 5, "b": 2}  # demand fits: everyone gets demand
+
+    # invariant sweep: sum(alloc) == budget for scarce budgets, and the
+    # bucketed global rank agrees with a single-partition reference
+    rows = [(f"h{i}", (i * 13) % 97 + 1) for i in range(40)]
+    pend = spark.createDataFrame(rows, ["host", "n_pending"])
+    total = sum(n for _, n in rows)
+    for budget in (7, 100, total - 1):
+        alloc = {r["host"]: r["alloc"] for r in crawl_budget(pend, budget).collect()}
+        assert sum(alloc.values()) == budget
+        # reference largest-remainder in plain python
+        base = {h: budget * n // total for h, n in rows}
+        rem = {h: budget * n % total for h, n in rows}
+        left = budget - sum(base.values())
+        bonus = set(
+            h for h, _ in sorted(rows, key=lambda x: (-rem[x[0]], x[0]))[:left]
+        )
+        for h, n in rows:
+            assert alloc[h] == base[h] + (1 if h in bonus else 0), (budget, h)
