@@ -3239,6 +3239,81 @@ _QUERIES["crawl_budget"] = q_crawl_budget
 _ORACLES["crawl_budget"] = _BUDGET_ORACLE
 
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip sitemap ingestion: one sitemap XML document per source
+    (entries in doc_id order; every 5th doc omits <lastmod>) is parsed
+    back into (host, loc, lastmod) frontier rows by pure-JVM regexp
+    extraction (frontier/sitemap.parse_sitemaps)."""
+    from edgar_spark.frontier.sitemap import parse_sitemaps
+
+    docs = _t(spark, sf_dir, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.concat(
+                F.lit("<lastmod>2024-"),
+                F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    sitemaps = (
+        docs.select("source", F.struct("doc_id", entry.alias("e")).alias("_s"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_s")), lambda s: s["e"]
+                ),
+                "",
+            ).alias("xml")
+        )
+        .select(F.col("source").alias("host"), "xml")
+    )
+    return parse_sitemaps(sitemaps).orderBy("host", "loc")
+
+
+_SITEMAP_ORACLE = """
+    WITH e AS (
+        SELECT source AS host, doc_id,
+               concat('<url><loc>https://', source, '.example.com/doc/',
+                      CAST(doc_id AS VARCHAR), '</loc>',
+                      CASE WHEN doc_id % 5 <> 0 THEN
+                          concat('<lastmod>2024-',
+                                 lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0'),
+                                 '-',
+                                 lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
+                                 '</lastmod>')
+                      ELSE '' END, '</url>') AS entry
+        FROM documents
+    ), sm AS (
+        SELECT host, string_agg(entry, '' ORDER BY doc_id) AS xml
+        FROM e GROUP BY host
+    ), blocks AS (
+        SELECT host, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1))
+                   AS b
+        FROM sm
+    )
+    SELECT host,
+           regexp_extract(b, '<loc>(.*?)</loc>', 1) AS loc,
+           nullif(regexp_extract(b, '<lastmod>(.*?)</lastmod>', 1), '')
+               AS lastmod
+    FROM blocks
+    WHERE regexp_extract(b, '<loc>(.*?)</loc>', 1) <> ''
+    ORDER BY host, loc"""
+
+_QUERIES["sitemap_extract"] = q_sitemap_extract
+_ORACLES["sitemap_extract"] = _SITEMAP_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

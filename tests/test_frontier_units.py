@@ -650,3 +650,25 @@ def test_crawl_budget_abundance_and_sum(spark):
         )
         for h, n in rows:
             assert alloc[h] == base[h] + (1 if h in bonus else 0), (budget, h)
+
+
+def test_parse_sitemaps(spark):
+    from edgar_spark.frontier.sitemap import parse_sitemaps
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.com/1</loc><lastmod>2024-01-02</lastmod></url>"
+        "<url><loc>https://a.com/2</loc></url>"        # optional lastmod
+        "<url><lastmod>2024-03-04</lastmod></url>"      # no loc -> dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", xml), ("b.com", "<urlset></urlset>"), ("c.com", None)],
+        ["host", "xml"],
+    )
+    out = [(r["host"], r["loc"], r["lastmod"])
+           for r in parse_sitemaps(df).orderBy("loc").collect()]
+    assert out == [
+        ("a.com", "https://a.com/1", "2024-01-02"),
+        ("a.com", "https://a.com/2", None),
+    ]
