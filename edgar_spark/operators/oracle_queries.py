@@ -3314,6 +3314,40 @@ _QUERIES["sitemap_extract"] = q_sitemap_extract
 _ORACLES["sitemap_extract"] = _SITEMAP_ORACLE
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-500 corpus vocabulary (frequency desc, term asc) and per-doc
+    OOV rate over term positions (text.vocab_coverage)."""
+    from edgar_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(
+        _t(spark, sf_dir, "documents"), vocab_size=500
+    ).orderBy("doc_id")
+
+
+_VOCAB_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ), v AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS c FROM t GROUP BY term
+            ORDER BY c DESC, term LIMIT 500
+        )
+    )
+    SELECT t.doc_id,
+           count(*) AS n_terms,
+           CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS n_oov,
+           count(*) FILTER (WHERE v.term IS NULL) / count(*) AS oov_rate
+    FROM t LEFT JOIN v ON t.term = v.term
+    GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+_QUERIES["vocab_coverage"] = q_vocab_coverage
+_ORACLES["vocab_coverage"] = _VOCAB_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -453,3 +453,48 @@ def bloom_decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_maybe"))
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency vocabulary + per-document out-of-vocabulary rate —
+    the coverage diagnostic run before committing a tokenizer/vocab to a
+    training corpus (high-OOV docs are either foreign-language, noise, or
+    evidence the vocab is too small).
+
+    The vocabulary is the ``vocab_size`` most frequent :func:`alnum_terms`
+    across the corpus (ties broken lexicographically — deterministic both
+    engines). Per doc: (n_terms, n_oov, oov_rate) over TERM POSITIONS
+    (not distinct terms); docs with no terms yield no row.
+
+    Plan: one explode + term-count shuffle builds the vocab, which is
+    driver-bounded (``LIMIT vocab_size`` → TakeOrderedAndProject, never
+    the term table) and broadcast back; the corpus probe is a broadcast
+    LEFT join + one per-doc agg. The corpus never shuffles on term text
+    twice.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(alnum_terms(F.col(text_col))).alias("term")
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("_tf"))
+        .orderBy(F.col("_tf").desc(), "term")
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("_inv"))
+    )
+    return (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_rate", F.col("n_oov") / F.col("n_terms"))
+    )

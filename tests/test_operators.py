@@ -1107,3 +1107,34 @@ def test_bloom_decontaminate_false_positives(spark, docs):
     for d, n in exact.items():
         assert bloom.get(d, 0) >= n  # superset guarantee
     assert sum(bloom.values()) > sum(exact.values())  # FPs actually occurred
+
+
+def test_vocab_coverage(spark):
+    from edgar_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple banana cherry"),
+            (3, "durian elderberry fig"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    # vocab_size=2 -> {apple(4), banana(2)}; cherry(1) ties with the rest
+    # but loses to frequency
+    out = {r["doc_id"]: r for r in vocab_coverage(df, vocab_size=2).collect()}
+    assert (out[1]["n_terms"], out[1]["n_oov"], out[1]["oov_rate"]) == (4, 0, 0.0)
+    assert (out[2]["n_terms"], out[2]["n_oov"]) == (3, 1)
+    assert out[2]["oov_rate"] == 1 / 3
+    assert (out[3]["n_oov"], out[3]["oov_rate"]) == (3, 1.0)
+    assert 4 not in out  # empty doc: no terms, no row
+
+
+def test_vocab_coverage_tiebreak(spark):
+    from edgar_spark.operators.text import vocab_coverage
+
+    # all terms frequency 1 -> lexicographic tie-break decides the vocab
+    df = spark.createDataFrame([(1, "b a d c")], ["doc_id", "text"])
+    out = vocab_coverage(df, vocab_size=2).collect()[0]
+    assert (out["n_terms"], out["n_oov"]) == (4, 2)  # vocab = {a, b}
