@@ -3348,6 +3348,57 @@ _QUERIES["vocab_coverage"] = q_vocab_coverage
 _ORACLES["vocab_coverage"] = _VOCAB_ORACLE
 
 
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC round trip: one WARC file per source (records in doc_id order,
+    JVM-side encoding, Content-Length = char count) exploded back into
+    records by the Content-Length-walking Arrow kernel
+    (sources/warc.parse_warc). The oracle is the straight projection of
+    documents the encoding started from — parse(encode(x)) == x."""
+    from edgar_spark.sources.warc import parse_warc
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    entry = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\n"),
+    )
+    files = (
+        docs.select("source", F.struct("doc_id", entry.alias("e")).alias("_s"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_s")), lambda s: s["e"]
+                ),
+                "",
+            ).alias("data")
+        )
+        .select(F.col("source").alias("file_id"), "data")
+    )
+    return parse_warc(files).orderBy("file_id", "rec_idx")
+
+
+_WARC_ORACLE = """
+    SELECT source AS file_id,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                AS INT) AS rec_idx,
+           concat('https://', source, '.example.com/doc/',
+                  CAST(doc_id AS VARCHAR)) AS target_uri,
+           CAST(length(text) AS BIGINT) AS content_length,
+           text AS payload
+    FROM documents WHERE text IS NOT NULL
+    ORDER BY file_id, rec_idx"""
+
+_QUERIES["warc_parse"] = q_warc_parse
+_ORACLES["warc_parse"] = _WARC_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

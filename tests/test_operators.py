@@ -1138,3 +1138,29 @@ def test_vocab_coverage_tiebreak(spark):
     df = spark.createDataFrame([(1, "b a d c")], ["doc_id", "text"])
     out = vocab_coverage(df, vocab_size=2).collect()[0]
     assert (out["n_terms"], out["n_oov"]) == (4, 2)  # vocab = {a, b}
+
+
+def test_warc_parse_adversarial_payloads(spark):
+    from edgar_spark.sources.warc import encode_warc_entry, parse_warc
+
+    tricky = "payload with WARC/1.0\r\n embedded magic and \r\n\r\n separator"
+    data = (
+        encode_warc_entry("https://a/1", tricky)
+        + encode_warc_entry("https://a/2", "")          # zero-length payload
+        + encode_warc_entry("https://a/3", "plain")
+        + "WARC/1.0\r\nWARC-Target-URI: https://a/4\r\nContent-Length: 99"
+        + "\r\n\r\ntrunc"                               # truncated record
+    )
+    df = spark.createDataFrame(
+        [("f1", data), ("f2", None), ("f3", "garbage no magic")],
+        ["file_id", "data"],
+    )
+    out = parse_warc(df).orderBy("rec_idx").collect()
+    # Content-Length walking survives embedded magic; truncation drops
+    # only the incomplete tail record
+    assert [(r["file_id"], r["rec_idx"], r["target_uri"], r["payload"]) for r in out] == [
+        ("f1", 0, "https://a/1", tricky),
+        ("f1", 1, "https://a/2", ""),
+        ("f1", 2, "https://a/3", "plain"),
+    ]
+    assert out[0]["content_length"] == len(tricky)
