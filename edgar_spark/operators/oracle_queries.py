@@ -3399,6 +3399,38 @@ _QUERIES["warc_parse"] = q_warc_parse
 _ORACLES["warc_parse"] = _WARC_ORACLE
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates: frequency-weighted adjacent character
+    pairs over the corpus word table (text.bpe_pair_counts)."""
+    from edgar_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(
+        _t(spark, sf_dir, "documents"), top_k=20
+    ).orderBy(F.col("n").desc(), "pair")
+
+
+_BPE_ORACLE = """
+    WITH t AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ), wf AS (
+        SELECT w, count(*) AS freq FROM t GROUP BY w HAVING length(w) >= 2
+    ), p AS (
+        SELECT unnest(list_transform(
+                   range(1, length(w)),
+                   i -> substr(w, CAST(i AS INT), 2))) AS pair,
+               freq
+        FROM wf
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""
+
+_QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
+_ORACLES["bpe_pair_counts"] = _BPE_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -498,3 +498,43 @@ def vocab_coverage(
         )
         .withColumn("oov_rate", F.col("n_oov") / F.col("n_terms"))
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, top_k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """One iteration of BPE tokenizer training, distributed: count every
+    adjacent symbol pair across the corpus weighted by word frequency and
+    return the ``top_k`` merge candidates — (pair, n), count desc / pair
+    asc. (Full BPE repeats this with the winning pair merged; the pair
+    COUNT is the distributed-heavy step, the merge itself touches only
+    the word table.)
+
+    Plan: the corpus collapses to its word-frequency table first (one
+    term shuffle — at 100 TB the distinct-word table is ~10^8 rows vs
+    10^12 term positions, so pair explosion happens AFTER the collapse,
+    on words not positions), then char pairs explode via transform over
+    the word column with frequency-weighted partial-agg sums. The final
+    top-k is driver-bounded (TakeOrderedAndProject).
+    """
+    words = (
+        df.select(F.explode(alnum_terms(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(top_k)
+    )

@@ -1164,3 +1164,16 @@ def test_warc_parse_adversarial_payloads(spark):
         ("f1", 2, "https://a/3", "plain"),
     ]
     assert out[0]["content_length"] == len(tricky)
+
+
+def test_bpe_pair_counts(spark):
+    from edgar_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab x"), (2, "ab")], ["doc_id", "text"]
+    )
+    out = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, top_k=10).collect()]
+    # word freqs: aaab:2, ab:2, x dropped (len<2); per occurrence of
+    # "aaab" the pairs are aa, aa, ab -> aa: 2*2=4, ab: 2*1 + 2*1 = 4;
+    # the 4-4 tie breaks lexicographically
+    assert out == [("aa", 4), ("ab", 4)]
