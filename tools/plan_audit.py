@@ -85,6 +85,34 @@ AUDITS = {
     # line QF: pure per-row HOF projection (the line filter is an
     # expression inside the Project, not a Filter node) — no Exchange
     "line_quality_filter": ["Project", "!Exchange"],
+    # span dedup: positional gram explode → ONE window shuffle on the
+    # 60-bit gram hash → coverage explode + partial-agg count; no join
+    "dup_ngram_spans": ["Generate", "Window", "HashAggregate", "!Join"],
+    # bloom probe: the bit-position set broadcasts; the corpus never
+    # shuffles on gram text
+    "bloom_decontaminate": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # revisit policy: all windows share the url partitioning; the
+    # latest-row pick prunes via WindowGroupLimit
+    "recrawl_schedule": ["Window", "WindowGroupLimit"],
+    # anchor agg: (dst, anchor) partial-agg collapse BEFORE the top-k
+    # window; hot targets cost distinct-anchors, not in-links
+    "anchor_text_topk": ["HashAggregate", "WindowGroupLimit"],
+    # redirect doubling: keyed self-joins, never a nested-loop product
+    "redirect_resolve": ["Join", "!BroadcastNestedLoopJoin(buildLeft"],
+    # budget apportionment: remainder rank via bucketed windows — never
+    # a single-reducer global sort
+    "crawl_budget": ["Window", "!Exchange SinglePartition"],
+    # sitemap explode: regexp extraction stays in codegen; records
+    # Generate out of file rows
+    "sitemap_extract": ["Generate"],
+    # vocab: driver-bounded top-V (TakeOrdered) broadcast back to the
+    # term probe
+    "vocab_coverage": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+    # WARC reader: one Arrow kernel pass, records explode per file
+    "warc_parse": ["MapInPandas"],
+    # BPE pairs: word-table collapse first, pair explode after, top-k
+    # driver-bounded; no join anywhere
+    "bpe_pair_counts": ["TakeOrderedAndProject", "HashAggregate", "!Join"],
     # lexicon inference: literal weights broadcast to the exploded
     # terms (the only other join is the id-keyed spine join for no-hit
     # docs — an id shuffle is the correct plan there, so no !SMJ check)
