@@ -11,7 +11,7 @@ normalization (documented target semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SEC_BASE = "https://www.sec.gov"
@@ -63,3 +63,66 @@ def politeness_bucket(
 
         return F.pmod(hash60(url), F.lit(n_buckets)).cast("int")
     return F.pmod(F.xxhash64(url), F.lit(n_buckets)).cast("int")
+
+
+def url_pattern(url: Column) -> Column:
+    """Generalized URL shape: lowercased host + path with every digit run
+    collapsed to ``N`` (query/fragment dropped). Calendar pages, paginated
+    listings, and session-id explosions — the classic spider traps — all
+    share one pattern while real content spreads across many."""
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(host, F.regexp_replace(path, "[0-9]+", "N"))
+
+
+def trap_hosts(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 100,
+    share_pct: int = 80,
+) -> DataFrame:
+    """Spider-trap detection — hosts whose URL space collapses onto one
+    generalized pattern (infinite calendars, faceted-search explosions).
+    The reference crawls a finite archive (folder.go:120-132) and cannot
+    trap; an open-web frontier that doesn't cap these spends its whole
+    politeness budget inside one host's infinite subtree.
+
+    A host is flagged when it has ≥ ``min_urls`` URLs and its top pattern
+    holds ≥ ``share_pct``% of them (integer arithmetic — exact oracle).
+    Output per host: (host, n_urls, n_patterns, top_pattern,
+    top_pattern_urls, is_trap).
+
+    Plan: one (host, pattern) partial-agg shuffle, then a per-host window
+    whose top-1 compiles to WindowGroupLimit; host-level totals ride the
+    same partitioning. Never a distinct over raw URLs.
+    """
+    from pyspark.sql import Window
+
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    pat = urls.select(
+        host.alias("host"), url_pattern(F.col(url_col)).alias("pattern")
+    )
+    per_pat = pat.groupBy("host", "pattern").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("host").orderBy(F.col("n").desc(), "pattern")
+    top = (
+        per_pat.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_urls", F.sum("n").over(Window.partitionBy("host")))
+        .withColumn(
+            "n_patterns", F.count("*").over(Window.partitionBy("host"))
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return top.select(
+        "host",
+        "n_urls",
+        "n_patterns",
+        F.col("pattern").alias("top_pattern"),
+        F.col("n").alias("top_pattern_urls"),
+        (
+            (F.col("n_urls") >= min_urls)
+            & (F.col("n") * 100 >= F.lit(share_pct) * F.col("n_urls"))
+        ).alias("is_trap"),
+    )

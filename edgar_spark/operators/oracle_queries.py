@@ -3431,6 +3431,79 @@ _QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
 _ORACLES["bpe_pair_counts"] = _BPE_ORACLE
 
 
+def q_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap host detection over URLs synthesized from events: one
+    host per user_id decile; host 3 is a calendar trap (every event a new
+    /cal/<id> page — all collapse to one digit-generalized pattern), the
+    rest spread across per-event-type patterns
+    (frontier/canonical.trap_hosts)."""
+    from edgar_spark.frontier.canonical import trap_hosts
+
+    ev = _t(spark, sf_dir, "events")
+    host = F.format_string("site%d.test", (F.col("user_id") % 10).cast("int"))
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.when(
+            F.col("user_id") % 10 == 3,
+            F.concat(F.lit("/cal/"), F.col("event_id").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("/"),
+                F.col("event_type"),
+                F.lit("/"),
+                (F.col("event_id") % 5).cast("string"),
+            )
+        ),
+    )
+    return trap_hosts(
+        ev.select(url.alias("url")), min_urls=100, share_pct=80
+    ).orderBy("host")
+
+
+_TRAP_ORACLE = """
+    WITH u AS (
+        SELECT concat('https://site', CAST(user_id % 10 AS VARCHAR), '.test',
+                   CASE WHEN user_id % 10 = 3
+                        THEN concat('/cal/', CAST(event_id AS VARCHAR))
+                        ELSE concat('/', event_type, '/',
+                                    CAST(event_id % 5 AS VARCHAR))
+                   END) AS url
+        FROM events
+    ), p AS (
+        SELECT lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+               concat(
+                   lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                   regexp_replace(
+                       CASE WHEN regexp_extract(url,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)',
+                              1) = '' THEN '/'
+                            ELSE regexp_extract(url,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)',
+                              1) END,
+                       '[0-9]+', 'N', 'g')) AS pattern
+        FROM u
+    ), pp AS (
+        SELECT host, pattern, count(*) AS n FROM p GROUP BY host, pattern
+    ), t AS (
+        SELECT host, pattern, n,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY n DESC, pattern) AS rn,
+               CAST(sum(n) OVER (PARTITION BY host) AS BIGINT) AS n_urls,
+               count(*) OVER (PARTITION BY host) AS n_patterns
+        FROM pp
+    )
+    SELECT host, n_urls, n_patterns, pattern AS top_pattern,
+           n AS top_pattern_urls,
+           (n_urls >= 100 AND n * 100 >= 80 * n_urls) AS is_trap
+    FROM t WHERE rn = 1 ORDER BY host"""
+
+_QUERIES["trap_detect"] = q_trap_detect
+_ORACLES["trap_detect"] = _TRAP_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

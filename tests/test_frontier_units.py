@@ -672,3 +672,31 @@ def test_parse_sitemaps(spark):
         ("a.com", "https://a.com/1", "2024-01-02"),
         ("a.com", "https://a.com/2", None),
     ]
+
+
+def test_trap_hosts(spark):
+    from edgar_spark.frontier.canonical import trap_hosts, url_pattern
+    from pyspark.sql import functions as F
+
+    urls = (
+        [(f"https://trap.com/cal/2024/{i}",) for i in range(20)]
+        + [(f"https://ok.com/{w}/{i}",) for i, w in enumerate("abcdefghij" * 2)]
+        + [("https://tiny.com/cal/1",)] * 5   # trap-shaped but below min_urls
+        + [("HTTPS://Trap.com/cal/9",)]       # scheme/host case-insensitive
+    )
+    df = spark.createDataFrame(urls, ["url"])
+    out = {r["host"]: r for r in trap_hosts(df, min_urls=10, share_pct=80).collect()}
+    t = out["trap.com"]
+    # 20x /cal/N/N plus one case-variant /cal/N -> 95% top share
+    assert t["is_trap"] and t["n_patterns"] == 2 and t["n_urls"] == 21
+    assert t["top_pattern"] == "trap.com/cal/N/N" and t["top_pattern_urls"] == 20
+    # mixed patterns: /a/N .. /j/N each twice -> top share 10%
+    assert not out["ok.com"]["is_trap"] and out["ok.com"]["n_patterns"] == 10
+    assert not out["tiny.com"]["is_trap"]  # 100% share but only 5 URLs
+
+    # pattern generalization: digits collapse, query dropped, bare path -> /
+    row = spark.range(1).select(
+        url_pattern(F.lit("https://X.com/a/123/b45?page=9")).alias("p"),
+        url_pattern(F.lit("https://y.com")).alias("q"),
+    ).collect()[0]
+    assert row["p"] == "x.com/a/N/bN" and row["q"] == "y.com/"
