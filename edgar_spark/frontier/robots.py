@@ -311,3 +311,28 @@ def parse_robots_txt(
                 }
             )
     return rows
+
+
+def sitemap_urls(
+    pages, host_col: str = "host", body_col: str = "body"
+):
+    """Extract ``Sitemap:`` directives from robots.txt bodies — the REP's
+    bulk-discovery pointer (sitemaps.org protocol §"informing search
+    engines"; the directive is group-independent and its key is
+    case-insensitive). Feeds :func:`frontier.sitemap.parse_sitemaps`.
+
+    Pure-JVM: one multiline regexp_extract_all per page, no shuffle.
+    Output: (host, sitemap_url), one row per directive.
+    """
+    from pyspark.sql import functions as F
+
+    return pages.select(
+        host_col,
+        F.explode(
+            F.regexp_extract_all(
+                F.col(body_col),
+                F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"),
+                F.lit(1),
+            )
+        ).alias("sitemap_url"),
+    )

@@ -524,3 +524,33 @@ def line_quality_filter(
         n_kept.cast("long").alias("n_kept"),
         (n_kept * 100 >= n_lines * min_kept_pct).alias("keep"),
     )
+
+
+def corpus_shuffle(
+    df: DataFrame, n_shards: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    (shard, pos) — which output shard it lands in and where — by ordering
+    on a 60-bit md5 hash of its id. Training runs need the corpus in
+    random order but REPRODUCIBLY so (same data → same batches across
+    reruns and engines); hash order delivers both without any RNG state.
+
+    Plan: ONE shuffle on the shard key; each shard orders its own rows
+    (window parallelism = n_shards — pick n_shards ≥ cluster parallelism
+    at scale, shards are the write-partition unit anyway). The hash also
+    balances shards: expected |shard| = n/n_shards regardless of id
+    distribution. Output: (id, shard, pos).
+    """
+    from edgar_spark.operators.sketches import hash60
+
+    h = hash60(F.col(id_col))
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            h.alias("_h"),
+            (h % n_shards).cast("int").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select(id_col, "shard", "pos")
+    )

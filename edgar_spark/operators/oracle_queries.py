@@ -3504,6 +3504,82 @@ _QUERIES["trap_detect"] = q_trap_detect
 _ORACLES["trap_detect"] = _TRAP_ORACLE
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-order training shuffle of documents into 8
+    shards with per-shard positions (curation.corpus_shuffle)."""
+    from edgar_spark.operators.curation import corpus_shuffle
+
+    return corpus_shuffle(
+        _t(spark, sf_dir, "documents"), n_shards=8
+    ).orderBy("shard", "pos")
+
+
+_SHUFFLE_ORACLE = """
+    WITH h AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM documents
+    )
+    SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 8
+                                   ORDER BY hv, doc_id) - 1 AS INT) AS pos
+    FROM h ORDER BY shard, pos"""
+
+_QUERIES["corpus_shuffle"] = q_corpus_shuffle
+_ORACLES["corpus_shuffle"] = _SHUFFLE_ORACLE
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-directive discovery from synthesized robots.txt bodies:
+    every source host publishes two sitemap pointers (one mixed-case key,
+    one indented) among unrelated REP directives and comments
+    (frontier/robots.sitemap_urls)."""
+    from edgar_spark.frontier.robots import sitemap_urls
+
+    hosts = _t(spark, sf_dir, "documents").select("source").distinct()
+    body = F.concat(
+        F.lit("# robots for "),
+        F.col("source"),
+        F.lit("\nUser-agent: *\nDisallow: /private/\n"),
+        F.lit("SiteMap: https://"),
+        F.col("source"),
+        F.lit(".example.com/sitemap1.xml\n"),
+        F.lit("Crawl-delay: 2\n"),
+        F.lit("  sitemap: https://"),
+        F.col("source"),
+        F.lit(".example.com/sitemap2.xml\n"),
+        F.lit("# sitemap: https://ignored.example.com/no.xml is a comment\n"),
+    )
+    pages = hosts.select(F.col("source").alias("host"), body.alias("body"))
+    return sitemap_urls(pages).orderBy("host", "sitemap_url")
+
+
+_ROBOTS_SITEMAP_ORACLE = """
+    WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+    p AS (
+        SELECT host,
+               concat('# robots for ', host,
+                      chr(10), 'User-agent: *', chr(10),
+                      'Disallow: /private/', chr(10),
+                      'SiteMap: https://', host,
+                      '.example.com/sitemap1.xml', chr(10),
+                      'Crawl-delay: 2', chr(10),
+                      '  sitemap: https://', host,
+                      '.example.com/sitemap2.xml', chr(10),
+                      '# sitemap: https://ignored.example.com/no.xml',
+                      ' is a comment', chr(10)) AS body
+        FROM hosts
+    )
+    SELECT host,
+           unnest(regexp_extract_all(body,
+               '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)) AS sitemap_url
+    FROM p ORDER BY host, sitemap_url"""
+
+_QUERIES["robots_sitemaps"] = q_robots_sitemaps
+_ORACLES["robots_sitemaps"] = _ROBOTS_SITEMAP_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -700,3 +700,22 @@ def test_trap_hosts(spark):
         url_pattern(F.lit("https://y.com")).alias("q"),
     ).collect()[0]
     assert row["p"] == "x.com/a/N/bN" and row["q"] == "y.com/"
+
+
+def test_sitemap_urls_from_robots(spark):
+    from edgar_spark.frontier.robots import sitemap_urls
+
+    body = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a.com/s1.xml\n"
+        "SITEMAP:https://a.com/s2.xml\n"        # case + no space
+        "\tsitemap :\thttps://a.com/s3.xml\n"   # tabs around the colon
+        "# Sitemap: https://a.com/ignored.xml\n"  # comment line
+        "sitemapx: https://a.com/not-a-directive\n"
+    )
+    df = spark.createDataFrame([("a.com", body), ("b.com", "User-agent: *")],
+                               ["host", "body"])
+    out = [r["sitemap_url"] for r in sitemap_urls(df).orderBy("sitemap_url").collect()]
+    assert out == [
+        "https://a.com/s1.xml", "https://a.com/s2.xml", "https://a.com/s3.xml",
+    ]

@@ -1177,3 +1177,29 @@ def test_bpe_pair_counts(spark):
     # "aaab" the pairs are aa, aa, ab -> aa: 2*2=4, ab: 2*1 + 2*1 = 4;
     # the 4-4 tie breaks lexicographically
     assert out == [("aa", 4), ("ab", 4)]
+
+
+def test_corpus_shuffle_determinism_and_balance(spark):
+    from edgar_spark.operators.curation import corpus_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = corpus_shuffle(df, n_shards=4).collect()
+    b = corpus_shuffle(df.repartition(13), n_shards=4).collect()
+    # partition-layout-invariant: same (doc_id, shard, pos) triples
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for doc_id, shard, pos in map(tuple, a):
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, poss in by_shard.items():
+        # positions are dense 0..len-1 within each shard
+        assert sorted(poss) == list(range(len(poss)))
+        # hash balance: no shard holds more than half the corpus
+        assert len(poss) < 100
+    # hash order is not id order (it's a real shuffle): within shard 0,
+    # doc_ids ordered by pos must not be sorted
+    shard0_ids = [
+        doc_id for doc_id, shard, pos in sorted(map(tuple, a), key=lambda t: t[2])
+        if shard == 0
+    ]
+    assert shard0_ids != sorted(shard0_ids)
