@@ -172,6 +172,23 @@ OPERATOR_KEYS = [
     "line_quality_filter",
     "lexicon_classify",
     "politeness_bucket",
+    "dup_ngram_spans",
+    "bloom_decontaminate",
+    "recrawl_schedule",
+    "anchor_text_topk",
+    "redirect_resolve",
+    "crawl_budget",
+    "sitemap_extract",
+    "vocab_coverage",
+    "warc_parse",
+    "bpe_pair_counts",
+    "trap_detect",
+    "robots_sitemaps",
+    "corpus_shuffle",
+    "mime_sniff",
+    "http_headers",
+    "wet_extract",
+    "wat_links",
 ]
 
 

@@ -3580,6 +3580,402 @@ _QUERIES["robots_sitemaps"] = q_robots_sitemaps
 _ORACLES["robots_sitemaps"] = _ROBOTS_SITEMAP_ORACLE
 
 
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing over payloads synthesized from documents:
+    doc_id % 15 picks a magic-byte prefix (PNG/JPEG/GIF87a/GIF89a/PDF/
+    ZIP/GZIP/OGG/BMP), a container with its tag at a fixed offset
+    (RIFF+WAVE, RIFF+AVI, MP4 ftyp), plain text, leading-whitespace HTML,
+    or unprintable junk. The oracle replays the hex-prefix CASE chain and
+    the printable-ASCII fallback verbatim (sources/http.sniff_mime)."""
+    from edgar_spark.sources.http import sniff_mime
+
+    docs = _t(spark, sf_dir, "documents")
+    kind = (F.col("doc_id") % 15).cast("int")
+    body = F.encode(F.col("text"), "utf-8")
+
+    def mk(hexs: str):
+        return F.concat(F.unhex(F.lit(hexs)), body)
+
+    payload = (
+        F.when(kind == 0, mk("89504E47"))
+        .when(kind == 1, mk("FFD8FFE0"))
+        .when(kind == 2, mk("474946383761"))
+        .when(kind == 3, mk("474946383961"))
+        .when(kind == 4, mk("255044462D312E34"))
+        .when(kind == 5, mk("504B0304"))
+        .when(kind == 6, mk("1F8B08"))
+        .when(kind == 7, mk("4F676753"))
+        .when(kind == 8, mk("424D"))
+        .when(kind == 9, mk("52494646AABBCCDD57415645"))
+        .when(kind == 10, mk("52494646AABBCCDD41564920"))
+        .when(kind == 11, mk("0000001866747970"))
+        .when(kind == 12, body)
+        .when(
+            kind == 13,
+            F.encode(F.concat(F.lit("  <html><body>"), F.col("text")), "utf-8"),
+        )
+        .otherwise(mk("000102"))
+    )
+    return (
+        sniff_mime(docs.select("doc_id", payload.alias("payload")))
+        .select("doc_id", "mime")
+        .orderBy("doc_id")
+    )
+
+
+_PRINTABLE_SQL = (
+    "^(09|0A|0D|2[0-9A-F]|3[0-9A-F]|4[0-9A-F]|5[0-9A-F]|6[0-9A-F]|7[0-9A-E])*$"
+)
+
+_MIME_ORACLE = f"""
+    WITH p AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 15 AS INT)
+                    WHEN 0 THEN from_hex('89504E47') || encode(text)
+                    WHEN 1 THEN from_hex('FFD8FFE0') || encode(text)
+                    WHEN 2 THEN from_hex('474946383761') || encode(text)
+                    WHEN 3 THEN from_hex('474946383961') || encode(text)
+                    WHEN 4 THEN from_hex('255044462D312E34') || encode(text)
+                    WHEN 5 THEN from_hex('504B0304') || encode(text)
+                    WHEN 6 THEN from_hex('1F8B08') || encode(text)
+                    WHEN 7 THEN from_hex('4F676753') || encode(text)
+                    WHEN 8 THEN from_hex('424D') || encode(text)
+                    WHEN 9 THEN from_hex('52494646AABBCCDD57415645')
+                                || encode(text)
+                    WHEN 10 THEN from_hex('52494646AABBCCDD41564920')
+                                 || encode(text)
+                    WHEN 11 THEN from_hex('0000001866747970') || encode(text)
+                    WHEN 12 THEN encode(text)
+                    WHEN 13 THEN encode('  <html><body>' || text)
+                    ELSE from_hex('000102') || encode(text)
+               END AS payload
+        FROM documents
+    ), h AS (SELECT doc_id, payload, hex(payload) AS hx FROM p)
+    SELECT doc_id,
+           CASE WHEN starts_with(hx, '89504E47') THEN 'image/png'
+                WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
+                WHEN starts_with(hx, '474946383761') THEN 'image/gif'
+                WHEN starts_with(hx, '474946383961') THEN 'image/gif'
+                WHEN starts_with(hx, '255044462D') THEN 'application/pdf'
+                WHEN starts_with(hx, '504B0304') THEN 'application/zip'
+                WHEN starts_with(hx, '1F8B') THEN 'application/gzip'
+                WHEN starts_with(hx, '4F676753') THEN 'application/ogg'
+                WHEN starts_with(hx, '424D') THEN 'image/bmp'
+                WHEN starts_with(hx, '52494646')
+                     AND substr(hx, 17, 8) = '57415645' THEN 'audio/wav'
+                WHEN starts_with(hx, '52494646')
+                     AND substr(hx, 17, 8) = '41564920' THEN 'video/avi'
+                WHEN substr(hx, 9, 8) = '66747970' THEN 'video/mp4'
+                WHEN regexp_matches(left(hx, 128), '{_PRINTABLE_SQL}')
+                     AND regexp_matches(decode(payload), '^[ \\t\\r\\n]*<')
+                     THEN 'text/html'
+                WHEN regexp_matches(left(hx, 128), '{_PRINTABLE_SQL}')
+                     THEN 'text/plain'
+                ELSE 'application/octet-stream'
+           END AS mime
+    FROM h ORDER BY doc_id"""
+
+_QUERIES["mime_sniff"] = q_mime_sniff
+_ORACLES["mime_sniff"] = _MIME_ORACLE
+
+
+def q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP response-head parsing over CRLF-framed heads synthesized from
+    documents: status rotates {200,301,404,304,500}, Content-Type
+    alternates case to exercise (?i), ETag/Last-Modified/Location appear
+    on modular subsets so every field has present AND missing rows
+    (sources/http.parse_http_headers)."""
+    from edgar_spark.sources.http import parse_http_headers
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    crlf = "\r\n"
+    status = (
+        F.when(d % 5 == 0, "200")
+        .when(d % 5 == 1, "301")
+        .when(d % 5 == 2, "404")
+        .when(d % 5 == 3, "304")
+        .otherwise("500")
+    )
+    raw = F.concat(
+        F.lit("HTTP/1.1 "),
+        status,
+        F.lit(" St" + crlf),
+        F.when(
+            d % 2 == 0, F.lit("Content-Type: text/html; charset=utf-8" + crlf)
+        ).otherwise(F.lit("content-TYPE: application/json" + crlf)),
+        F.lit("Content-Length: "),
+        F.col("n_chars").cast("string"),
+        F.lit(crlf),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('ETag: "'),
+                F.substring(F.md5(d.cast("string")), 1, 8),
+                F.lit('"' + crlf),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("Last-Modified: Mon, 01 Jan 2024 00:00:0"),
+                (d % 10).cast("string"),
+                F.lit(" GMT" + crlf),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            status == "301",
+            F.concat(
+                F.lit("Location: https://example.com/r/"),
+                d.cast("string"),
+                F.lit(crlf),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("X-Crawl-Id: "),
+        d.cast("string"),
+        F.lit(crlf),
+    )
+    return (
+        parse_http_headers(docs.select("doc_id", raw.alias("raw")))
+        .select(
+            "doc_id",
+            "status",
+            "content_type",
+            "content_length",
+            "etag",
+            "last_modified",
+            "location",
+            "n_headers",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_HTTP_HEADERS_ORACLE = r"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '200' WHEN 1 THEN '301'
+                    WHEN 2 THEN '404' WHEN 3 THEN '304' ELSE '500'
+               END AS st
+        FROM documents
+    ), p AS (
+        SELECT doc_id,
+               concat('HTTP/1.1 ', st, ' St', chr(13), chr(10),
+                   CASE WHEN doc_id % 2 = 0
+                        THEN concat('Content-Type: text/html; charset=utf-8',
+                                    chr(13), chr(10))
+                        ELSE concat('content-TYPE: application/json',
+                                    chr(13), chr(10)) END,
+                   'Content-Length: ', CAST(n_chars AS VARCHAR),
+                   chr(13), chr(10),
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat('ETag: "',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                                 '"', chr(13), chr(10))
+                        ELSE '' END,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN concat('Last-Modified: Mon, 01 Jan 2024 00:00:0',
+                                 CAST(doc_id % 10 AS VARCHAR), ' GMT',
+                                 chr(13), chr(10))
+                        ELSE '' END,
+                   CASE WHEN st = '301'
+                        THEN concat('Location: https://example.com/r/',
+                                 CAST(doc_id AS VARCHAR), chr(13), chr(10))
+                        ELSE '' END,
+                   'X-Crawl-Id: ', CAST(doc_id AS VARCHAR), chr(13), chr(10)
+               ) AS raw
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(nullif(regexp_extract(raw,
+               '^HTTP/[0-9.]+[ \t]+([0-9]{3})', 1), '') AS INT) AS status,
+           nullif(trim(regexp_extract(raw,
+               '(?im)^content-type[ \t]*:[ \t]*([^\r\n]*)', 1)), '')
+               AS content_type,
+           CAST(nullif(trim(regexp_extract(raw,
+               '(?im)^content-length[ \t]*:[ \t]*([^\r\n]*)', 1)), '')
+               AS BIGINT) AS content_length,
+           nullif(trim(regexp_extract(raw,
+               '(?im)^etag[ \t]*:[ \t]*([^\r\n]*)', 1)), '') AS etag,
+           nullif(trim(regexp_extract(raw,
+               '(?im)^last-modified[ \t]*:[ \t]*([^\r\n]*)', 1)), '')
+               AS last_modified,
+           nullif(trim(regexp_extract(raw,
+               '(?im)^location[ \t]*:[ \t]*([^\r\n]*)', 1)), '') AS location,
+           CAST(len(regexp_extract_all(raw,
+               '(?m)^[A-Za-z][A-Za-z0-9-]*[ \t]*:')) AS INT) AS n_headers
+    FROM p ORDER BY doc_id"""
+
+_QUERIES["http_headers"] = q_http_headers
+_ORACLES["http_headers"] = _HTTP_HEADERS_ORACLE
+
+
+def q_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET derivation: documents text wrapped in a full HTML page (head,
+    style, script with a '<' inside, comment, entities, block tags) and
+    reduced back to visible text by the WET_RULES regex chain — script/
+    style/comment bodies dropped, block closes become newlines, entities
+    unescape once, whitespace collapses (parse/wet.html_to_text). The
+    oracle replays the identical RE2 rule chain."""
+    from edgar_spark.parse.wet import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "),
+        did,
+        F.lit("</title><style>body { color: red; }</style>"),
+        F.lit('<script type="text/javascript">var x = 1 < 2; // '),
+        did,
+        F.lit("</script></head><body><!-- hidden "),
+        did,
+        F.lit(" --><h1>Title &amp; "),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>tail &lt;ok&gt;&nbsp;&quot;q&#39;</div>"),
+        F.lit("<br><br><br></body></html>"),
+    )
+    return (
+        html_to_text(docs.select("doc_id", html.alias("html")))
+        .select("doc_id", "wet_text", "wet_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _wet_oracle_sql() -> str:
+    """Generated from parse.wet.WET_RULES so the oracle's regex chain is
+    the Spark chain by construction."""
+    from edgar_spark.parse.wet import WET_RULES
+
+    html = (
+        "concat('<!DOCTYPE html><html><head><title>Doc ',"
+        " CAST(doc_id AS VARCHAR),"
+        " '</title><style>body { color: red; }</style>',"
+        " '<script type=\"text/javascript\">var x = 1 < 2; // ',"
+        " CAST(doc_id AS VARCHAR),"
+        " '</script></head><body><!-- hidden ',"
+        " CAST(doc_id AS VARCHAR),"
+        " ' --><h1>Title &amp; ', source, '</h1><p>', text,"
+        " '</p><div>tail &lt;ok&gt;&nbsp;&quot;q&#39;</div>',"
+        " '<br><br><br></body></html>')"
+    )
+    expr = "html"
+    for pat, repl in WET_RULES:
+        p = pat.replace("'", "''")
+        if repl == "\n":
+            r = "chr(10)"
+        elif repl == "\n\n":
+            r = "concat(chr(10), chr(10))"
+        else:
+            r = "'" + repl.replace("'", "''") + "'"
+        expr = f"regexp_replace({expr}, '{p}', {r}, 'g')"
+    return f"""
+    WITH h AS (SELECT doc_id, {html} AS html FROM documents),
+    w AS (SELECT doc_id, trim({expr}) AS wet_text FROM h)
+    SELECT doc_id, wet_text, CAST(length(wet_text) AS INT) AS wet_chars
+    FROM w ORDER BY doc_id"""
+
+
+_QUERIES["wet_extract"] = q_wet_extract
+_ORACLES["wet_extract"] = _wet_oracle_sql()
+
+
+def q_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT derivation: each document becomes a page at
+    https://<source>.example.com/a/b/page<id>.html carrying seven anchors
+    — absolute (with &amp; in the query string), protocol-relative,
+    root-relative, directory-relative, fragment, javascript: and mailto:
+    (the last three drop). extract_links resolves against the page URL;
+    the oracle replays extraction + resolution (parse/wet.extract_links)."""
+    from edgar_spark.parse.wet import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/a/b/page"),
+        did, F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<p>Links</p><a href="https://abs.example.com/x?id='),
+        did,
+        F.lit('&amp;v=1">Abs '),
+        did,
+        F.lit('</a><A HREF="//cdn.example.com/lib.js">proto<b>rel</b></A>'),
+        F.lit('<a href="/root/'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">Root link</a><a href="rel/'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.html"> relative  path </a><a href="#frag">frag</a>'),
+        F.lit('<a href="javascript:void(0)">js</a>'),
+        F.lit('<a class="m" href="mailto:a@b.c">mail</a>'),
+    )
+    return extract_links(
+        docs.select(url.alias("url"), html.alias("html"))
+    ).orderBy("src", "dst_url", "anchor")
+
+
+_WAT_LINKS_ORACLE = r"""
+    WITH pages AS (
+        SELECT concat('https://', source, '.example.com/a/b/page',
+                      CAST(doc_id AS VARCHAR), '.html') AS src_url,
+               concat('<p>Links</p><a href="https://abs.example.com/x?id=',
+                   CAST(doc_id AS VARCHAR), '&amp;v=1">Abs ',
+                   CAST(doc_id AS VARCHAR),
+                   '</a><A HREF="//cdn.example.com/lib.js">proto<b>rel</b></A>',
+                   '<a href="/root/', CAST(doc_id % 7 AS VARCHAR),
+                   '">Root link</a><a href="rel/', CAST(doc_id % 5 AS VARCHAR),
+                   '.html"> relative  path </a><a href="#frag">frag</a>',
+                   '<a href="javascript:void(0)">js</a>',
+                   '<a class="m" href="mailto:a@b.c">mail</a>') AS html
+        FROM documents
+    ), elems AS (
+        SELECT src_url,
+               lower(regexp_extract(src_url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(src_url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+               CASE WHEN regexp_extract(src_url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+                    THEN '/'
+                    ELSE regexp_replace(regexp_extract(src_url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                        '[^/]*$', '') END AS dir,
+               unnest(regexp_extract_all(html,
+                   '(?is)<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>.*?</a\s*>', 0)) AS a
+        FROM pages
+    ), parsed AS (
+        SELECT src_url AS src, scheme, host, dir,
+               regexp_replace(regexp_extract(a,
+                   '(?is)href\s*=\s*"([^"]*)"', 1), '&amp;', '&', 'g') AS href,
+               trim(regexp_replace(regexp_replace(regexp_extract(a,
+                   '(?is)>(.*)</a\s*>$', 1), '(?s)<[^>]*>', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS anchor
+        FROM elems
+    ), resolved AS (
+        SELECT src,
+               CASE WHEN href = '' THEN NULL
+                    WHEN starts_with(href, '#') THEN NULL
+                    WHEN regexp_matches(href, '(?i)^(javascript|mailto|tel):')
+                         THEN NULL
+                    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                         THEN href
+                    WHEN starts_with(href, '//')
+                         THEN concat(scheme, ':', href)
+                    WHEN starts_with(href, '/')
+                         THEN concat(scheme, '://', host, href)
+                    ELSE concat(scheme, '://', host, dir, href)
+               END AS dst_url,
+               anchor
+        FROM parsed
+    )
+    SELECT src, dst_url, anchor FROM resolved
+    WHERE dst_url IS NOT NULL ORDER BY src, dst_url, anchor"""
+
+_QUERIES["wat_links"] = q_wat_links
+_ORACLES["wat_links"] = _WAT_LINKS_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

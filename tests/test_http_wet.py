@@ -1,0 +1,154 @@
+"""Unit tests for fetch post-processing (sources/http.py) and WET/WAT
+derivation (parse/wet.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _payload_df(spark, payloads: list[bytes]):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+    )
+
+
+def test_sniff_mime_magic_table(spark):
+    from edgar_spark.sources.http import sniff_mime
+
+    cases = [
+        (b"\x89PNG\r\n\x1a\nrest", "image/png"),
+        (b"\xff\xd8\xff\xe1exif", "image/jpeg"),
+        (b"GIF87a.....", "image/gif"),
+        (b"GIF89a.....", "image/gif"),
+        (b"%PDF-1.7 blah", "application/pdf"),
+        (b"PK\x03\x04zipzip", "application/zip"),
+        (b"\x1f\x8b\x08gz", "application/gzip"),
+        (b"OggS\x00vorbis", "application/ogg"),
+        (b"BM\x36\x00bmp", "image/bmp"),
+        (b"RIFF\x04\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (b"RIFF\x04\x00\x00\x00AVI LIST", "video/avi"),
+        (b"\x00\x00\x00\x18ftypisom", "video/mp4"),
+        (b"plain words here", "text/plain"),
+        (b"  \t\n<!DOCTYPE html><p>x</p>", "text/html"),
+        (b"<html><body>y", "text/html"),
+        (b"\x00\x01\x02junk", "application/octet-stream"),
+        # RIFF with an unknown tag is neither wav nor avi; the binary
+        # size bytes make it unprintable -> octet-stream
+        (b"RIFF\x04\x00\x00\x00XXXX", "application/octet-stream"),
+    ]
+    out = sniff_mime(_payload_df(spark, [c[0] for c in cases]))
+    got = {r["doc_id"]: r["mime"] for r in out.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]} != {want}"
+
+
+def test_sniff_mime_window_bounds_text_check(spark):
+    from edgar_spark.sources.http import sniff_mime
+
+    # printable inside the 8-byte window, junk after it: the sniff only
+    # reads the window, so this is text/plain by contract
+    p = b"abcdefgh" + b"\x00\xff" * 8
+    out = sniff_mime(_payload_df(spark, [p]), window=8).collect()
+    assert out[0]["mime"] == "text/plain"
+
+
+def test_parse_http_headers_fields_and_framing(spark):
+    from edgar_spark.sources.http import parse_http_headers
+
+    crlf_head = (
+        "HTTP/1.1 301 Moved Permanently\r\n"
+        "content-TYPE: text/html; charset=ISO-8859-1\r\n"
+        "Content-Length: 219\r\n"
+        'ETag: "abc123"\r\n'
+        "Last-Modified: Wed, 01 Mar 2023 00:00:00 GMT\r\n"
+        "Location: https://example.com/new\r\n"
+    )
+    lf_head = "HTTP/1.0 200 OK\nContent-Type: text/plain\n"
+    no_status = "X-Only: 1\n"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "raw": [crlf_head, lf_head, no_status]})
+    )
+    rows = {r["doc_id"]: r for r in parse_http_headers(df).collect()}
+    r0 = rows[0]
+    assert r0["status"] == 301
+    # CR never leaks into values under CRLF framing
+    assert r0["content_type"] == "text/html; charset=ISO-8859-1"
+    assert r0["content_length"] == 219
+    assert r0["etag"] == '"abc123"'
+    assert r0["last_modified"] == "Wed, 01 Mar 2023 00:00:00 GMT"
+    assert r0["location"] == "https://example.com/new"
+    assert r0["n_headers"] == 5
+    r1 = rows[1]
+    assert r1["status"] == 200 and r1["content_type"] == "text/plain"
+    assert r1["etag"] is None and r1["location"] is None
+    assert r1["n_headers"] == 1
+    r2 = rows[2]
+    assert r2["status"] is None and r2["n_headers"] == 1
+
+
+def test_html_to_text_rules(spark):
+    from edgar_spark.parse.wet import html_to_text
+
+    html = (
+        "<html><head><title>T</title>"
+        "<style>p { a: b; }</style>"
+        "<script>if (1 < 2) { alert('<p>'); }</script>"
+        "</head><body><!-- secret -->"
+        "<h1>Head</h1><p>one &amp; two &lt;three&gt;</p>"
+        "<p>a  b\tc</p><br><br><br><br>"
+        "<div>&quot;q&#39;&nbsp;end</div></body></html>"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "html": [html]}))
+    row = html_to_text(df).collect()[0]
+    txt = row["wet_text"]
+    assert "secret" not in txt  # comment dropped
+    assert "alert" not in txt  # script body dropped
+    assert "a: b" not in txt  # style body dropped
+    assert "one & two <three>" in txt  # entities decode once
+    assert "a b c" in txt  # whitespace collapsed
+    assert "\"q'" in txt and " " not in txt
+    assert "\n\n\n" not in txt  # blank-run cap
+    # block closes keep Head / paragraphs on separate lines
+    lines = txt.split("\n")
+    assert lines[0] == "T" and "Head" in lines[1]
+    assert row["wet_chars"] == len(txt)
+
+
+def test_extract_links_resolution(spark):
+    from edgar_spark.parse.wet import extract_links
+
+    html = (
+        '<a href="https://other.com/abs?a=1&amp;b=2">Abs <b>link</b></a>'
+        '<A HREF="//cdn.com/x.js">proto</A>'
+        '<a href="/root">root</a>'
+        '<a href="sub/page.html">rel</a>'
+        '<a href="#frag">skip</a>'
+        '<a href="javascript:void(0)">skip</a>'
+        '<a href="MAILTO:a@b.c">skip</a>'
+        '<a name="no-href">skip</a>'
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://Example.com/a/b/c.html"], "html": [html]})
+    )
+    rows = extract_links(df).orderBy("dst_url").collect()
+    got = {r["dst_url"]: r["anchor"] for r in rows}
+    assert got == {
+        "https://other.com/abs?a=1&b=2": "Abs link",  # &amp; unescaped, tags stripped
+        "https://cdn.com/x.js": "proto",  # page scheme adopted
+        "https://example.com/root": "root",  # host lowercased
+        "https://example.com/a/b/sub/page.html": "rel",  # dir-relative
+    }
+
+
+def test_extract_links_bare_host_dir(spark):
+    from edgar_spark.parse.wet import extract_links
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["https://h.com"], "html": ['<a href="x.html">x</a>']}
+        )
+    )
+    rows = extract_links(df).collect()
+    # empty page path resolves relative links against "/"
+    assert rows[0]["dst_url"] == "https://h.com/x.html"

@@ -117,6 +117,22 @@ AUDITS = {
     # terms (the only other join is the id-keyed spine join for no-hit
     # docs — an id shuffle is the correct plan there, so no !SMJ check)
     "lexicon_classify": ["Generate", "BroadcastHashJoin"],
+    # trap detection: URLs collapse to (host, pattern) partial-agg counts
+    # FIRST; the top-1 pick and host totals share one host-partitioned
+    # Window pass — never a join, never a distinct over raw URLs
+    "trap_detect": ["HashAggregate", "Window", "!Join"],
+    # training shuffle: ONE hash shuffle on the shard key; per-shard
+    # window ranks locally — never a global single-reducer sort
+    "corpus_shuffle": ["Window", "!Exchange SinglePartition", "!Join"],
+    # sitemap directives: per-page multiline regex explode, pure codegen
+    "robots_sitemaps": ["Generate", "!Join"],
+    # MIME sniff / header parse / WET text: per-row codegen projections —
+    # no join, no aggregate; the only exchange is the display sort
+    "mime_sniff": ["Project", "!Join", "!HashAggregate"],
+    "http_headers": ["Project", "!Join", "!HashAggregate"],
+    "wet_extract": ["Project", "!Join", "!HashAggregate"],
+    # WAT outlinks: anchor-element explode over the scan, still no join
+    "wat_links": ["Generate", "!Join", "!HashAggregate"],
 }
 
 
