@@ -189,6 +189,8 @@ OPERATOR_KEYS = [
     "http_headers",
     "wet_extract",
     "wat_links",
+    "cdx_latest",
+    "html_meta",
 ]
 
 

@@ -76,6 +76,87 @@ def url_pattern(url: Column) -> Column:
     return F.concat(host, F.regexp_replace(path, "[0-9]+", "N"))
 
 
+def surt_key(url: Column) -> Column:
+    """Sort-friendly URI Reordering Transform (SURT) key — the Internet
+    Archive / Common-Crawl CDX index sort key: host labels lowercased,
+    a single leading ``www.`` dropped, labels reversed and comma-joined,
+    ``:port`` kept after the labels, then ``)`` + path (empty → ``/``) +
+    ``?`` + the query with parameters sorted — so
+    ``https://WWW.Example.com/a?b=2&a=1`` and
+    ``https://example.com/a?a=1&b=2`` share one key.
+
+    Pure column expression: splits/reverses/sorts run in codegen, no
+    Python — at index-build scale the key costs only the scan it rides.
+    The param sort is a plain lexicographic ``array_sort`` over ``&``
+    splits; values are not re-encoded (canonicalize() upstream owns
+    escaping), which keeps the transform reproducible in ANSI SQL.
+    """
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(F.regexp_extract(hostport, r"^([^:]*)", 1), r"^www\.", "")
+    port = F.regexp_extract(hostport, r"(:[0-9]+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        rev,
+        port,
+        F.lit(")"),
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
+def cdx_latest(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """CDX-style capture index: collapse a capture log to one row per
+    SURT key carrying the LATEST capture plus revisit statistics —
+    (surt, url, last_ts, digest, n_captures, n_distinct_digests).
+    ``n_distinct_digests`` is the change signal `schedule.recrawl_schedule`
+    consumes (1 = static page, ≈n_captures = churning page).
+
+    Plan: one shuffle on the surt key; the top-1-per-key window compiles
+    to WindowGroupLimit (partial top-1 map-side), and the capture/digest
+    counts ride the same partitioning — no second exchange, no join. At
+    10^10 captures the surt key is near-unique per page so there is no
+    skew; a hot key is a recrawl storm on ONE page and stays bounded by
+    the politeness budget upstream.
+    """
+    from pyspark.sql import Window
+
+    keyed = captures.select(
+        surt_key(F.col(url_col)).alias("surt"),
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(digest_col).alias("digest"),
+    )
+    w = Window.partitionBy("surt").orderBy(
+        F.col("ts").desc(), F.col("digest").desc(), F.col("url")
+    )
+    ws = Window.partitionBy("surt")
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_captures", F.count("*").over(ws))
+        .withColumn(
+            "n_distinct_digests", F.size(F.collect_set("digest").over(ws))
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "surt",
+            "url",
+            F.col("ts").alias("last_ts"),
+            "digest",
+            "n_captures",
+            "n_distinct_digests",
+        )
+    )
+
+
 def trap_hosts(
     urls: DataFrame,
     url_col: str = "url",

@@ -3976,6 +3976,297 @@ _QUERIES["wat_links"] = q_wat_links
 _ORACLES["wat_links"] = _WAT_LINKS_ORACLE
 
 
+def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture-index build over a synthesized capture log: doc_id%100
+    picks the page, (doc_id div 100)%5 the URL spelling — WWW+mixed-case
+    +swapped query params, plain, :8080 port, query-less, and www
+    query-less — so alias spellings of one page collapse onto one SURT
+    key while the port/query variants stay distinct entries. Even pages
+    are static (digest keyed by page → 1 distinct digest), odd pages
+    churn (digest keyed by text). The oracle replays the SURT transform
+    and the latest-capture pick in SQL
+    (frontier/canonical.surt_key + cdx_latest)."""
+    from edgar_spark.frontier.canonical import cdx_latest
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pid = d % 100
+    host = F.element_at(
+        F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma")),
+        (pid % 3 + 1).cast("int"),
+    )
+    style = F.expr("(doc_id div 100) % 5")
+    ps = pid.cast("string")
+    url = (
+        F.when(
+            style == 0,
+            F.concat(
+                F.lit("https://WWW."), host, F.lit(".Example.com/p/"), ps,
+                F.lit("?b=2&a=1"),
+            ),
+        )
+        .when(
+            style == 1,
+            F.concat(
+                F.lit("https://"), host, F.lit(".example.com/p/"), ps,
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            style == 2,
+            F.concat(
+                F.lit("https://"), host, F.lit(".example.com:8080/p/"), ps
+            ),
+        )
+        .when(
+            style == 3,
+            F.concat(F.lit("https://"), host, F.lit(".example.com/p/"), ps),
+        )
+        .otherwise(
+            F.concat(F.lit("https://www."), host, F.lit(".example.com/p/"), ps)
+        )
+    )
+    digest = F.when(pid % 2 == 0, F.md5(ps)).otherwise(F.md5(F.col("text")))
+    caps = docs.select(
+        url.alias("url"), d.alias("warc_ts"), digest.alias("digest")
+    )
+    return cdx_latest(caps).orderBy("surt")
+
+
+_CDX_ORACLE = r"""
+    WITH caps AS (
+        SELECT CASE CAST((doc_id // 100) % 5 AS INT)
+                 WHEN 0 THEN 'https://WWW.' || h || '.Example.com/p/' || ps
+                             || '?b=2&a=1'
+                 WHEN 1 THEN 'https://' || h || '.example.com/p/' || ps
+                             || '?a=1&b=2'
+                 WHEN 2 THEN 'https://' || h || '.example.com:8080/p/' || ps
+                 WHEN 3 THEN 'https://' || h || '.example.com/p/' || ps
+                 ELSE 'https://www.' || h || '.example.com/p/' || ps
+               END AS url,
+               doc_id AS warc_ts,
+               CASE WHEN (doc_id % 100) % 2 = 0 THEN md5(ps)
+                    ELSE md5(text) END AS digest
+        FROM (
+            SELECT doc_id, text,
+                   CAST(doc_id % 100 AS VARCHAR) AS ps,
+                   CASE CAST((doc_id % 100) % 3 AS INT)
+                        WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                        ELSE 'gamma' END AS h
+            FROM documents
+        )
+    ), keyed AS (
+        SELECT url, warc_ts AS ts, digest,
+               concat(
+                   array_to_string(list_reverse(string_split(
+                       regexp_replace(regexp_extract(
+                           lower(regexp_extract(url,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                           '^([^:]*)', 1), '^www\.', ''), '.')), ','),
+                   regexp_extract(
+                       lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                       '(:[0-9]+)$', 1),
+                   ')',
+                   CASE WHEN regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+                           = '' THEN '/'
+                        ELSE regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+                   END,
+                   CASE WHEN regexp_extract(url, '\?([^#]*)', 1) = '' THEN ''
+                        ELSE '?' || array_to_string(list_sort(string_split(
+                            regexp_extract(url, '\?([^#]*)', 1), '&')), '&')
+                   END
+               ) AS surt
+        FROM caps
+    ), ranked AS (
+        SELECT surt, url, ts, digest,
+               row_number() OVER (
+                   PARTITION BY surt
+                   ORDER BY ts DESC, digest DESC, url) AS rn
+        FROM keyed
+    ), stats AS (
+        SELECT surt, COUNT(*) AS n_captures,
+               COUNT(DISTINCT digest) AS n_distinct_digests
+        FROM keyed GROUP BY surt
+    )
+    SELECT r.surt, r.url, r.ts AS last_ts, r.digest,
+           s.n_captures, CAST(s.n_distinct_digests AS INT)
+               AS n_distinct_digests
+    FROM ranked r JOIN stats s USING (surt)
+    WHERE r.rn = 1 ORDER BY r.surt"""
+
+_QUERIES["cdx_latest"] = q_cdx_latest
+_ORACLES["cdx_latest"] = _CDX_ORACLE
+
+
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction over pages synthesized from documents:
+    title (with an embedded newline; absent when doc_id%7==0), meta
+    description in name-first / content-first / absent rotation, charset
+    as <meta charset> vs legacy http-equiv, link rel=canonical in both
+    attribute orders, and a robots rotation covering 'noindex, nofollow',
+    'NOFOLLOW', 'all', the word-boundary trap 'nonoindexed', and absent
+    (parse/headmeta.extract_meta). The oracle replays every extract."""
+    from edgar_spark.parse.headmeta import extract_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    title = F.when(
+        d % 7 == 0, F.lit("")
+    ).otherwise(F.concat(F.lit("<title>Doc\n  "), ds, F.lit(" </title>")))
+    desc = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<meta name="description" content="About doc '),
+                ds,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit('<meta content="Rev doc '),
+                ds,
+                F.lit('" name="description">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    charset = F.when(
+        d % 2 == 0, F.lit('<meta charset="UTF-8">')
+    ).otherwise(
+        F.lit(
+            '<meta http-equiv="Content-Type"'
+            ' content="text/html; charset=iso-8859-1">'
+        )
+    )
+    canon = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://c.example.com/'),
+                ds,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit('<link href="https://c.example.com/r'),
+                ds,
+                F.lit('" rel="canonical">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    robots = (
+        F.when(d % 5 == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(d % 5 == 1, F.lit('<meta content="NOFOLLOW" name="robots">'))
+        .when(d % 5 == 2, F.lit('<meta name="robots" content="all">'))
+        .when(d % 5 == 3, F.lit('<meta name="robots" content="nonoindexed">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), title, desc, charset, canon, robots,
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    return (
+        extract_meta(docs.select("doc_id", html.alias("html")))
+        .select(
+            "doc_id", "title", "meta_description", "charset",
+            "canonical_url", "noindex", "nofollow",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_HTML_META_ORACLE = r"""
+    WITH p AS (
+        SELECT doc_id,
+               concat('<html><head>',
+                   CASE WHEN doc_id % 7 = 0 THEN ''
+                        ELSE concat('<title>Doc', chr(10), '  ',
+                                    CAST(doc_id AS VARCHAR), ' </title>') END,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat('<meta name="description"',
+                                    ' content="About doc ',
+                                    CAST(doc_id AS VARCHAR), '">')
+                        WHEN doc_id % 3 = 1
+                        THEN concat('<meta content="Rev doc ',
+                                    CAST(doc_id AS VARCHAR),
+                                    '" name="description">')
+                        ELSE '' END,
+                   CASE WHEN doc_id % 2 = 0 THEN '<meta charset="UTF-8">'
+                        ELSE concat('<meta http-equiv="Content-Type"',
+                             ' content="text/html; charset=iso-8859-1">') END,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN concat('<link rel="canonical"',
+                                    ' href="https://c.example.com/',
+                                    CAST(doc_id AS VARCHAR), '">')
+                        WHEN doc_id % 4 = 1
+                        THEN concat('<link href="https://c.example.com/r',
+                                    CAST(doc_id AS VARCHAR),
+                                    '" rel="canonical">')
+                        ELSE '' END,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN '<meta name="robots" content="noindex, nofollow">'
+                        WHEN doc_id % 5 = 1
+                        THEN '<meta content="NOFOLLOW" name="robots">'
+                        WHEN doc_id % 5 = 2
+                        THEN '<meta name="robots" content="all">'
+                        WHEN doc_id % 5 = 3
+                        THEN '<meta name="robots" content="nonoindexed">'
+                        ELSE '' END,
+                   '</head><body><p>', text, '</p></body></html>') AS html
+        FROM documents
+    ), x AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_extract(html,
+                   '(?is)<title[^>]*>(.*?)</title\s*>', 1),
+                   '\s+', ' ', 'g')) AS title_raw,
+               regexp_extract(html,
+                   '(?is)<meta\s[^>]*name\s*=\s*"description"[^>]*content\s*=\s*"([^"]*)"',
+                   1) AS desc_fwd,
+               regexp_extract(html,
+                   '(?is)<meta\s[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*"description"',
+                   1) AS desc_rev,
+               lower(regexp_extract(html,
+                   '(?is)<meta\s[^>]*charset\s*=\s*["'']?([A-Za-z0-9_.:-]+)',
+                   1)) AS charset_raw,
+               regexp_extract(html,
+                   '(?is)<link\s[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)"',
+                   1) AS canon_fwd,
+               regexp_extract(html,
+                   '(?is)<link\s[^>]*href\s*=\s*"([^"]*)"[^>]*rel\s*=\s*"canonical"',
+                   1) AS canon_rev,
+               lower(coalesce(nullif(CASE WHEN regexp_extract(html,
+                   '(?is)<meta\s[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"',
+                   1) <> '' THEN regexp_extract(html,
+                   '(?is)<meta\s[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"',
+                   1) ELSE regexp_extract(html,
+                   '(?is)<meta\s[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*"robots"',
+                   1) END, ''), '')) AS robots
+        FROM p
+    )
+    SELECT doc_id,
+           nullif(title_raw, '') AS title,
+           nullif(CASE WHEN desc_fwd <> '' THEN desc_fwd ELSE desc_rev END,
+                  '') AS meta_description,
+           nullif(charset_raw, '') AS charset,
+           nullif(CASE WHEN canon_fwd <> '' THEN canon_fwd ELSE canon_rev END,
+                  '') AS canonical_url,
+           regexp_matches(robots, '\bnoindex\b') AS noindex,
+           regexp_matches(robots, '\bnofollow\b') AS nofollow
+    FROM x ORDER BY doc_id"""
+
+_QUERIES["html_meta"] = q_html_meta
+_ORACLES["html_meta"] = _HTML_META_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

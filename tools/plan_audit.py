@@ -133,6 +133,11 @@ AUDITS = {
     "wet_extract": ["Project", "!Join", "!HashAggregate"],
     # WAT outlinks: anchor-element explode over the scan, still no join
     "wat_links": ["Generate", "!Join", "!HashAggregate"],
+    # CDX index: ONE shuffle on the surt key; latest-pick + capture
+    # stats share the same Window partitioning — no join, no second agg
+    "cdx_latest": ["Window", "!Join", "!HashAggregate"],
+    # head metadata: per-row codegen extracts only
+    "html_meta": ["Project", "!Join", "!HashAggregate"],
 }
 
 
