@@ -191,6 +191,8 @@ OPERATOR_KEYS = [
     "wat_links",
     "cdx_latest",
     "html_meta",
+    "host_graph",
+    "snapshot_diff",
 ]
 
 

@@ -190,3 +190,47 @@ def crawl_budget(
         .cast("long")
         .alias("alloc"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental-crawl diff between two capture snapshots —
+    (key, status ∈ {added, gone, changed, unchanged}, old_digest,
+    new_digest).
+
+    This is the change-detection join an incremental pipeline runs every
+    wave: ``changed``+``added`` feed re-extraction and downstream
+    recomputation, ``changed`` resets `recrawl_schedule`'s backoff,
+    ``gone`` drives tombstoning. The reference never diffs — its corpus
+    is append-only immutable filings (folder.go:42-65).
+
+    Plan: ONE full-outer join on the key; both sides shuffle on url
+    unless the snapshot tables are already bucketed/sorted on it (the
+    icelite layout), where it degrades to a zip of co-located partitions.
+    Status is a codegen CASE over null-ness + digest equality — no
+    second pass, nothing driver-resident, and the output is linear in
+    the union of the snapshots.
+    """
+    o = old.select(
+        F.col(key_col).alias("k"), F.col(digest_col).alias("old_digest")
+    )
+    n = new.select(
+        F.col(key_col).alias("k"), F.col(digest_col).alias("new_digest")
+    )
+    joined = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "gone")
+        .when(F.col("old_digest") == F.col("new_digest"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        status.alias("status"),
+        "old_digest",
+        "new_digest",
+    )

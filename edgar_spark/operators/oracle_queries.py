@@ -4267,6 +4267,125 @@ _QUERIES["html_meta"] = q_html_meta
 _ORACLES["html_meta"] = _HTML_META_ORACLE
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph contraction over a synthesized page-level link graph:
+    each document is a page on host h(doc_id%5) with three outlinks —
+    same-host nav (internal self-loop), next host round-robin, and a
+    global hub host (the skew case the (pair, src) pre-aggregation
+    absorbs). The oracle replays explode + contraction in SQL
+    (operators/graph.host_graph)."""
+    from edgar_spark.operators.graph import host_graph
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example.com"))
+    src = F.concat(F.lit("https://"), h, F.lit("/p/"), ds)
+    dsts = F.array(
+        F.concat(F.lit("https://"), h, F.lit("/nav")),
+        F.concat(
+            F.lit("https://h"),
+            ((d + 1) % 5).cast("string"),
+            F.lit(".example.com/x/"),
+            (d % 3).cast("string"),
+        ),
+        F.lit("https://hub.example.com/"),
+    )
+    edges = docs.select(src.alias("src"), F.explode(dsts).alias("dst_url"))
+    return host_graph(edges).orderBy("src_host", "dst_host")
+
+
+_HOST_GRAPH_ORACLE = r"""
+    WITH pages AS (
+        SELECT concat('h', CAST(doc_id % 5 AS VARCHAR), '.example.com') AS h,
+               doc_id
+        FROM documents
+    ), edges AS (
+        SELECT concat('https://', h, '/p/', CAST(doc_id AS VARCHAR)) AS src,
+               unnest([
+                   concat('https://', h, '/nav'),
+                   concat('https://h', CAST((doc_id + 1) % 5 AS VARCHAR),
+                          '.example.com/x/', CAST(doc_id % 3 AS VARCHAR)),
+                   'https://hub.example.com/'
+               ]) AS dst_url
+        FROM pages
+    )
+    SELECT lower(regexp_extract(src,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS src_host,
+           lower(regexp_extract(dst_url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host,
+           COUNT(*) AS n_links,
+           COUNT(DISTINCT src) AS n_src_pages,
+           lower(regexp_extract(src,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+             = lower(regexp_extract(dst_url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS internal
+    FROM edges
+    GROUP BY 1, 2
+    ORDER BY src_host, dst_host"""
+
+_QUERIES["host_graph"] = q_host_graph
+_ORACLES["host_graph"] = _HOST_GRAPH_ORACLE
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl change detection between two synthesized
+    capture snapshots: the old snapshot is every document; in the new
+    one doc_id%10==0 pages vanish (gone), %10==1 pages change text
+    (digest differs), %10==2 docs additionally contribute a brand-new
+    URL (added), the rest are unchanged. The oracle replays the
+    full-outer digest-compare join (frontier/schedule.snapshot_diff)."""
+    from edgar_spark.frontier.schedule import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://s.example.com/p/"), d.cast("string"))
+    old = docs.select(url.alias("url"), F.md5(F.col("text")).alias("digest"))
+    survivors = docs.filter(d % 10 != 0).select(
+        url.alias("url"),
+        F.when(
+            d % 10 == 1, F.md5(F.concat(F.col("text"), F.lit("v2")))
+        ).otherwise(F.md5(F.col("text"))).alias("digest"),
+    )
+    added = docs.filter(d % 10 == 2).select(
+        F.concat(url, F.lit("/new")).alias("url"),
+        F.md5(F.concat(F.lit("new"), F.col("text"))).alias("digest"),
+    )
+    return snapshot_diff(old, survivors.unionByName(added)).orderBy("url")
+
+
+_SNAPSHOT_DIFF_ORACLE = r"""
+    WITH old AS (
+        SELECT concat('https://s.example.com/p/', CAST(doc_id AS VARCHAR))
+                   AS url,
+               md5(text) AS digest
+        FROM documents
+    ), new AS (
+        SELECT concat('https://s.example.com/p/', CAST(doc_id AS VARCHAR))
+                   AS url,
+               CASE WHEN doc_id % 10 = 1 THEN md5(text || 'v2')
+                    ELSE md5(text) END AS digest
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT concat('https://s.example.com/p/', CAST(doc_id AS VARCHAR),
+                      '/new') AS url,
+               md5('new' || text) AS digest
+        FROM documents WHERE doc_id % 10 = 2
+    )
+    SELECT coalesce(o.url, n.url) AS url,
+           CASE WHEN o.digest IS NULL THEN 'added'
+                WHEN n.digest IS NULL THEN 'gone'
+                WHEN o.digest = n.digest THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.digest AS old_digest,
+           n.digest AS new_digest
+    FROM old o FULL OUTER JOIN new n ON o.url = n.url
+    ORDER BY url"""
+
+_QUERIES["snapshot_diff"] = q_snapshot_diff
+_ORACLES["snapshot_diff"] = _SNAPSHOT_DIFF_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -1,0 +1,67 @@
+"""Unit tests for host-graph contraction (operators/graph.py) and
+snapshot diffing (frontier/schedule.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def test_host_graph_contraction(spark):
+    from edgar_spark.operators.graph import host_graph
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "src": [
+                    "https://A.com/p1",
+                    "https://a.com/p1",  # same page, second link to b
+                    "https://a.com/p2",
+                    "https://b.com/x",
+                ],
+                "dst_url": [
+                    "https://b.com/t",
+                    "https://b.com/u",
+                    "https://b.com/t",
+                    "https://b.com/self",
+                ],
+            }
+        )
+    )
+    rows = {(r["src_host"], r["dst_host"]): r for r in host_graph(edges).collect()}
+    ab = rows[("a.com", "b.com")]
+    # 3 links from 2 distinct pages (A.com/p1 vs a.com/p1 differ as strings
+    # — canonicalize upstream owns case folding of the page URL itself)
+    assert ab["n_links"] == 3
+    assert ab["n_src_pages"] == 3
+    assert ab["internal"] is False
+    bb = rows[("b.com", "b.com")]
+    assert (bb["n_links"], bb["n_src_pages"], bb["internal"]) == (1, 1, True)
+
+
+def test_snapshot_diff_statuses(spark):
+    from edgar_spark.frontier.schedule import snapshot_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1", "u2", "u3"],
+                "digest": ["d1", "d2", "d3"],
+            }
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1", "u2", "u4"],
+                "digest": ["d1", "d2x", "d4"],
+            }
+        )
+    )
+    rows = {r["url"]: r for r in snapshot_diff(old, new).collect()}
+    assert rows["u1"]["status"] == "unchanged"
+    assert rows["u2"]["status"] == "changed"
+    assert (rows["u2"]["old_digest"], rows["u2"]["new_digest"]) == ("d2", "d2x")
+    assert rows["u3"]["status"] == "gone"
+    assert rows["u3"]["new_digest"] is None
+    assert rows["u4"]["status"] == "added"
+    assert rows["u4"]["old_digest"] is None

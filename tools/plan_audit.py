@@ -138,6 +138,12 @@ AUDITS = {
     "cdx_latest": ["Window", "!Join", "!HashAggregate"],
     # head metadata: per-row codegen extracts only
     "html_meta": ["Project", "!Join", "!HashAggregate"],
+    # host-graph contraction: (pair, src) partial agg collapses the raw
+    # edge set map-side before the distinct count — aggregation, no join
+    "host_graph": ["HashAggregate", "!Join"],
+    # snapshot diff: ONE full-outer sort-merge join on the url key
+    # (full-outer cannot broadcast); status is a codegen CASE on top
+    "snapshot_diff": ["SortMergeJoin", "!BroadcastHashJoin"],
 }
 
 
