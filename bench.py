@@ -193,6 +193,8 @@ OPERATOR_KEYS = [
     "html_meta",
     "host_graph",
     "snapshot_diff",
+    "containment",
+    "dsir_weights",
 ]
 
 

@@ -142,6 +142,56 @@ def ngram_jaccard(
     )
 
 
+def ngram_containment(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    n: int = 3,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric word-n-gram containment over candidate pairs —
+    ``C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|`` (Broder's containment
+    companion to resemblance). This is the quote/superset detector that
+    symmetric Jaccard misses: a paragraph quoted verbatim inside a much
+    larger page scores Jaccard ≈ |A|/|B| ≈ 0 but containment_a = 1.0 —
+    exactly the boilerplate-inclusion / wrapper-page case a corpus
+    pipeline must separate from genuine near-duplication.
+
+    Same ``pairs`` contract as :func:`ngram_jaccard` (LSH candidates at
+    scale; consecutive-id fallback when None) and the same one-shuffle-
+    per-side plan. Returns (id_a, id_b, n_a, n_b, inter, containment_a,
+    containment_b); containment is NULL when the corresponding shingle
+    set is empty (blank text).
+    """
+    from edgar_spark.operators.text import word_shingles
+
+    a = df_a.select(
+        F.col(id_col).alias("id_a"),
+        word_shingles(F.col(text_col), n).alias("sh_a"),
+    )
+    b = df_b.select(
+        F.col(id_col).alias("id_b"),
+        word_shingles(F.col(text_col), n).alias("sh_b"),
+    )
+    if pairs is None:
+        joined = a.join(b, a.id_a + 1 == b.id_b)
+    else:
+        joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_a = F.size("sh_a")
+    n_b = F.size("sh_b")
+    return joined.select(
+        "id_a",
+        "id_b",
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        inter.alias("inter"),
+        F.when(n_a > 0, inter.cast("double") / n_a).alias("containment_a"),
+        F.when(n_b > 0, inter.cast("double") / n_b).alias("containment_b"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     n_hashes: int = 64,

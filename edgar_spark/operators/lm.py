@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["doc_trigrams", "trigram_counts", "lm_surprisal"]
+__all__ = [
+    "doc_trigrams",
+    "trigram_counts",
+    "lm_surprisal",
+    "contrastive_weights",
+]
 
 
 def _prefix(text_col: str, prefix_chars: int) -> Column:
@@ -105,4 +110,89 @@ def lm_surprisal(
         "total_surprisal",
         avg.alias("avg_surprisal_milli"),
         (avg < keep_below_milli).alias("keep"),
+    )
+
+
+def contrastive_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int = 256,
+    keep_above_milli: int = 0,
+) -> DataFrame:
+    """DSIR-style contrastive importance scores (cf. Xie et al., "Data
+    Selection for Language Models via Importance Resampling"): each
+    document is scored by ``log2 p_target(x) − log2 p_base(x)`` under
+    two n-gram LMs — the base model trained on the whole corpus, the
+    target model on the high-quality ``target`` subset. Documents that
+    look more like the target than like the average of the corpus score
+    positive and are kept for training.
+
+    Same integer quantization as :func:`lm_surprisal`: per-trigram
+    surprisal is the bit length of the integer probability ratio, and
+    the score is reported as ``delta_surprisal = base − target`` (an
+    exact BIGINT; positive = target-like). The keep decision avoids
+    division entirely — ``delta*1000 > keep_above_milli * n_trigrams``
+    — because truncating vs floor integer division differ on negative
+    deltas across engines; cross-multiplication is exact on both.
+
+    The target model is add-one smoothed over the BASE vocabulary
+    (``(t_total + V) div (t_cnt + 1)``), so trigrams the target never
+    saw get a finite worst-case surprisal instead of a null. ``target``
+    must be drawn from ``df`` (a filter of it) — then every scored
+    trigram exists in the base vocabulary by construction.
+
+    Plan: two bounded count aggregations (map-side partials, ≤ charset³
+    keys), one broadcast of the joined model, one groupBy(id) over the
+    trigram explode — the corpus shuffles only its trigram→id pairs,
+    exactly as in lm_surprisal; the second (target) count aggregation is
+    over the filtered subset and adds no corpus-wide shuffle.
+    """
+    base = trigram_counts(df, id_col, text_col, prefix_chars)
+    tgt = (
+        trigram_counts(target, id_col, text_col, prefix_chars)
+        .withColumnRenamed("cnt", "tcnt")
+    )
+    totals = base.agg(
+        F.sum("cnt").alias("_btotal"), F.count("*").alias("_v")
+    ).crossJoin(tgt.agg(F.coalesce(F.sum("tcnt"), F.lit(0)).alias("_ttotal")))
+    model = (
+        base.join(tgt, "trigram", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "trigram",
+            (F.length(F.bin(F.expr("_btotal div cnt"))) - 1)
+            .cast("long")
+            .alias("s_base"),
+            (
+                F.length(
+                    F.bin(F.expr("(_ttotal + _v) div (coalesce(tcnt, 0) + 1)"))
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("s_target"),
+        )
+    )
+    scored = (
+        doc_trigrams(df, id_col, text_col, prefix_chars)
+        .join(F.broadcast(model), "trigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum("s_base").alias("base_surprisal"),
+            F.sum("s_target").alias("target_surprisal"),
+        )
+    )
+    delta = F.col("base_surprisal") - F.col("target_surprisal")
+    return scored.select(
+        id_col,
+        "n_trigrams",
+        "base_surprisal",
+        "target_surprisal",
+        delta.alias("delta_surprisal"),
+        (delta * 1000 > F.lit(keep_above_milli) * F.col("n_trigrams")).alias(
+            "keep"
+        ),
     )

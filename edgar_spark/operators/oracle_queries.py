@@ -4386,6 +4386,137 @@ _QUERIES["snapshot_diff"] = q_snapshot_diff
 _ORACLES["snapshot_diff"] = _SNAPSHOT_DIFF_ORACLE
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment on constructed superset pairs: B_i is
+    doc_i's text concatenated with doc_{i+1}'s, so every 3-gram shingle
+    of A_i appears in B_i — containment_a ≈ 1.0 while containment_b is
+    the fraction quote-detection needs and plain Jaccard blurs. The
+    oracle replays shingling + set ops on the same constructed pairs
+    (operators/dedup.ngram_containment)."""
+    from edgar_spark.operators.dedup import ngram_containment
+
+    docs = _t(spark, sf_dir, "documents")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next")
+    )
+    sup = docs.join(nxt, "doc_id").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), F.col("_next")).alias("text"),
+    )
+    pairs = sup.select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    return ngram_containment(docs, sup, n=3, pairs=pairs).orderBy("id_a")
+
+
+_CONTAINMENT_ORACLE = r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+               )) AS shingles
+        FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        )
+    ), sup AS (
+        SELECT a.doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+               )) AS shingles
+        FROM (
+            SELECT a.doc_id,
+                   regexp_split_to_array(
+                       trim(a.text || ' ' || b.text), '\s+') AS toks
+            FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+        ) a
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(a.shingles) AS INT) AS n_a,
+           CAST(len(b.shingles) AS INT) AS n_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS INT) AS inter,
+           CASE WHEN len(a.shingles) > 0
+                THEN CAST(len(list_intersect(a.shingles, b.shingles))
+                          AS DOUBLE) / len(a.shingles) END AS containment_a,
+           CASE WHEN len(b.shingles) > 0
+                THEN CAST(len(list_intersect(a.shingles, b.shingles))
+                          AS DOUBLE) / len(b.shingles) END AS containment_b
+    FROM sh a JOIN sup b ON a.doc_id = b.doc_id
+    ORDER BY id_a"""
+
+_QUERIES["containment"] = q_containment
+_ORACLES["containment"] = _CONTAINMENT_ORACLE
+
+
+_DSIR_PREFIX = 256
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style contrastive data selection: base trigram LM on the
+    whole corpus, target LM on the lang='en' subset, per-doc weight =
+    base − target quantized surprisal (exact BIGINT; positive = looks
+    like the target). Keep decision is division-free cross-multiplied —
+    truncating vs floor int division differ on negative deltas across
+    engines (operators/lm.contrastive_weights)."""
+    from edgar_spark.operators.lm import contrastive_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return contrastive_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        prefix_chars=_DSIR_PREFIX,
+        keep_above_milli=0,
+    ).orderBy("doc_id")
+
+
+def _dsir_oracle_sql() -> str:
+    return f"""
+    WITH p AS (
+        SELECT doc_id, lang, lower(substr(text, 1, {_DSIR_PREFIX})) AS s
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS trigram
+        FROM p CROSS JOIN unnest(generate_series(1, length(s) - 2)) AS t(i)
+        WHERE length(s) >= 3
+    ),
+    base AS (SELECT trigram, count(*) AS cnt FROM tri GROUP BY trigram),
+    tgt AS (
+        SELECT trigram, count(*) AS tcnt FROM tri
+        WHERE lang = 'en' GROUP BY trigram
+    ),
+    tot AS (
+        SELECT (SELECT sum(cnt) FROM base) AS btotal,
+               (SELECT count(*) FROM base) AS v,
+               (SELECT coalesce(sum(tcnt), 0) FROM tgt) AS ttotal
+    ),
+    model AS (
+        SELECT b.trigram,
+               CAST(length(bin(btotal // cnt)) - 1 AS BIGINT) AS s_base,
+               CAST(length(bin((ttotal + v) // (coalesce(tcnt, 0) + 1))) - 1
+                    AS BIGINT) AS s_target
+        FROM base b LEFT JOIN tgt USING (trigram), tot
+    ),
+    scored AS (
+        SELECT doc_id, count(*) AS n,
+               sum(s_base) AS sb, sum(s_target) AS st
+        FROM tri JOIN model USING (trigram) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_trigrams,
+           CAST(sb AS BIGINT) AS base_surprisal,
+           CAST(st AS BIGINT) AS target_surprisal,
+           CAST(sb - st AS BIGINT) AS delta_surprisal,
+           (sb - st) * 1000 > 0 * n AS keep
+    FROM scored ORDER BY doc_id"""
+
+
+_QUERIES["dsir_weights"] = q_dsir_weights
+_ORACLES["dsir_weights"] = _dsir_oracle_sql()
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

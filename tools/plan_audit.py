@@ -144,6 +144,13 @@ AUDITS = {
     # snapshot diff: ONE full-outer sort-merge join on the url key
     # (full-outer cannot broadcast); status is a codegen CASE on top
     "snapshot_diff": ["SortMergeJoin", "!BroadcastHashJoin"],
+    # containment: shingle arrays shuffle once per pair-join side; set
+    # ops are codegen array intrinsics — no aggregation pass
+    "containment": ["BroadcastHashJoin", "!HashAggregate"],
+    # contrastive weights: both LMs are bounded-key aggregations that
+    # broadcast back onto the trigram explode — the corpus-sized join
+    # side never shuffle-joins
+    "dsir_weights": ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin"],
 }
 
 
