@@ -195,6 +195,8 @@ OPERATOR_KEYS = [
     "snapshot_diff",
     "containment",
     "dsir_weights",
+    "gopher_rules",
+    "boilerplate_blocks",
 ]
 
 

@@ -4517,6 +4517,178 @@ _QUERIES["dsir_weights"] = q_dsir_weights
 _ORACLES["dsir_weights"] = _dsir_oracle_sql()
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-filter battery over documents decorated to exercise
+    every rule: doc_id%4 appends bullet-led lines, ellipsis-terminated
+    lines, a run of '#' symbols, or nothing. All ratio tests are
+    cross-multiplied integers, so the verdict is engine-exact
+    (operators/text.gopher_rules)."""
+    from edgar_spark.operators.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    nl = "\n"
+    decorated = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(nl + "- bullet one" + nl + "- bullet two" + nl
+                      + "* bullet three"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(nl + "So it goes..." + nl + "More..." + nl + "End…"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(F.col("text"), F.lit(nl + "# # # # # # # # # #")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return (
+        gopher_rules(docs.select("doc_id", decorated.alias("text")))
+        .select(
+            "doc_id", "n_words", "word_chars", "n_lines",
+            "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+            "r_bullet", "r_ellipsis", "r_alpha", "r_stop", "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GOPHER_ORACLE = r"""
+    WITH dec AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN text || chr(10) || '- bullet one' || chr(10)
+                                || '- bullet two' || chr(10)
+                                || '* bullet three'
+                    WHEN 1 THEN text || chr(10) || 'So it goes...' || chr(10)
+                                || 'More...' || chr(10) || 'End…'
+                    WHEN 2 THEN text || chr(10) || '# # # # # # # # # #'
+                    ELSE text
+               END AS text
+        FROM documents
+    ), t AS (
+        SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+               regexp_split_to_array(text, '\n') AS lines
+        FROM dec
+    ), c AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(toks, w -> length(w))),
+                             0) AS BIGINT) AS word_chars,
+               CAST(len(list_filter(toks,
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+               len(list_intersect(list_transform(toks, w -> lower(w)),
+                    ['the','be','to','of','and','that','have','with']))
+                   AS n_stop,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                    l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT)
+                   AS n_bullet,
+               CAST(len(list_filter(lines,
+                    l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT)
+                   AS n_ellipsis,
+               CAST(len(regexp_split_to_array(text, '#')) - 1
+                    + len(regexp_split_to_array(text, '(\.\.\.|…)')) - 1
+                    AS BIGINT) AS n_symbols
+        FROM t
+    )
+    SELECT doc_id, n_words, word_chars, n_lines,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+               AS r_mean_word_len,
+           n_symbols * 10 < n_words AS r_symbol_ratio,
+           n_bullet * 10 < n_lines * 9 AS r_bullet,
+           n_ellipsis * 10 < n_lines * 3 AS r_ellipsis,
+           n_alpha * 10 >= n_words * 8 AS r_alpha,
+           n_stop >= 2 AS r_stop,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+            AND n_symbols * 10 < n_words
+            AND n_bullet * 10 < n_lines * 9
+            AND n_ellipsis * 10 < n_lines * 3
+            AND n_alpha * 10 >= n_words * 8
+            AND n_stop >= 2) AS keep
+    FROM c ORDER BY doc_id"""
+
+_QUERIES["gopher_rules"] = q_gopher_rules
+_ORACLES["gopher_rules"] = _GOPHER_ORACLE
+
+
+def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-density boilerplate classification over synthesized pages:
+    a nav block of pure links, the document text as a content paragraph,
+    a sub-min-chars stub block, and a link-heavy footer. The oracle
+    replays the block split, the nested anchor-char sum, and the
+    cross-multiplied density test (parse/wet.block_density)."""
+    from edgar_spark.parse.wet import block_density
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<nav><a href="/a">Home page</a> <a href="/b">About this'
+              ' site</a></nav><p>'),
+        F.col("text"),
+        F.lit('</p><div>short</div><footer>Copyright'
+              ' <a href="/c">Contact us now please</a></footer>'),
+    )
+    return block_density(
+        docs.select(F.col("doc_id").alias("url"), html.alias("html")),
+        id_col="url",
+    ).orderBy("url", "block_idx")
+
+
+_BOILER_SPLIT_SQL = (
+    "(?i)</?(?:p|div|ul|ol|li|h[1-6]|table|tr|td|nav|footer|header|"
+    "section|article|blockquote|br)[^>]*>"
+)
+
+_BOILERPLATE_ORACLE = rf"""
+    WITH p AS (
+        SELECT doc_id AS url,
+               concat('<nav><a href="/a">Home page</a> <a href="/b">About',
+                      ' this site</a></nav><p>', text,
+                      '</p><div>short</div><footer>Copyright',
+                      ' <a href="/c">Contact us now please</a></footer>')
+                   AS html
+        FROM documents
+    ), blocks AS (
+        SELECT url,
+               regexp_split_to_array(html, '{_BOILER_SPLIT_SQL}') AS bl
+        FROM p
+    ), e AS (
+        SELECT url, CAST(i - 1 AS INT) AS block_idx, bl[CAST(i AS INT)] AS b
+        FROM blocks
+        CROSS JOIN unnest(generate_series(1, len(bl))) AS u(i)
+    ), m AS (
+        SELECT url, block_idx,
+               CAST(length(trim(regexp_replace(regexp_replace(b,
+                    '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS INT)
+                   AS n_chars,
+               CAST(coalesce(list_sum(list_transform(
+                    regexp_extract_all(b, '(?is)<a\s[^>]*>(.*?)</a\s*>', 1),
+                    a -> length(trim(regexp_replace(regexp_replace(a,
+                         '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0)
+                   AS INT) AS n_link_chars
+        FROM e
+    )
+    SELECT url, block_idx, n_chars, n_link_chars,
+           (n_chars < 20 OR n_link_chars * 100 > n_chars * 20)
+               AS is_boilerplate
+    FROM m WHERE n_chars > 0 ORDER BY url, block_idx"""
+
+_QUERIES["boilerplate_blocks"] = q_boilerplate_blocks
+_ORACLES["boilerplate_blocks"] = _BOILERPLATE_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -538,3 +538,92 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), "pair")
         .limit(top_k)
     )
+
+
+# Gopher rule-filter stop set (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A1.1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 App.
+    A1.1) — the published heuristic battery between dedup and LM
+    filtering in a webtext pipeline: word-count bounds, mean word length
+    in [3, 10], symbol-to-word ratio < 0.1 (``#``/ellipsis), < 90% of
+    lines bullet-led, < 30% ellipsis-terminated, ≥ 80% of words
+    containing an alphabetic character, and ≥ 2 distinct stop words.
+
+    Every ratio test is CROSS-MULTIPLIED integer arithmetic (e.g. mean
+    word length ∈ [3,10] as ``3·n_words ≤ word_chars ≤ 10·n_words``) —
+    no floats anywhere, so the verdict is bit-identical across engines
+    and partitionings. Pure column expressions over one tokens array and
+    one lines array, each bound once per row (HOF re-evaluation trap,
+    see :func:`bind`); zero shuffles — the filter fuses into the scan.
+
+    Returns the input plus counters (n_words, word_chars, n_lines) and
+    per-rule booleans ``r_*`` with the combined ``keep``.
+    """
+    c = F.col(text_col)
+    with_arrays = df.withColumn("_toks", tokens(c)).withColumn(
+        "_lines", F.split(c, r"\n")
+    )
+    toks = F.col("_toks")
+    lines = F.col("_lines")
+    n_words = F.size(toks).cast("long")
+    word_chars = F.coalesce(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ),
+        F.lit(0).cast("long"),
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.transform(toks, lambda w: F.lower(w)), stop_arr)
+    )
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("long")
+    n_symbols = (
+        _count_matches(c, "#") + _count_matches(c, r"(\.\.\.|…)")
+    ).cast("long")
+
+    r_word_count = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_word_len = (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+    r_symbol_ratio = n_symbols * 10 < n_words
+    r_bullet = n_bullet * 10 < n_lines * 9
+    r_ellipsis = n_ellipsis * 10 < n_lines * 3
+    r_alpha = n_alpha * 10 >= n_words * 8
+    r_stop = n_stop >= 2
+    keep = (
+        r_word_count
+        & r_mean_word_len
+        & r_symbol_ratio
+        & r_bullet
+        & r_ellipsis
+        & r_alpha
+        & r_stop
+    )
+    return (
+        with_arrays.withColumn("n_words", n_words)
+        .withColumn("word_chars", word_chars)
+        .withColumn("n_lines", n_lines)
+        .withColumn("r_word_count", r_word_count)
+        .withColumn("r_mean_word_len", r_mean_word_len)
+        .withColumn("r_symbol_ratio", r_symbol_ratio)
+        .withColumn("r_bullet", r_bullet)
+        .withColumn("r_ellipsis", r_ellipsis)
+        .withColumn("r_alpha", r_alpha)
+        .withColumn("r_stop", r_stop)
+        .withColumn("keep", keep)
+        .drop("_toks", "_lines")
+    )

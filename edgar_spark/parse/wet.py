@@ -140,3 +140,77 @@ def extract_links(
         elems.select("src", dst.alias("dst_url"), anchor.alias("anchor"))
         .filter(F.col("dst_url").isNotNull())
     )
+
+
+# block-level boundary: any open or close of a structural element
+_BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|ul|ol|li|h[1-6]|table|tr|td|nav|footer|header|"
+    r"section|article|blockquote|br)[^>]*>"
+)
+_ANCHOR_BODY_RE = r"(?is)<a\s[^>]*>(.*?)</a\s*>"
+
+
+def block_density(
+    df: DataFrame,
+    id_col: str = "url",
+    html_col: str = "html",
+    min_chars: int = 20,
+    max_link_density_pct: int = 20,
+) -> DataFrame:
+    """jusText/Boilerpipe-style block classification by link density —
+    the boilerplate-removal stage between WET extraction and curation:
+    navigation/footer blocks are mostly anchor text, content blocks are
+    mostly prose. One row per non-empty block: (id, block_idx, n_chars,
+    n_link_chars, is_boilerplate) where a block is boilerplate when it
+    is short (< ``min_chars``) or its anchor-char share exceeds
+    ``max_link_density_pct``% — the ratio test is cross-multiplied
+    integer arithmetic, so the verdict is engine-exact.
+
+    Plan: the html splits on structural-tag boundaries into a bound
+    block array; per-block text and anchor-char sums are nested HOFs
+    over the lambda variable only (nothing re-evaluates per element);
+    posexplode is a Generate over the scan — zero Python, zero
+    shuffles, linear in the html bytes.
+    """
+    blocks = F.split(F.col(html_col), _BLOCK_SPLIT_RE)
+    per_block = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.length(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(b, r"(?s)<[^>]*>", " "), r"\s+", " "
+                    )
+                )
+            ).alias("n_chars"),
+            F.aggregate(
+                F.regexp_extract_all(b, F.lit(_ANCHOR_BODY_RE), F.lit(1)),
+                F.lit(0),
+                lambda acc, a: acc
+                + F.length(
+                    F.trim(
+                        F.regexp_replace(
+                            F.regexp_replace(a, r"(?s)<[^>]*>", " "),
+                            r"\s+",
+                            " ",
+                        )
+                    )
+                ),
+            ).alias("n_link_chars"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(per_block).alias("block_idx", "_b")
+    ).select(
+        id_col,
+        "block_idx",
+        F.col("_b.n_chars").alias("n_chars"),
+        F.col("_b.n_link_chars").alias("n_link_chars"),
+    )
+    boiler = (F.col("n_chars") < min_chars) | (
+        F.col("n_link_chars") * 100
+        > F.col("n_chars") * max_link_density_pct
+    )
+    return exploded.filter(F.col("n_chars") > 0).withColumn(
+        "is_boilerplate", boiler
+    )

@@ -151,6 +151,10 @@ AUDITS = {
     # broadcast back onto the trigram explode — the corpus-sized join
     # side never shuffle-joins
     "dsir_weights": ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin"],
+    # gopher rules: per-row HOF battery fused into the scan
+    "gopher_rules": ["Project", "!Join", "!HashAggregate"],
+    # boilerplate: block explode is a Generate over the scan, no shuffle
+    "boilerplate_blocks": ["Generate", "!Join", "!HashAggregate"],
 }
 
 
