@@ -197,6 +197,7 @@ OPERATOR_KEYS = [
     "dsir_weights",
     "gopher_rules",
     "boilerplate_blocks",
+    "warc_wet_pipeline",
 ]
 
 

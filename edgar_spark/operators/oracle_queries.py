@@ -3843,11 +3843,27 @@ def q_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wet_chain_sql(expr: str) -> str:
+    """DuckDB regexp_replace chain over ``expr``, generated from
+    parse.wet.WET_RULES so the oracle's rule chain is the Spark chain by
+    construction (shared by wet_extract and warc_wet_pipeline)."""
+    from edgar_spark.parse.wet import WET_RULES
+
+    for pat, repl in WET_RULES:
+        p = pat.replace("'", "''")
+        if repl == "\n":
+            r = "chr(10)"
+        elif repl == "\n\n":
+            r = "concat(chr(10), chr(10))"
+        else:
+            r = "'" + repl.replace("'", "''") + "'"
+        expr = f"regexp_replace({expr}, '{p}', {r}, 'g')"
+    return expr
+
+
 def _wet_oracle_sql() -> str:
     """Generated from parse.wet.WET_RULES so the oracle's regex chain is
     the Spark chain by construction."""
-    from edgar_spark.parse.wet import WET_RULES
-
     html = (
         "concat('<!DOCTYPE html><html><head><title>Doc ',"
         " CAST(doc_id AS VARCHAR),"
@@ -3860,16 +3876,7 @@ def _wet_oracle_sql() -> str:
         " '</p><div>tail &lt;ok&gt;&nbsp;&quot;q&#39;</div>',"
         " '<br><br><br></body></html>')"
     )
-    expr = "html"
-    for pat, repl in WET_RULES:
-        p = pat.replace("'", "''")
-        if repl == "\n":
-            r = "chr(10)"
-        elif repl == "\n\n":
-            r = "concat(chr(10), chr(10))"
-        else:
-            r = "'" + repl.replace("'", "''") + "'"
-        expr = f"regexp_replace({expr}, '{p}', {r}, 'g')"
+    expr = _wet_chain_sql("html")
     return f"""
     WITH h AS (SELECT doc_id, {html} AS html FROM documents),
     w AS (SELECT doc_id, trim({expr}) AS wet_text FROM h)
@@ -4687,6 +4694,91 @@ _BOILERPLATE_ORACLE = rf"""
 
 _QUERIES["boilerplate_blocks"] = q_boilerplate_blocks
 _ORACLES["boilerplate_blocks"] = _BOILERPLATE_ORACLE
+
+
+def q_warc_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl derivation pipeline end-to-end: documents are
+    wrapped in HTML pages, packed into per-source WARC files, exploded
+    back out by the Content-Length-walking Arrow kernel
+    (sources/warc.parse_warc), reduced to visible text by the WET rule
+    chain (parse/wet.html_to_text), and summarized per record
+    (target_uri, content_length, wet_chars, n_tokens). Because
+    parse(encode(x)) == x, the oracle derives the same columns from the
+    constructed pages directly — the WARC hop must be lossless for the
+    hashes to agree."""
+    from edgar_spark.operators.text import token_count
+    from edgar_spark.parse.wet import html_to_text
+    from edgar_spark.sources.warc import parse_warc
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    html = F.concat(
+        F.lit("<html><head><title>T</title><style>x{}</style></head>"
+              "<body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    entry = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.length(html).cast("string"),
+        F.lit("\r\n\r\n"),
+        html,
+        F.lit("\r\n\r\n"),
+    )
+    files = (
+        docs.select("source", F.struct("doc_id", entry.alias("e")).alias("_s"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_s")), lambda s: s["e"]
+                ),
+                "",
+            ).alias("data")
+        )
+        .select(F.col("source").alias("file_id"), "data")
+    )
+    recs = parse_warc(files)
+    wet = html_to_text(recs, html_col="payload")
+    return wet.select(
+        "target_uri",
+        "content_length",
+        "wet_chars",
+        token_count(F.col("wet_text")).alias("n_tokens"),
+    ).orderBy("target_uri")
+
+
+def _warc_wet_oracle_sql() -> str:
+    html = (
+        "concat('<html><head><title>T</title><style>x{}</style></head>"
+        "<body><p>', text, '</p></body></html>')"
+    )
+    chain = _wet_chain_sql("html")
+    return f"""
+    WITH h AS (
+        SELECT source, doc_id, {html} AS html
+        FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+        SELECT concat('https://', source, '.example.com/doc/',
+                      CAST(doc_id AS VARCHAR)) AS target_uri,
+               CAST(length(html) AS BIGINT) AS content_length,
+               trim({chain}) AS wet_text
+        FROM h
+    )
+    SELECT target_uri, content_length,
+           CAST(length(wet_text) AS INT) AS wet_chars,
+           CASE WHEN trim(wet_text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(wet_text), '\\s+'))
+           END AS n_tokens
+    FROM w ORDER BY target_uri"""
+
+
+_QUERIES["warc_wet_pipeline"] = q_warc_wet_pipeline
+_ORACLES["warc_wet_pipeline"] = _warc_wet_oracle_sql()
 
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:

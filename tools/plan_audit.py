@@ -155,6 +155,9 @@ AUDITS = {
     "gopher_rules": ["Project", "!Join", "!HashAggregate"],
     # boilerplate: block explode is a Generate over the scan, no shuffle
     "boilerplate_blocks": ["Generate", "!Join", "!HashAggregate"],
+    # warc->wet pipeline: one file-pack aggregation, the Arrow record
+    # walk (ArrowEvalPython-free mapInPandas), then codegen WET — no join
+    "warc_wet_pipeline": ["MapInPandas", "!Join"],
 }
 
 
