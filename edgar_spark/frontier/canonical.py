@@ -91,13 +91,21 @@ def surt_key(url: Column) -> Column:
     splits; values are not re-encoded (canonicalize() upstream owns
     escaping), which keeps the transform reproducible in ANSI SQL.
     """
-    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    # fragment is stripped FIRST: an unanchored query extract over the
+    # raw url would read a '?' inside the fragment as a query string
+    # ('/a#sec?tab=1' must key identically to '/a')
+    no_frag = F.regexp_extract(url, r"^([^#]*)", 1)
+    hostport = F.lower(
+        F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
     host = F.regexp_replace(F.regexp_extract(hostport, r"^([^:]*)", 1), r"^www\.", "")
     port = F.regexp_extract(hostport, r"(:[0-9]+)$", 1)
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_extract(
+        no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(
         rev,
@@ -120,12 +128,15 @@ def cdx_latest(
     ``n_distinct_digests`` is the change signal `schedule.recrawl_schedule`
     consumes (1 = static page, ≈n_captures = churning page).
 
-    Plan: one shuffle on the surt key; the top-1-per-key window compiles
-    to WindowGroupLimit (partial top-1 map-side), and the capture/digest
-    counts ride the same partitioning — no second exchange, no join. At
-    10^10 captures the surt key is near-unique per page so there is no
-    skew; a hot key is a recrawl storm on ONE page and stays bounded by
-    the politeness budget upstream.
+    Plan: one shuffle on the surt key; the latest-pick rank and the
+    capture/digest stats share that single Window partitioning — no
+    second exchange, no join. (The unordered stats frames defeat Spark's
+    WindowGroupLimit rewrite, so all capture rows of a key flow through
+    the window — the per-key row count is the page's capture count,
+    small by construction.) At 10^10 captures the surt key is
+    near-unique per page so there is no skew; a hot key is a recrawl
+    storm on ONE page and stays bounded by the politeness budget
+    upstream.
     """
     from pyspark.sql import Window
 

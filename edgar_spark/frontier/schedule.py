@@ -215,17 +215,26 @@ def snapshot_diff(
     second pass, nothing driver-resident, and the output is linear in
     the union of the snapshots.
     """
+    # explicit presence flags, NOT digest null-ness: a capture may carry
+    # a legitimately NULL digest (failed checksum) and must still count
+    # as present on its side
     o = old.select(
-        F.col(key_col).alias("k"), F.col(digest_col).alias("old_digest")
+        F.col(key_col).alias("k"),
+        F.col(digest_col).alias("old_digest"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(key_col).alias("k"), F.col(digest_col).alias("new_digest")
+        F.col(key_col).alias("k"),
+        F.col(digest_col).alias("new_digest"),
+        F.lit(True).alias("_in_new"),
     )
     joined = o.join(n, "k", "full_outer")
     status = (
-        F.when(F.col("old_digest").isNull(), "added")
-        .when(F.col("new_digest").isNull(), "gone")
-        .when(F.col("old_digest") == F.col("new_digest"), "unchanged")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "gone")
+        .when(
+            F.col("old_digest").eqNullSafe(F.col("new_digest")), "unchanged"
+        )
         .otherwise("changed")
     )
     return joined.select(

@@ -102,6 +102,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _shingle_pair_join(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    n: int,
+    pairs: DataFrame | None,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared scaffolding for the pairwise shingle metrics
+    (:func:`ngram_jaccard`, :func:`ngram_containment`): project each
+    side's distinct word-n-gram set once (token array bound per row —
+    text.bind; shared semantics with text.ngram_contamination), then
+    join candidates: the explicit ``pairs`` frame when given, else the
+    consecutive-id fallback. Returns (id_a, id_b, sh_a, sh_b)."""
+    from edgar_spark.operators.text import word_shingles
+
+    a = df_a.select(
+        F.col(id_col).alias("id_a"),
+        word_shingles(F.col(text_col), n).alias("sh_a"),
+    )
+    b = df_b.select(
+        F.col(id_col).alias("id_b"),
+        word_shingles(F.col(text_col), n).alias("sh_b"),
+    )
+    if pairs is None:
+        return a.join(b, a.id_a + 1 == b.id_b)  # consecutive-id pairing
+    return pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+
+
 def ngram_jaccard(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -119,20 +148,7 @@ def ngram_jaccard(
     pair space never materializes; the shingle arrays shuffle once per side
     of the pair join. When ``pairs`` is None, falls back to consecutive-id
     pairing (id_a + 1 == id_b), the deterministic SQL-oracle-able mode."""
-
-    # shared with text.ngram_contamination — token array bound once per
-    # row so the slicing lambda doesn't re-split (5× at sf0.1, text.bind)
-    from edgar_spark.operators.text import word_shingles
-
-    def shingles(c):
-        return word_shingles(c, n)
-
-    a = df_a.select(F.col(id_col).alias("id_a"), shingles(F.col(text_col)).alias("sh_a"))
-    b = df_b.select(F.col(id_col).alias("id_b"), shingles(F.col(text_col)).alias("sh_b"))
-    if pairs is None:
-        joined = a.join(b, a.id_a + 1 == b.id_b)  # consecutive-id pairing
-    else:
-        joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    joined = _shingle_pair_join(df_a, df_b, n, pairs, text_col, id_col)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return joined.select(
@@ -161,23 +177,14 @@ def ngram_containment(
     Same ``pairs`` contract as :func:`ngram_jaccard` (LSH candidates at
     scale; consecutive-id fallback when None) and the same one-shuffle-
     per-side plan. Returns (id_a, id_b, n_a, n_b, inter, containment_a,
-    containment_b); containment is NULL when the corresponding shingle
-    set is empty (blank text).
+    containment_b). Blank text follows the ngram-family convention
+    (word_shingles): it yields the single ``['']`` whole-token shingle,
+    so two blank docs score containment 1.0 — filter empties upstream
+    when that degenerate match is unwanted; the NULL guard below only
+    fires for a genuinely empty shingle array (never produced by
+    word_shingles itself, but possible from a caller-supplied frame).
     """
-    from edgar_spark.operators.text import word_shingles
-
-    a = df_a.select(
-        F.col(id_col).alias("id_a"),
-        word_shingles(F.col(text_col), n).alias("sh_a"),
-    )
-    b = df_b.select(
-        F.col(id_col).alias("id_b"),
-        word_shingles(F.col(text_col), n).alias("sh_b"),
-    )
-    if pairs is None:
-        joined = a.join(b, a.id_a + 1 == b.id_b)
-    else:
-        joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    joined = _shingle_pair_join(df_a, df_b, n, pairs, text_col, id_col)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     n_a = F.size("sh_a")
     n_b = F.size("sh_b")

@@ -3623,9 +3623,14 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PRINTABLE_SQL = (
-    "^(09|0A|0D|2[0-9A-F]|3[0-9A-F]|4[0-9A-F]|5[0-9A-F]|6[0-9A-F]|7[0-9A-E])*$"
-)
+def _printable_sql() -> str:
+    # ONE definition: the oracle's printable-byte class IS the operator's
+    from edgar_spark.sources.http import _PRINTABLE_HEX_RE
+
+    return _PRINTABLE_HEX_RE
+
+
+_PRINTABLE_SQL = _printable_sql()
 
 _MIME_ORACLE = f"""
     WITH p AS (
@@ -3665,9 +3670,11 @@ _MIME_ORACLE = f"""
                      AND substr(hx, 17, 8) = '57415645' THEN 'audio/wav'
                 WHEN starts_with(hx, '52494646')
                      AND substr(hx, 17, 8) = '41564920' THEN 'video/avi'
-                WHEN substr(hx, 9, 8) = '66747970' THEN 'video/mp4'
+                WHEN starts_with(hx, '0000')
+                     AND substr(hx, 9, 8) = '66747970' THEN 'video/mp4'
                 WHEN regexp_matches(left(hx, 128), '{_PRINTABLE_SQL}')
-                     AND regexp_matches(decode(payload), '^[ \\t\\r\\n]*<')
+                     AND regexp_matches(decode(from_hex(left(hx, 128))),
+                                        '^[ \\t\\r\\n]*<')
                      THEN 'text/html'
                 WHEN regexp_matches(left(hx, 128), '{_PRINTABLE_SQL}')
                      THEN 'text/plain'
@@ -3890,11 +3897,14 @@ _ORACLES["wet_extract"] = _wet_oracle_sql()
 
 def q_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT derivation: each document becomes a page at
-    https://<source>.example.com/a/b/page<id>.html carrying seven anchors
+    https://<source>.example.com/a/b/page<id>.html carrying eight anchors
     — absolute (with &amp; in the query string), protocol-relative,
-    root-relative, directory-relative, fragment, javascript: and mailto:
-    (the last three drop). extract_links resolves against the page URL;
-    the oracle replays extraction + resolution (parse/wet.extract_links)."""
+    root-relative, directory-relative, fragment, javascript:, mailto:
+    (the fragment/pseudo three drop), and a SINGLE-quoted
+    directory-relative anchor (the alternate attribute quoting
+    extract_links must also catch). extract_links resolves against the
+    page URL; the oracle replays extraction + resolution
+    (parse/wet.extract_links)."""
     from edgar_spark.parse.wet import extract_links
 
     docs = _t(spark, sf_dir, "documents")
@@ -3916,6 +3926,9 @@ def q_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('.html"> relative  path </a><a href="#frag">frag</a>'),
         F.lit('<a href="javascript:void(0)">js</a>'),
         F.lit('<a class="m" href="mailto:a@b.c">mail</a>'),
+        F.lit("<a href='sq/"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".html'>single quoted</a>"),
     )
     return extract_links(
         docs.select(url.alias("url"), html.alias("html"))
@@ -3934,7 +3947,9 @@ _WAT_LINKS_ORACLE = r"""
                    '">Root link</a><a href="rel/', CAST(doc_id % 5 AS VARCHAR),
                    '.html"> relative  path </a><a href="#frag">frag</a>',
                    '<a href="javascript:void(0)">js</a>',
-                   '<a class="m" href="mailto:a@b.c">mail</a>') AS html
+                   '<a class="m" href="mailto:a@b.c">mail</a>',
+                   '<a href=''sq/', CAST(doc_id % 3 AS VARCHAR),
+                   '.html''>single quoted</a>') AS html
         FROM documents
     ), elems AS (
         SELECT src_url,
@@ -3949,12 +3964,19 @@ _WAT_LINKS_ORACLE = r"""
                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
                         '[^/]*$', '') END AS dir,
                unnest(regexp_extract_all(html,
-                   '(?is)<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>.*?</a\s*>', 0)) AS a
+                   '(?is)<a\s[^>]*href\s*=\s*("[^"]*"|''[^'']*'')[^>]*>.*?</a\s*>',
+                   0)) AS a
         FROM pages
     ), parsed AS (
         SELECT src_url AS src, scheme, host, dir,
-               regexp_replace(regexp_extract(a,
-                   '(?is)href\s*=\s*"([^"]*)"', 1), '&amp;', '&', 'g') AS href,
+               regexp_replace(
+                   CASE WHEN regexp_extract(a,
+                            '(?is)href\s*=\s*"([^"]*)"', 1) <> ''
+                        THEN regexp_extract(a,
+                            '(?is)href\s*=\s*"([^"]*)"', 1)
+                        ELSE regexp_extract(a,
+                            '(?is)href\s*=\s*''([^'']*)''', 1)
+                   END, '&amp;', '&', 'g') AS href,
                trim(regexp_replace(regexp_replace(regexp_extract(a,
                    '(?is)>(.*)</a\s*>$', 1), '(?s)<[^>]*>', ' ', 'g'),
                    '\s+', ' ', 'g')) AS anchor
@@ -4081,9 +4103,12 @@ _CDX_ORACLE = r"""
                         ELSE regexp_extract(url,
                            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
                    END,
-                   CASE WHEN regexp_extract(url, '\?([^#]*)', 1) = '' THEN ''
+                   CASE WHEN regexp_extract(regexp_extract(url, '^([^#]*)', 1),
+                            '\?(.*)$', 1) = '' THEN ''
                         ELSE '?' || array_to_string(list_sort(string_split(
-                            regexp_extract(url, '\?([^#]*)', 1), '&')), '&')
+                            regexp_extract(
+                                regexp_extract(url, '^([^#]*)', 1),
+                                '\?(.*)$', 1), '&')), '&')
                    END
                ) AS surt
         FROM caps
@@ -4380,9 +4405,9 @@ _SNAPSHOT_DIFF_ORACLE = r"""
         FROM documents WHERE doc_id % 10 = 2
     )
     SELECT coalesce(o.url, n.url) AS url,
-           CASE WHEN o.digest IS NULL THEN 'added'
-                WHEN n.digest IS NULL THEN 'gone'
-                WHEN o.digest = n.digest THEN 'unchanged'
+           CASE WHEN o.url IS NULL THEN 'added'
+                WHEN n.url IS NULL THEN 'gone'
+                WHEN o.digest IS NOT DISTINCT FROM n.digest THEN 'unchanged'
                 ELSE 'changed' END AS status,
            o.digest AS old_digest,
            n.digest AS new_digest
@@ -4653,10 +4678,14 @@ def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "block_idx")
 
 
-_BOILER_SPLIT_SQL = (
-    "(?i)</?(?:p|div|ul|ol|li|h[1-6]|table|tr|td|nav|footer|header|"
-    "section|article|blockquote|br)[^>]*>"
-)
+def _boiler_split_sql() -> str:
+    # ONE definition: the oracle splits on the operator's own pattern
+    from edgar_spark.parse.wet import _BLOCK_SPLIT_RE
+
+    return _BLOCK_SPLIT_RE
+
+
+_BOILER_SPLIT_SQL = _boiler_split_sql()
 
 _BOILERPLATE_ORACLE = rf"""
     WITH p AS (

@@ -13,7 +13,10 @@ Every field is an anchored case-insensitive regex extract over the raw
 html — pure codegen projections, RE2-safe (no lookaround), shuffle-free,
 and replayed verbatim in the DuckDB oracle. Attribute order in ``<meta>``
 / ``<link>`` tags is not fixed by HTML, so each field coalesces a
-name-then-content extract with a content-then-name extract.
+name-then-content extract with a content-then-name extract. Attribute
+values are matched in their double-quoted form only (the dominant form
+in generated head markup); single-quoted/unquoted attributes fall back
+to NULL/false — a documented under-extraction, never a wrong value.
 """
 
 from __future__ import annotations

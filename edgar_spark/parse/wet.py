@@ -31,7 +31,9 @@ WET_RULES: list[tuple[str, str]] = [
     (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
     # block-level boundaries become newlines so paragraphs survive
     (r"(?i)</(p|div|li|tr|h[1-6]|ul|ol|table|blockquote|title)\s*>", "\n"),
-    (r"(?i)<br[^>]*>", "\n"),
+    # \b keeps custom elements like <brand-header> on the generic-tag
+    # path (space), reserving the newline for real <br>/<br/>/<br …>
+    (r"(?i)<br\b[^>]*>", "\n"),
     (r"(?s)<[^>]*>", " "),  # every remaining tag
     (r"&nbsp;", " "),
     (r"&lt;", "<"),
@@ -61,8 +63,11 @@ def html_to_text(df: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
-# one <a …href="…"…>…</a> element, non-greedy body
-_ANCHOR_RE = r'(?is)<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>.*?</a\s*>'
+# one <a …href=…>…</a> element, non-greedy body; href may be double- or
+# single-quoted (unquoted attribute values are not extracted)
+_ANCHOR_RE = (
+    r"(?is)<a\s[^>]*href\s*=\s*(\"[^\"]*\"|'[^']*')[^>]*>.*?</a\s*>"
+)
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 
 
@@ -73,8 +78,10 @@ def extract_links(
     `operators.graph.pagerank` / `anchor_text_topk` and frontier
     discovery.
 
-    Each ``<a href="…">`` element yields one row ``(src, dst_url,
-    anchor)`` with ``dst_url`` resolved against the page URL under the
+    Each ``<a href="…">`` / ``<a href='…'>`` element (quoted either
+    way; unquoted href values are skipped) yields one row ``(src,
+    dst_url, anchor)`` with ``dst_url`` resolved against the page URL
+    under the
     deterministic RFC-3986 subset a frontier needs: absolute kept,
     ``//`` adopts the page scheme, ``/`` is host-relative, anything else
     is directory-relative; fragments and ``javascript:``/``mailto:``/
@@ -104,10 +111,10 @@ def extract_links(
             F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), F.lit(0))
         ).alias("_a"),
     )
+    href_d = F.regexp_extract(F.col("_a"), r'(?is)href\s*=\s*"([^"]*)"', 1)
+    href_s = F.regexp_extract(F.col("_a"), r"(?is)href\s*=\s*'([^']*)'", 1)
     href = F.regexp_replace(
-        F.regexp_extract(F.col("_a"), r'(?is)href\s*=\s*"([^"]*)"', 1),
-        r"&amp;",
-        "&",
+        F.when(href_d != "", href_d).otherwise(href_s), r"&amp;", "&"
     )
     anchor = F.trim(
         F.regexp_replace(
@@ -142,10 +149,14 @@ def extract_links(
     )
 
 
-# block-level boundary: any open or close of a structural element
+# block-level boundary: any open or close of a structural element.
+# \b rejects longer tag names extending a listed one with word chars
+# (<brand>, <header2>); hyphenated custom elements whose prefix is a
+# listed tag (<p-card>) still split — a benign extra boundary, unlike
+# the <br>-newline case where the match would corrupt text.
 _BLOCK_SPLIT_RE = (
     r"(?i)</?(?:p|div|ul|ol|li|h[1-6]|table|tr|td|nav|footer|header|"
-    r"section|article|blockquote|br)[^>]*>"
+    r"section|article|blockquote|br)\b[^>]*>"
 )
 _ANCHOR_BODY_RE = r"(?is)<a\s[^>]*>(.*?)</a\s*>"
 

@@ -66,7 +66,12 @@ def sniff_mime_col(payload: Column, window: int = 64) -> Column:
     ).when(
         head_hex.startswith("52494646") & (riff_tag == "41564920"), "video/avi"
     ).when(
-        F.hex(F.substring(payload, 5, 4)) == "66747970", "video/mp4"
+        # ftyp is gated on a plausible big-endian box size (first two
+        # bytes zero, per WHATWG's size sanity check) — otherwise plain
+        # text containing 'ftyp' at offset 5 would route as video
+        head_hex.startswith("0000")
+        & (F.hex(F.substring(payload, 5, 4)) == "66747970"),
+        "video/mp4",
     )
     printable = head_hex.rlike(_PRINTABLE_HEX_RE)
     head_txt = F.decode(F.substring(payload, 1, window), "UTF-8")

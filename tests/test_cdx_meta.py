@@ -25,6 +25,8 @@ def test_surt_key_forms(spark):
             "https://www.example.com/a#frag",
             # www2 is a distinct label — only a single leading "www." drops
             "https://www2.example.com/",
+            # '?' INSIDE the fragment is not a query string
+            "https://example.com/a#sec?tab=1",
         ],
     )
     assert got[0] == "com,example)/a/b?a=1&b=2"
@@ -33,6 +35,7 @@ def test_surt_key_forms(spark):
     assert got[3] == "uk,co,example,sub:8443)/x"
     assert got[4] == "com,example)/a"  # fragment ignored
     assert got[5] == "com,example,www2)/"
+    assert got[6] == "com,example)/a"  # fragment-embedded '?' ignored
 
 
 def test_cdx_latest_picks_latest_and_counts(spark):

@@ -65,3 +65,21 @@ def test_snapshot_diff_statuses(spark):
     assert rows["u3"]["new_digest"] is None
     assert rows["u4"]["status"] == "added"
     assert rows["u4"]["old_digest"] is None
+
+
+def test_snapshot_diff_null_digest_is_presence_not_absence(spark):
+    """A capture with a NULL digest (failed checksum) is still PRESENT
+    on its side — presence flags, not digest null-ness, drive status."""
+    from edgar_spark.frontier.schedule import snapshot_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"url": ["u1", "u2"], "digest": [None, None]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"url": ["u1", "u2"], "digest": ["d1", None]})
+    )
+    rows = {r["url"]: r for r in snapshot_diff(old, new).collect()}
+    # old NULL -> new d1: present both sides, digests differ -> changed
+    assert rows["u1"]["status"] == "changed"
+    # NULL == NULL null-safely -> unchanged, NOT added/gone
+    assert rows["u2"]["status"] == "unchanged"

@@ -29,6 +29,8 @@ def test_sniff_mime_magic_table(spark):
         (b"RIFF\x04\x00\x00\x00WAVEfmt ", "audio/wav"),
         (b"RIFF\x04\x00\x00\x00AVI LIST", "video/avi"),
         (b"\x00\x00\x00\x18ftypisom", "video/mp4"),
+        # 'ftyp' at offset 5 WITHOUT a plausible box size is not video
+        (b"1234ftyp notes follow", "text/plain"),
         (b"plain words here", "text/plain"),
         (b"  \t\n<!DOCTYPE html><p>x</p>", "text/html"),
         (b"<html><body>y", "text/html"),
@@ -115,6 +117,23 @@ def test_html_to_text_rules(spark):
     assert row["wet_chars"] == len(txt)
 
 
+def test_html_to_text_custom_element_is_not_br(spark):
+    """<brand-header> must take the generic-tag path (space), not the
+    <br> newline rule."""
+    from edgar_spark.parse.wet import html_to_text
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0],
+                "html": ["<brand-header>Acme</brand-header> makes<br>widgets"],
+            }
+        )
+    )
+    txt = html_to_text(df).collect()[0]["wet_text"]
+    assert txt == "Acme makes\nwidgets"
+
+
 def test_extract_links_resolution(spark):
     from edgar_spark.parse.wet import extract_links
 
@@ -127,6 +146,7 @@ def test_extract_links_resolution(spark):
         '<a href="javascript:void(0)">skip</a>'
         '<a href="MAILTO:a@b.c">skip</a>'
         '<a name="no-href">skip</a>'
+        "<a href='sq.html'>sq</a>"
     )
     df = spark.createDataFrame(
         pd.DataFrame({"url": ["https://Example.com/a/b/c.html"], "html": [html]})
@@ -138,6 +158,7 @@ def test_extract_links_resolution(spark):
         "https://cdn.com/x.js": "proto",  # page scheme adopted
         "https://example.com/root": "root",  # host lowercased
         "https://example.com/a/b/sub/page.html": "rel",  # dir-relative
+        "https://example.com/a/b/sq.html": "sq",  # single-quoted href
     }
 
 
