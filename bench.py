@@ -198,6 +198,8 @@ OPERATOR_KEYS = [
     "gopher_rules",
     "boilerplate_blocks",
     "warc_wet_pipeline",
+    "rp_project",
+    "host_stats",
 ]
 
 

@@ -4810,6 +4810,85 @@ _QUERIES["warc_wet_pipeline"] = q_warc_wet_pipeline
 _ORACLES["warc_wet_pipeline"] = _warc_wet_oracle_sql()
 
 
+_RP_K = 8
+
+
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of the embeddings table
+    to 8 dims against the deterministic splitmix hyperplane matrix; the
+    oracle multiplies the identical literal matrix (repr floats are
+    shortest-round-trip) and rounds each coordinate to 6 dp
+    (operators/similarity.rp_project)."""
+    from edgar_spark.operators.similarity import rp_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return rp_project(emb, dim=dim, k=_RP_K).orderBy("vec_id")
+
+
+def _rp_project_oracle_sql(k: int = _RP_K, dim: int = 64) -> str:
+    from edgar_spark.operators.similarity import hyperplanes_sql_literal
+
+    mat = hyperplanes_sql_literal(dim, k)
+    return f"""
+        WITH m AS (SELECT {mat} AS mat),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings)
+        SELECT vec_id,
+               list_transform(range(1, {k} + 1), j ->
+                   round(list_dot_product(v, mat[j]), 6)) AS proj
+        FROM e, m ORDER BY vec_id"""
+
+
+_QUERIES["rp_project"] = q_rp_project
+_ORACLES["rp_project"] = _rp_project_oracle_sql()
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus rollup — the crawl-policy reporting aggregate:
+    documents assigned to hosts (doc_id%7), language mix via the
+    stopword-marker lang_id, total bytes, and source diversity — every
+    aggregate an exact integer. One groupBy(host) with map-side
+    partials; the language scoring fuses into the scan projection."""
+    from edgar_spark.operators.text import lang_id
+
+    docs = lang_id(_t(spark, sf_dir, "documents"))
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com"),
+    )
+    return (
+        docs.groupBy(host.alias("host"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count(F.when(F.col("pred_lang") == "en", 1)).alias("n_en"),
+            F.count(F.when(F.col("pred_lang") == "und", 1)).alias("n_und"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("host")
+    )
+
+
+def _host_stats_oracle_sql() -> str:
+    lang_sql = _ORACLES["lang_id"]
+    return f"""
+        WITH l AS ({lang_sql})
+        SELECT concat('h', CAST(d.doc_id % 7 AS VARCHAR), '.example.com')
+                   AS host,
+               COUNT(*) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+               COUNT(*) FILTER (WHERE l.pred_lang = 'en') AS n_en,
+               COUNT(*) FILTER (WHERE l.pred_lang = 'und') AS n_und,
+               COUNT(DISTINCT d.source) AS n_sources
+        FROM documents d JOIN l ON d.doc_id = l.doc_id
+        GROUP BY 1 ORDER BY host"""
+
+
+_QUERIES["host_stats"] = q_host_stats
+_ORACLES["host_stats"] = _host_stats_oracle_sql()
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -440,3 +440,39 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim_r") >= threshold)
     )
+
+
+def rp_project(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``k`` dimensions using
+    the engine's deterministic hyperplane matrix (`_hyperplanes` — the
+    same splitmix-seeded planes the LSH family embeds as SQL literals).
+    Dimensionality reduction ahead of ANN / clustering: downstream
+    distance work touches k floats instead of dim, and because the
+    matrix is derived from (plane, dim) indices there is no RNG state to
+    ship — every executor and every engine regenerates it identically.
+
+    Output (id, proj ARRAY<DOUBLE>[k]); each coordinate is the fold-left
+    dot product rounded to ``round_dp`` (the family convention that
+    absorbs sub-1e-6 summation-order ulps across engines).
+
+    Plan: per-row zip_with/aggregate against k literal rows — pure
+    codegen HOFs fused into the scan, zero shuffle, zero Python. At
+    10^10 vectors this is a map-only pass; k×dim literals live in the
+    plan, not in a join side.
+    """
+    planes = _hyperplanes(dim, k)
+    vec = F.col(vec_col)
+    comps = [
+        F.round(
+            _dot(vec, F.array(*[F.lit(float(v)) for v in row])), round_dp
+        )
+        for row in planes
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("proj"))

@@ -158,6 +158,11 @@ AUDITS = {
     # warc->wet pipeline: one file-pack aggregation, the Arrow record
     # walk (ArrowEvalPython-free mapInPandas), then codegen WET — no join
     "warc_wet_pipeline": ["MapInPandas", "!Join"],
+    # random projection: literal matrix lives in the plan — map-only
+    "rp_project": ["Project", "!Join", "!HashAggregate"],
+    # host rollup: lang scoring fuses into the scan; one partial-agged
+    # groupBy(host) (count-distinct expands it, still no join)
+    "host_stats": ["HashAggregate", "!Join"],
 }
 
 
