@@ -200,6 +200,7 @@ OPERATOR_KEYS = [
     "warc_wet_pipeline",
     "rp_project",
     "host_stats",
+    "mm_phash",
 ]
 
 

@@ -336,3 +336,65 @@ def frame_sample_plan(
             )
         ),
     )
+
+
+def image_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = True,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL image decode — the
+    visual near-dup primitive: block-mean the image onto an 8×8 luma
+    grid, threshold every cell against the grid total, pack the 64 bits
+    into a signed two's-complement BIGINT. Downstream, Hamming distance
+    is pure JVM (``bit_count(a ^ b)``) and the simhash chunk-banding
+    machinery (dedup.simhash_near_dups) applies to the hash column
+    unchanged for candidate generation at corpus scale.
+
+    All-integer state, like the simhash/pagerank family: per-pixel luma
+    is the channel SUM r+g+b (monotone-equivalent to the mean for
+    thresholding — and channel-order invariant, so a BGR/RGB decoder
+    bug cannot change the hash), cell values are exact integer block
+    sums, and the threshold is cross-multiplied (``cell*64 >= total``).
+    Exact on every engine — the driver key's oracle recomputes the hash
+    from the pre-encode pixel definition in SQL.
+
+    Dimensions not divisible by 8 yield NULL (strict=False) or raise
+    (strict=True): averaging fractional blocks needs an interpolation
+    choice that breaks exactness; a real cluster swaps in a PIL resize
+    ahead of this operator and keeps the same contract.
+    """
+
+    def one(p: bytes):
+        img = decode_image(p).astype(np.int64)
+        h, w, _ = img.shape
+        if h % 8 or w % 8:
+            raise ValueError(f"ahash needs 8-divisible dims, got {h}x{w}")
+        luma = img.sum(axis=2)
+        bh, bw = h // 8, w // 8
+        cells = luma.reshape(8, bh, 8, bw).sum(axis=(1, 3)).flatten()
+        total = int(cells.sum())
+        val = np.uint64(0)
+        for i in range(64):
+            if int(cells[i]) * 64 >= total:
+                val |= np.uint64(1) << np.uint64(i)
+        return int(val.astype(np.int64))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    hv = one(p)
+                except (NotImplementedError, ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    hv = None
+                ids.append(mid)
+                hashes.append(hv)
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=f"{id_col} long, ahash long"
+    )

@@ -4889,6 +4889,88 @@ _QUERIES["host_stats"] = q_host_stats
 _ORACLES["host_stats"] = _host_stats_oracle_sql()
 
 
+def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash through a REAL encode→decode roundtrip:
+    each document's first 192 codepoints (mod 256) become an 8×8 24-bpp
+    BMP, serialized with encode_bmp and decoded back by the struct+numpy
+    BMP decoder inside image_ahash; the 64-bit hash thresholds each
+    cell's integer luma (r+g+b) against the grid total. The oracle
+    recomputes the hash straight from the text codepoints with the same
+    cross-multiplied integer threshold and signed two's-complement pack
+    — a pixel-layout or channel bug in the decoder cannot pass
+    (operators/multimodal.image_ahash)."""
+    import numpy as np
+
+    from edgar_spark.operators.multimodal import encode_bmp, image_ahash
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for t in pdf.itertuples(index=False):
+                s = t.text or ""
+                vals = [
+                    (ord(s[i]) % 256) if i < len(s) else 0 for i in range(192)
+                ]
+                px = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+                ids.append(t.doc_id)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return (
+        image_ahash(media)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _mm_phash_oracle_sql() -> str:
+    pow2 = (
+        "[" + ",".join(f"CAST({1 << i} AS HUGEINT)" for i in range(64)) + "]"
+    )
+    return f"""
+    WITH lum AS (
+        SELECT doc_id, CAST(i AS INT) AS cell,
+               (CASE WHEN length(text) >= 3*i + 1
+                     THEN ord(substr(text, CAST(3*i + 1 AS INT), 1)) % 256
+                     ELSE 0 END
+              + CASE WHEN length(text) >= 3*i + 2
+                     THEN ord(substr(text, CAST(3*i + 2 AS INT), 1)) % 256
+                     ELSE 0 END
+              + CASE WHEN length(text) >= 3*i + 3
+                     THEN ord(substr(text, CAST(3*i + 3 AS INT), 1)) % 256
+                     ELSE 0 END) AS luma
+        FROM documents
+        CROSS JOIN unnest(generate_series(0, 63)) AS t(i)
+    ), tot AS (
+        SELECT doc_id, SUM(luma) AS total FROM lum GROUP BY doc_id
+    ), bits AS (
+        SELECT l.doc_id, cell,
+               CASE WHEN luma * 64 >= total THEN 1 ELSE 0 END AS b
+        FROM lum l JOIN tot USING (doc_id)
+    ), raw AS (
+        SELECT doc_id,
+               SUM(CASE WHEN b = 1 THEN {pow2}[cell + 1]
+                        ELSE CAST(0 AS HUGEINT) END) AS u
+        FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT
+                     ELSE u END AS BIGINT) AS ahash
+    FROM raw ORDER BY doc_id"""
+
+
+_QUERIES["mm_phash"] = q_mm_phash
+_ORACLES["mm_phash"] = _mm_phash_oracle_sql()
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

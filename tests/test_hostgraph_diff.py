@@ -67,6 +67,38 @@ def test_snapshot_diff_statuses(spark):
     assert rows["u4"]["old_digest"] is None
 
 
+def test_snapshot_diff_between_icelite_snapshots(spark, tmp_path):
+    """The intended composition: diff two time-traveled captures of the
+    same icelite table — incremental crawl change detection against the
+    engine's own snapshot layer."""
+    from edgar_spark.frontier.schedule import snapshot_diff
+    from edgar_spark.icelite import IceliteCatalog
+
+    cat = IceliteCatalog(str(tmp_path / "pages"))
+    wave0 = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["u1", "u2", "u3"], "digest": ["d1", "d2", "d3"]}
+        )
+    )
+    sid0 = cat.commit_snapshot({"pages": wave0}, meta={"wave": 0})
+    wave1 = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["u1", "u2", "u4"], "digest": ["d1", "d2x", "d4"]}
+        )
+    )
+    cat.commit_snapshot({"pages": wave1}, meta={"wave": 1})
+    diff = snapshot_diff(
+        cat.read(spark, "pages", snap_id=sid0), cat.read(spark, "pages")
+    )
+    got = {r["url"]: r["status"] for r in diff.collect()}
+    assert got == {
+        "u1": "unchanged",
+        "u2": "changed",
+        "u3": "gone",
+        "u4": "added",
+    }
+
+
 def test_snapshot_diff_null_digest_is_presence_not_absence(spark):
     """A capture with a NULL digest (failed checksum) is still PRESENT
     on its side — presence flags, not digest null-ness, drive status."""

@@ -160,6 +160,8 @@ AUDITS = {
     "warc_wet_pipeline": ["MapInPandas", "!Join"],
     # random projection: literal matrix lives in the plan — map-only
     "rp_project": ["Project", "!Join", "!HashAggregate"],
+    # perceptual hash: encode + decode are Arrow passes, no shuffle
+    "mm_phash": ["MapInPandas", "!Join", "!HashAggregate"],
     # host rollup: lang scoring fuses into the scan; one partial-agged
     # groupBy(host) (count-distinct expands it, still no join)
     "host_stats": ["HashAggregate", "!Join"],
