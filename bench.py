@@ -201,6 +201,7 @@ OPERATOR_KEYS = [
     "rp_project",
     "host_stats",
     "mm_phash",
+    "phash_near_dups",
 ]
 
 

@@ -4971,6 +4971,102 @@ _QUERIES["mm_phash"] = q_mm_phash
 _ORACLES["mm_phash"] = _mm_phash_oracle_sql()
 
 
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup pairs end-to-end: formula-synthesized 8×8 images
+    (doc pairs 2k/2k+1 share a base image; odd ids perturb one cell) go
+    through the real BMP encode→decode→aHash roundtrip, then the
+    simhash combination-banding core finds all pairs within Hamming ≤ 3
+    (pigeonhole-exact recall, so the pair set equals the brute-force
+    filter the oracle computes). (operators/dedup.hash_near_dups +
+    multimodal.image_ahash)."""
+    import hashlib
+
+    import numpy as np
+
+    from edgar_spark.operators.dedup import hash_near_dups
+    from edgar_spark.operators.multimodal import encode_bmp, image_ahash
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for t in pdf.itertuples(index=False):
+                d = int(t.doc_id)
+                base = d // 2
+                vals = []
+                for c in range(64):
+                    # md5-derived cell value: no cross-base structure, so
+                    # the only near pairs are the intended 2k/2k+1 ones
+                    v = (
+                        int(
+                            hashlib.md5(f"{base}:{c}".encode()).hexdigest()[
+                                :2
+                            ],
+                            16,
+                        )
+                        % 85
+                    )
+                    if d % 2 == 1 and c == 0:
+                        v += 17
+                    vals.extend([v, v, v])
+                px = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+                ids.append(d)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    hashes = image_ahash(media).withColumnRenamed("media_id", "doc_id")
+    return hash_near_dups(hashes, hash_col="ahash").orderBy("id_a", "id_b")
+
+
+def _phash_near_dups_oracle_sql() -> str:
+    pow2 = (
+        "[" + ",".join(f"CAST({1 << i} AS HUGEINT)" for i in range(64)) + "]"
+    )
+    return f"""
+    WITH cells AS (
+        SELECT doc_id, CAST(i AS INT) AS cell,
+               3 * ((CAST(concat('0x', substr(md5(
+                        concat(CAST(doc_id // 2 AS VARCHAR), ':',
+                               CAST(i AS VARCHAR))), 1, 2)) AS INT) % 85)
+                    + CASE WHEN doc_id % 2 = 1 AND i = 0
+                           THEN 17 ELSE 0 END) AS luma
+        FROM documents
+        CROSS JOIN unnest(generate_series(0, 63)) AS t(i)
+    ), tot AS (
+        SELECT doc_id, SUM(luma) AS total FROM cells GROUP BY doc_id
+    ), bits AS (
+        SELECT c.doc_id, cell,
+               CASE WHEN luma * 64 >= total THEN 1 ELSE 0 END AS b
+        FROM cells c JOIN tot USING (doc_id)
+    ), h AS (
+        SELECT doc_id,
+               CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                         THEN u - 18446744073709551616::HUGEINT
+                         ELSE u END AS BIGINT) AS ahash
+        FROM (
+            SELECT doc_id,
+                   SUM(CASE WHEN b = 1 THEN {pow2}[cell + 1]
+                            ELSE CAST(0 AS HUGEINT) END) AS u
+            FROM bits GROUP BY doc_id
+        )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    ORDER BY id_a, id_b"""
+
+
+_QUERIES["phash_near_dups"] = q_phash_near_dups
+_ORACLES["phash_near_dups"] = _phash_near_dups_oracle_sql()
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

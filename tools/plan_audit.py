@@ -162,6 +162,9 @@ AUDITS = {
     "rp_project": ["Project", "!Join", "!HashAggregate"],
     # perceptual hash: encode + decode are Arrow passes, no shuffle
     "mm_phash": ["MapInPandas", "!Join", "!HashAggregate"],
+    # visual near-dups: banding equality joins on chunk keys — never a
+    # cross join; verification is bit_count on candidates only
+    "phash_near_dups": ["MapInPandas", "!BroadcastNestedLoopJoin"],
     # host rollup: lang scoring fuses into the scan; one partial-agged
     # groupBy(host) (count-distinct expands it, still no join)
     "host_stats": ["HashAggregate", "!Join"],
