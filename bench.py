@@ -404,7 +404,13 @@ def _write_scaling_md(summary: dict, runs: dict) -> None:
         "pages holds ~15 s of constants against a few seconds of work; on a",
         "production corpus a wave carries ~10^7 URLs and the same constants",
         "amortize to noise. Single-run variance on this VM is ±40%; medians over",
-        "interleaved repeats are reported.",
+        "interleaved repeats are reported. The VM additionally shows",
+        "intermittent windows where FIRST-execution codegen compilation is",
+        "5-7x inflated (a HOF-heavy query's first run jumps from ~1s to ~8s",
+        "with identical code measuring normal minutes later; warm reruns in",
+        "the same JVM are unaffected) — single-run per-query spikes on",
+        "compile-heavy queries are that pathology, not plan regressions;",
+        "the repeat medians absorb it.",
         "",
         "Raw runs (crawl_sec / parse_pages_per_sec):",
         "",
