@@ -41,7 +41,7 @@ def canonicalize(url: Column, base: str = SEC_BASE) -> Column:
 
 
 def host_of(url: Column) -> Column:
-    return F.lower(F.regexp_extract(url, r"^(?i:https?)://([^/?#]+)", 1))
+    return F.lower(F.regexp_extract(url, r"^(?i:https?)://(?:[^/?#@]*@)?([^/?#]+)", 1))
 
 
 def politeness_bucket(
@@ -70,7 +70,7 @@ def url_pattern(url: Column) -> Column:
     collapsed to ``N`` (query/fragment dropped). Calendar pages, paginated
     listings, and session-id explosions — the classic spider traps — all
     share one pattern while real content spreads across many."""
-    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)", 1))
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     return F.concat(host, F.regexp_replace(path, "[0-9]+", "N"))
@@ -85,6 +85,10 @@ def surt_key(url: Column) -> Column:
     ``https://WWW.Example.com/a?b=2&a=1`` and
     ``https://example.com/a?a=1&b=2`` share one key.
 
+    Userinfo (``user:pass@``) is dropped from the authority — real
+    SURT/CDX keys never carry it — via the ``(?:[^/?#@]*@)?`` skip shared
+    by every authority extraction in this module and ``operators/graph``.
+
     Pure column expression: splits/reverses/sorts run in codegen, no
     Python — at index-build scale the key costs only the scan it rides.
     The param sort is a plain lexicographic ``array_sort`` over ``&``
@@ -96,7 +100,7 @@ def surt_key(url: Column) -> Column:
     # ('/a#sec?tab=1' must key identically to '/a')
     no_frag = F.regexp_extract(url, r"^([^#]*)", 1)
     hostport = F.lower(
-        F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+        F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)", 1)
     )
     host = F.regexp_replace(F.regexp_extract(hostport, r"^([^:]*)", 1), r"^www\.", "")
     port = F.regexp_extract(hostport, r"(:[0-9]+)$", 1)
@@ -192,7 +196,7 @@ def trap_hosts(
     from pyspark.sql import Window
 
     host = F.lower(
-        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)", 1)
     )
     pat = urls.select(
         host.alias("host"), url_pattern(F.col(url_col)).alias("pattern")

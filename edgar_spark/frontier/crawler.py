@@ -804,13 +804,18 @@ class Crawler:
         )
         n_before = frontier.count()
         nsp = self.cfg.snapshot_partitions
+        # a snapshot with no facts table yet must not carry a null path —
+        # catalog.read(spark, "facts") would crash on the next wave instead
+        # of failing here (mirrors run_wave's prev_facts_path guard)
+        facts_path = self.catalog.table_path("facts")
+        carry = {"facts": facts_path} if facts_path is not None else {}
         self.catalog.commit_snapshot(
             {"frontier": migrated.repartition(nsp)},
             meta={
                 "wave": self.catalog.snapshot_meta().get("wave", -1),
                 "recanonicalized": True,
             },
-            carry={"facts": self.catalog.table_path("facts")},
+            carry=carry,
         )
         n_after = self.catalog.read(spark, "frontier").count()
         return {"rows_before": n_before, "rows_after": n_after}

@@ -30,13 +30,26 @@ def parse_sitemaps(
     ``lastmod`` is NULL when the entry omits it (it is optional in the
     protocol). Entries without a ``<loc>`` are dropped — a sitemap entry
     with no URL schedules nothing. Input rows with NULL xml yield no rows.
+
+    All patterns carry ``(?s)`` so ``.*?`` crosses newlines: real-world
+    sitemaps are pretty-printed with line breaks between tags, and a
+    non-DOTALL lazy dot would silently extract zero entries from them.
+    (Java regex and DuckDB RE2 both honor the inline flag, so the DuckDB
+    oracle mirrors it verbatim.) Whitespace around the ``<loc>``/
+    ``<lastmod>`` values is trimmed by ``\\s*`` inside the capture — XML
+    pretty-printers indent tag contents, and Spark's ``trim`` would only
+    strip spaces, not the newlines.
     """
     block = F.explode(
-        F.regexp_extract_all(F.col(xml_col), F.lit("<url>(.*?)</url>"), F.lit(1))
+        F.regexp_extract_all(
+            F.col(xml_col), F.lit("(?s)<url>(.*?)</url>"), F.lit(1)
+        )
     ).alias("_entry")
     entries = df.select(host_col, block)
-    loc = F.regexp_extract(F.col("_entry"), "<loc>(.*?)</loc>", 1)
-    lastmod = F.regexp_extract(F.col("_entry"), "<lastmod>(.*?)</lastmod>", 1)
+    loc = F.regexp_extract(F.col("_entry"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        F.col("_entry"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+    )
     return entries.select(
         host_col,
         loc.alias("loc"),

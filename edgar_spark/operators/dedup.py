@@ -362,7 +362,12 @@ def minhash_dedup_edges(
     edges between representatives — linear in the copy count where the
     pair pipeline is quadratic. Connected components over the edges equal
     CC over the ``minhash_dedup_pairs`` output at the same threshold."""
-    sigs = minhash_signatures(df, n_hashes, shingle_k, text_col, id_col).persist()
+    # localCheckpoint, not persist(): checkpoint blocks are freed by the
+    # ContextCleaner when the returned plan is garbage-collected, where a
+    # CacheManager persist() would pin executor storage for the session
+    # (long-lived drivers invoking this per-wave would accumulate blocks)
+    sigs = minhash_signatures(df, n_hashes, shingle_k, text_col, id_col)
+    sigs = sigs.localCheckpoint(eager=True)
     groups = sigs.groupBy("sig").agg(F.min(id_col).alias("_rep"))
     star = (
         sigs.join(groups, "sig")
@@ -492,8 +497,10 @@ def simhash_near_dups(
         n_chunks = auto_simhash_chunks(n, max_hamming)
     # the Python signature kernel is the dominant cost and the band plan
     # scans it from four places (candidate left/right + verify a/b):
-    # persist the small (id, long) signature table so it computes ONCE
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    # checkpoint the small (id, long) signature table so it computes ONCE
+    # (localCheckpoint, not persist: blocks free with the plan's lifetime
+    # instead of pinning CacheManager storage across waves)
+    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=True)
     return _simhash_band_pairs(sigs, max_hamming, n_chunks, id_col, bucket_cap)
 
 
@@ -603,7 +610,7 @@ def simhash_dedup_edges(
     ``connected_components`` — transitive closure recovers every doc pair
     relationship the quadratic output encoded.
     """
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=True)
     groups = sigs.groupBy("simhash").agg(F.min(id_col).alias("_rep"))
     star = (
         sigs.join(groups, "simhash")
@@ -614,7 +621,8 @@ def simhash_dedup_edges(
             F.lit(0).alias("hamming"),
         )
     )
-    reps = groups.select(F.col("_rep").alias(id_col), "simhash").persist()
+    reps = groups.select(F.col("_rep").alias(id_col), "simhash")
+    reps = reps.localCheckpoint(eager=True)
     if n_chunks is None:
         n_chunks = auto_simhash_chunks(reps.count(), max_hamming)
     rep_pairs = _simhash_band_pairs(reps, max_hamming, n_chunks, id_col, bucket_cap)

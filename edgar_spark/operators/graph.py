@@ -216,7 +216,7 @@ def host_graph(
     host-pair skew (every page linking its own nav) is exactly the case
     the (pair, src) pre-aggregation absorbs.
     """
-    host_re = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+    host_re = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)"
     pairs = edges.select(
         F.lower(F.regexp_extract(F.col(src_col), host_re, 1)).alias("src_host"),
         F.lower(F.regexp_extract(F.col(dst_col), host_re, 1)).alias("dst_host"),

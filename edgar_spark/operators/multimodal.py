@@ -290,7 +290,14 @@ def video_frame_sample(
 
     The whole plan is JVM column exprs — frame selection, slicing, and
     hashing never touch Python, so at 100 TB the decode-free sampling
-    pass prunes to the frames worth shipping to a (Pandas-UDF) decoder."""
+    pass prunes to the frames worth shipping to a (Pandas-UDF) decoder.
+
+    Offsets: a Spark binary cell is structurally capped at 2 GiB (JVM
+    byte[] — a larger video must be stored as per-chunk rows upstream),
+    but ``substr`` takes INT positions, so a corrupt ``width × height``
+    could still silently wrap the computed offset in non-ANSI mode and
+    hash the wrong bytes. The explicit end-offset guard below drops any
+    frame whose slice would exceed INT_MAX instead of wrapping."""
     frame_size = (
         F.col(width_col) * F.col(height_col) * F.lit(bpp)
     ).cast("long")
@@ -306,6 +313,12 @@ def video_frame_sample(
         df.withColumn("_fs", frame_size)
         .withColumn("n_frames", n_frames)
         .withColumn("frame_idx", F.explode(sampled_idx))
+        # all arithmetic stays LONG until the guard passes; only then is
+        # the offset narrowed to the INT substr expects
+        .filter(
+            F.col("frame_idx") * F.col("_fs") + F.col("_fs")
+            <= F.lit(2147483647).cast("long")
+        )
         .select(
             id_col,
             "frame_idx",

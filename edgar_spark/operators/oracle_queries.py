@@ -1723,7 +1723,7 @@ _ORACLES: Dict[str, str] = {
             FROM p
         )
         SELECT doc_id, url, canon,
-               lower(regexp_extract(canon, '^(?i:https?)://([^/?#]+)', 1)) AS host
+               lower(regexp_extract(canon, '^(?i:https?)://(?:[^/?#@]*@)?([^/?#]+)', 1)) AS host
         FROM k
     """,
     "mm_audio_stats": """
@@ -3240,30 +3240,31 @@ _ORACLES["crawl_budget"] = _BUDGET_ORACLE
 
 
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-trip sitemap ingestion: one sitemap XML document per source
-    (entries in doc_id order; every 5th doc omits <lastmod>) is parsed
-    back into (host, loc, lastmod) frontier rows by pure-JVM regexp
-    extraction (frontier/sitemap.parse_sitemaps)."""
+    """Round-trip sitemap ingestion: one PRETTY-PRINTED sitemap XML
+    document per source (entries in doc_id order, newline-separated tags
+    exactly like real-world sitemaps; every 5th doc omits <lastmod>) is
+    parsed back into (host, loc, lastmod) frontier rows by pure-JVM
+    (?s)-flagged regexp extraction (frontier/sitemap.parse_sitemaps)."""
     from edgar_spark.frontier.sitemap import parse_sitemaps
 
     docs = _t(spark, sf_dir, "documents")
     entry = F.concat(
-        F.lit("<url><loc>https://"),
+        F.lit("<url>\n  <loc>\n    https://"),
         F.col("source"),
         F.lit(".example.com/doc/"),
         F.col("doc_id").cast("string"),
-        F.lit("</loc>"),
+        F.lit("\n  </loc>\n"),
         F.when(
             F.col("doc_id") % 5 != 0,
             F.concat(
-                F.lit("<lastmod>2024-"),
+                F.lit("  <lastmod>2024-"),
                 F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
                 F.lit("-"),
                 F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
-                F.lit("</lastmod>"),
+                F.lit("</lastmod>\n"),
             ),
         ).otherwise(F.lit("")),
-        F.lit("</url>"),
+        F.lit("</url>\n"),
     )
     sitemaps = (
         docs.select("source", F.struct("doc_id", entry.alias("e")).alias("_s"))
@@ -3284,30 +3285,31 @@ def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SITEMAP_ORACLE = """
     WITH e AS (
         SELECT source AS host, doc_id,
-               concat('<url><loc>https://', source, '.example.com/doc/',
-                      CAST(doc_id AS VARCHAR), '</loc>',
+               concat('<url>', chr(10), '  <loc>', chr(10),
+                      '    https://', source, '.example.com/doc/',
+                      CAST(doc_id AS VARCHAR), chr(10), '  </loc>', chr(10),
                       CASE WHEN doc_id % 5 <> 0 THEN
-                          concat('<lastmod>2024-',
+                          concat('  <lastmod>2024-',
                                  lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0'),
                                  '-',
                                  lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
-                                 '</lastmod>')
-                      ELSE '' END, '</url>') AS entry
+                                 '</lastmod>', chr(10))
+                      ELSE '' END, '</url>', chr(10)) AS entry
         FROM documents
     ), sm AS (
         SELECT host, string_agg(entry, '' ORDER BY doc_id) AS xml
         FROM e GROUP BY host
     ), blocks AS (
-        SELECT host, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1))
+        SELECT host, unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1))
                    AS b
         FROM sm
     )
     SELECT host,
-           regexp_extract(b, '<loc>(.*?)</loc>', 1) AS loc,
-           nullif(regexp_extract(b, '<lastmod>(.*?)</lastmod>', 1), '')
-               AS lastmod
+           regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
+           nullif(regexp_extract(b, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1),
+                  '') AS lastmod
     FROM blocks
-    WHERE regexp_extract(b, '<loc>(.*?)</loc>', 1) <> ''
+    WHERE regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) <> ''
     ORDER BY host, loc"""
 
 _QUERIES["sitemap_extract"] = q_sitemap_extract
@@ -3472,10 +3474,10 @@ _TRAP_ORACLE = """
         FROM events
     ), p AS (
         SELECT lower(regexp_extract(url,
-                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)) AS host,
                concat(
                    lower(regexp_extract(url,
-                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)),
                    regexp_replace(
                        CASE WHEN regexp_extract(url,
                               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)',
@@ -3956,7 +3958,7 @@ _WAT_LINKS_ORACLE = r"""
                lower(regexp_extract(src_url,
                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                lower(regexp_extract(src_url,
-                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)) AS host,
                CASE WHEN regexp_extract(src_url,
                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
                     THEN '/'
@@ -4008,7 +4010,8 @@ _ORACLES["wat_links"] = _WAT_LINKS_ORACLE
 def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture-index build over a synthesized capture log: doc_id%100
     picks the page, (doc_id div 100)%5 the URL spelling — WWW+mixed-case
-    +swapped query params, plain, :8080 port, query-less, and www
+    +swapped query params, userinfo-prefixed (user:pw@, which SURT must
+    drop), :8080 port, query-less, and www
     query-less — so alias spellings of one page collapse onto one SURT
     key while the port/query variants stay distinct entries. Even pages
     are static (digest keyed by page → 1 distinct digest), odd pages
@@ -4037,8 +4040,8 @@ def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             style == 1,
             F.concat(
-                F.lit("https://"), host, F.lit(".example.com/p/"), ps,
-                F.lit("?a=1&b=2"),
+                F.lit("https://user:pw@"), host, F.lit(".example.com/p/"),
+                ps, F.lit("?a=1&b=2"),
             ),
         )
         .when(
@@ -4067,8 +4070,8 @@ _CDX_ORACLE = r"""
         SELECT CASE CAST((doc_id // 100) % 5 AS INT)
                  WHEN 0 THEN 'https://WWW.' || h || '.Example.com/p/' || ps
                              || '?b=2&a=1'
-                 WHEN 1 THEN 'https://' || h || '.example.com/p/' || ps
-                             || '?a=1&b=2'
+                 WHEN 1 THEN 'https://user:pw@' || h || '.example.com/p/'
+                             || ps || '?a=1&b=2'
                  WHEN 2 THEN 'https://' || h || '.example.com:8080/p/' || ps
                  WHEN 3 THEN 'https://' || h || '.example.com/p/' || ps
                  ELSE 'https://www.' || h || '.example.com/p/' || ps
@@ -4090,11 +4093,11 @@ _CDX_ORACLE = r"""
                    array_to_string(list_reverse(string_split(
                        regexp_replace(regexp_extract(
                            lower(regexp_extract(url,
-                               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)),
                            '^([^:]*)', 1), '^www\.', ''), '.')), ','),
                    regexp_extract(
                        lower(regexp_extract(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)),
                        '(:[0-9]+)$', 1),
                    ')',
                    CASE WHEN regexp_extract(url,
@@ -4343,15 +4346,15 @@ _HOST_GRAPH_ORACLE = r"""
         FROM pages
     )
     SELECT lower(regexp_extract(src,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS src_host,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)) AS src_host,
            lower(regexp_extract(dst_url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)) AS dst_host,
            COUNT(*) AS n_links,
            COUNT(DISTINCT src) AS n_src_pages,
            lower(regexp_extract(src,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1))
              = lower(regexp_extract(dst_url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS internal
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)) AS internal
     FROM edges
     GROUP BY 1, 2
     ORDER BY src_host, dst_host"""
