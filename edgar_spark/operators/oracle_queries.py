@@ -2335,33 +2335,42 @@ def _ivf_topk_oracle_sql(n_centroids: int = 16, n_probe: int = 2, k: int = 5) ->
     """
 
 
-def _ivf_assign_oracle_sql(k: int = 8, n_iter: int = 2, mean_dp: int = 9) -> str:
-    """Unrolled Lloyd's k-means + final assignment, reproducing
-    ``kmeans_centroids(mean_round_dp=9)`` → ``ivf_assign`` exactly:
-    seeds = the k lowest-vec_id vectors (centroid ids 0..k-1 in vec_id
-    order); each round assigns by round-6 cosine (ties → lowest centroid
-    id) then replaces each centroid with the round-9 per-dimension mean of
-    its members, empty clusters keeping their previous centroid."""
+def _lloyd_cte_parts(
+    k: int = 8,
+    n_iter: int = 2,
+    mean_dp: int = 9,
+    sfx: str = "",
+    vexpr: str = "CAST(embedding AS DOUBLE[])",
+) -> str:
+    """Unrolled Lloyd's k-means + final assignment CTE chain (no leading
+    WITH), reproducing ``kmeans_centroids(mean_round_dp=mean_dp)`` →
+    ``ivf_assign`` exactly: seeds = the k lowest-vec_id vectors (centroid
+    ids 0..k-1 in vec_id order); each round assigns by round-6 cosine
+    (ties → lowest centroid id) then replaces each centroid with the
+    round-``mean_dp`` per-dimension mean of its members, empty clusters
+    keeping their previous centroid. ``sfx`` suffixes every CTE name so
+    several chains (e.g. one per PQ subspace) compose in one WITH;
+    ``vexpr`` is the vector expression (a slice for subspace training).
+    The chain ends at ``af{sfx}`` = (vec_id, centroid_id)."""
     parts = [
-        f"""
-        WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ), ex AS (
+        f"""e{sfx} AS (
+            SELECT vec_id, {vexpr} AS v FROM embeddings
+        ), ex{sfx} AS (
             SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x
-            FROM e
-        ), c0 AS (
-            SELECT s.cid, ex.pos, ex.x AS val
+            FROM e{sfx}
+        ), c0{sfx} AS (
+            SELECT s.cid, t.pos, t.x AS val
             FROM (
                 SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-                FROM e ORDER BY vec_id LIMIT {k}
-            ) s JOIN ex ON ex.vec_id = s.vec_id
+                FROM e{sfx} ORDER BY vec_id LIMIT {k}
+            ) s JOIN ex{sfx} t ON t.vec_id = s.vec_id
         )"""
     ]
     for i in range(n_iter):
         parts.append(f"""
-        , cl{i} AS (
-            SELECT cid, list(val ORDER BY pos) AS cv FROM c{i} GROUP BY cid
-        ), a{i} AS (
+        , cl{i}{sfx} AS (
+            SELECT cid, list(val ORDER BY pos) AS cv FROM c{i}{sfx} GROUP BY cid
+        ), a{i}{sfx} AS (
             SELECT vec_id, cid FROM (
                 SELECT e.vec_id, c.cid,
                        row_number() OVER (
@@ -2369,31 +2378,43 @@ def _ivf_assign_oracle_sql(k: int = 8, n_iter: int = 2, mean_dp: int = 9) -> str
                            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
                                     DESC, c.cid
                        ) AS r
-                FROM e CROSS JOIN cl{i} c
+                FROM e{sfx} e CROSS JOIN cl{i}{sfx} c
             ) WHERE r = 1
-        ), c{i + 1} AS (
+        ), c{i + 1}{sfx} AS (
             SELECT p.cid, p.pos, coalesce(m.val, p.val) AS val
-            FROM c{i} p LEFT JOIN (
-                SELECT a.cid, ex.pos, round(avg(ex.x), {mean_dp}) AS val
-                FROM a{i} a JOIN ex ON ex.vec_id = a.vec_id
-                GROUP BY a.cid, ex.pos
+            FROM c{i}{sfx} p LEFT JOIN (
+                SELECT a.cid, t.pos, round(avg(t.x), {mean_dp}) AS val
+                FROM a{i}{sfx} a JOIN ex{sfx} t ON t.vec_id = a.vec_id
+                GROUP BY a.cid, t.pos
             ) m ON m.cid = p.cid AND m.pos = p.pos
         )""")
     parts.append(f"""
-        , clf AS (
+        , clf{sfx} AS (
             SELECT cid, list(val ORDER BY pos) AS cv
-            FROM c{n_iter} GROUP BY cid
-        )
-        SELECT vec_id, centroid_id FROM (
-            SELECT e.vec_id, c.cid AS centroid_id,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
-                                DESC, c.cid
-                   ) AS r
-            FROM e CROSS JOIN clf c
-        ) WHERE r = 1""")
+            FROM c{n_iter}{sfx} GROUP BY cid
+        ), af{sfx} AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.cid AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
+                                    DESC, c.cid
+                       ) AS r
+                FROM e{sfx} e CROSS JOIN clf{sfx} c
+            ) WHERE r = 1
+        )""")
     return "".join(parts)
+
+
+def _ivf_assign_oracle_sql(k: int = 8, n_iter: int = 2, mean_dp: int = 9) -> str:
+    return "WITH " + _lloyd_cte_parts(k, n_iter, mean_dp)
+
+
+def _ivf_assign_final_sql(k: int = 8, n_iter: int = 2, mean_dp: int = 9) -> str:
+    return (
+        _ivf_assign_oracle_sql(k, n_iter, mean_dp)
+        + "\n        SELECT vec_id, centroid_id FROM af"
+    )
 
 
 # ------------------------------------------------- link graph / LM / sketches
@@ -2686,6 +2707,258 @@ def _tfidf_oracle_sql() -> str:
         ORDER BY query_id, rank"""
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: top-5 documents per literal query by quantized
+    BM25 (k1=1.2, b=0.75) — idf, doc-length normalization, and tf
+    saturation all exact-integer ``div`` rationals (retrieval.bm25_topk),
+    so scores and rankings replay bit-identically in SQL."""
+    import pandas as pd
+
+    from edgar_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        pd.DataFrame(_TFIDF_QUERIES, columns=["query_id", "query_text"])
+    )
+    return bm25_topk(docs, queries, k=_TFIDF_K).orderBy("query_id", "rank")
+
+
+def _bm25_oracle_sql() -> str:
+    qvals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in _TFIDF_QUERIES)
+    return f"""
+        WITH post AS (
+            SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl
+            FROM (
+                SELECT doc_id,
+                       len(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           w -> w != '')) AS dl,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           w -> w != '')) AS term
+                FROM documents
+            ) GROUP BY term, doc_id
+        ),
+        stats AS (
+            SELECT count(*) AS n,
+                   sum(len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       w -> w != ''))) AS total
+            FROM documents
+        ),
+        idf AS (
+            SELECT term,
+                   (((2 * (SELECT n FROM stats) - 2 * count(*) + 1) * 1000)
+                    // (2 * count(*) + 1)) AS idf_scaled
+            FROM post GROUP BY term
+        ),
+        q AS (
+            SELECT query_id, unnest(list_filter(
+                regexp_split_to_array(lower(query_text), '[^a-z0-9]+'),
+                w -> w != '')) AS term
+            FROM (VALUES {qvals}) AS qq(query_id, query_text)
+        ),
+        qt AS (SELECT query_id, term, count(*) AS q_tf FROM q GROUP BY 1, 2),
+        scored AS (
+            SELECT qt.query_id, post.doc_id,
+                   CAST(sum(qt.q_tf * idf.idf_scaled *
+                       ((22 * post.tf * 10000 * 1000) //
+                        (10 * 1000 * post.tf + 3 * 1000 +
+                         9 * ((post.dl * (SELECT n FROM stats) * 1000)
+                              // (SELECT total FROM stats))))
+                   ) AS BIGINT) AS score
+            FROM post JOIN qt USING (term) JOIN idf USING (term)
+            GROUP BY qt.query_id, post.doc_id
+        )
+        SELECT query_id, rank, doc_id, score FROM (
+            SELECT query_id, doc_id, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= {_TFIDF_K}
+        ORDER BY query_id, rank"""
+
+
+_QUERIES["bm25_topk"] = q_bm25_topk
+_ORACLES["bm25_topk"] = _bm25_oracle_sql()
+
+
+_BPE_MERGES = 8
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training: 8 merge rounds over the corpus
+    word-frequency table — per round, the frequency-weighted argmax
+    adjacent symbol pair (ties count-desc, pair-asc) is learned and then
+    greedily merged into every word via the JVM aggregate fold
+    (text.bpe_train / bpe_apply_merge). The oracle unrolls all 8 rounds
+    in SQL with the same varchar-encoded fold via list_reduce, so every
+    learned (round, pair, n) row is value-exact."""
+    from edgar_spark.operators.text import bpe_train
+
+    return bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    ).orderBy("round")
+
+
+def _bpe_train_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    parts = [
+        """w0 AS (
+        SELECT freq,
+               list_transform(range(length(w)),
+                   i -> substr(w, CAST(i AS INT) + 1, 1)) AS syms
+        FROM (
+            SELECT w, count(*) AS freq FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x != '')) AS w
+                FROM documents)
+            GROUP BY w HAVING length(w) >= 2))"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""c{r} AS (
+            SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+                SELECT freq, unnest(CASE WHEN len(syms) >= 2 THEN
+                        list_transform(range(len(syms) - 1),
+                            i -> syms[CAST(i AS INT) + 1] || ' '
+                                 || syms[CAST(i AS INT) + 2])
+                    ELSE [] END) AS pair
+                FROM w{r}) GROUP BY pair)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+            SELECT {r} AS round, pair, n,
+                   split_part(pair, ' ', 1) AS a,
+                   split_part(pair, ' ', 2) AS b
+            FROM c{r} ORDER BY n DESC, pair LIMIT 1)"""
+        )
+        if r < n_merges - 1:
+            parts.append(
+                f"""w{r + 1} AS (
+            SELECT freq, string_split(
+                CASE WHEN split_part(f, '~', 2) = '' THEN split_part(f, '~', 1)
+                     WHEN split_part(f, '~', 1) = '' THEN split_part(f, '~', 2)
+                     ELSE split_part(f, '~', 1) || '|' || split_part(f, '~', 2)
+                END, '|') AS syms
+            FROM (
+                SELECT freq, list_reduce(list_prepend('~', syms),
+                    (acc, x) -> CASE
+                        WHEN split_part(acc, '~', 2) = ''
+                            THEN split_part(acc, '~', 1) || '~' || x
+                        WHEN split_part(acc, '~', 2) = m.a AND x = m.b THEN
+                            CASE WHEN split_part(acc, '~', 1) = ''
+                                 THEN m.a || m.b
+                                 ELSE split_part(acc, '~', 1) || '|'
+                                      || m.a || m.b END || '~'
+                        ELSE
+                            CASE WHEN split_part(acc, '~', 1) = ''
+                                 THEN split_part(acc, '~', 2)
+                                 ELSE split_part(acc, '~', 1) || '|'
+                                      || split_part(acc, '~', 2)
+                            END || '~' || x
+                    END) AS f
+                FROM w{r}, m{r} AS m))"""
+            )
+    union = " UNION ALL ".join(
+        f"SELECT round, pair, n FROM m{r}" for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n    {union} ORDER BY round"
+
+
+_QUERIES["bpe_train"] = q_bpe_train
+_ORACLES["bpe_train"] = _bpe_train_oracle_sql()
+
+
+# The reference's own marshal golden (samples/sample_10K_marshal.json,
+# parser_test.go:556-597) expressed as a filings row; the keys below are
+# the fields whose RENDERED LINES the golden and the current struct share
+# byte-for-byte (the golden predates the current bitmask layout, so the
+# full documents differ by design — see tests/test_jsonexport.py).
+_MARSHAL_GOLDEN_ROW = {
+    "ticker": "AAPL", "filing_date": "2017-02-01", "filing_type": "10-K",
+    "sharecount": 5575331000.0, "revenue": 233715000000.0,
+    "cost_of_revenue": 140089000000.0, "gross_margin": 93626000000.0,
+    "op_income": 71230000000.0, "op_expense": 22396000000.0,
+    "net_income": 53394000000.0, "washares": 5793069000.0, "dps": 1.98,
+    "ldebt": 53463000000.0, "sdebt": 0.0, "cliab": 80610000000.0,
+    "deferred": 8940000000.0, "retained": 92284000000.0,
+    "equity": 119355000000.0, "cassets": 89378000000.0, "cash": None,
+    "securities": None, "goodwill": None, "intangibles": None,
+    "assets": None, "liab": None, "op_cashflow": 81266000000.0,
+    "capex": -11247000000.0, "dividends": 0.0, "interest": 0.0,
+}
+_MARSHAL_SHARED_KEYS = (
+    '"Revenue"', '"Dividend Per Share"', '"Shares Outstanding"',
+    '"Long-Term debt"', '"Capital Expenditure"', '"Company"',
+    '"Report date"', '"Filing Type"',
+)
+
+
+def q_marshal_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Go-marshal JSON sink parity as a driver key: the reference's own
+    marshal golden row renders through the DISTRIBUTED sink
+    (model/jsonexport.filings_json_df — Arrow-batched mapInPandas, the
+    folder.go:152-159 SaveFolder path), the document explodes into
+    lines, and the lines carrying the golden-shared keys are compared —
+    indent, ': ' separator, Go-style integral-float rendering and all —
+    against literal lines lifted verbatim from the reference's
+    samples/sample_10K_marshal.json (the oracle). A drift in the number
+    formatter or the MarshalIndent layout hash-fails."""
+    from functools import reduce
+    from operator import or_
+
+    from edgar_spark.model.jsonexport import filings_json_df
+
+    cols = list(_MARSHAL_GOLDEN_ROW)
+    typed = ", ".join(
+        f"{c} string"
+        if isinstance(_MARSHAL_GOLDEN_ROW[c], str)
+        else f"{c} double"
+        for c in cols
+    )
+    df = spark.createDataFrame(
+        [tuple(_MARSHAL_GOLDEN_ROW[c] for c in cols)], typed
+    )
+    rendered = filings_json_df(df)
+    lines = rendered.select(
+        F.explode(F.split("filing_json", "\n")).alias("line")
+    )
+    shared = lines.filter(
+        reduce(or_, [F.col("line").contains(k) for k in _MARSHAL_SHARED_KEYS])
+    )
+    return (
+        shared.select(F.regexp_replace("line", ",$", "").alias("line"))
+        .distinct()
+        .orderBy("line")
+    )
+
+
+def _marshal_parity_oracle_sql() -> str:
+    import pathlib
+
+    golden = (
+        pathlib.Path(__file__).resolve().parents[2]
+        / "tests" / "fixtures" / "samples" / "sample_10K_marshal.json"
+    ).read_text().strip()
+    wanted = sorted(
+        {
+            l.rstrip(",")
+            for l in golden.splitlines()
+            if any(k in l for k in _MARSHAL_SHARED_KEYS)
+        }
+    )
+    vals = ", ".join("('" + l.replace("'", "''") + "')" for l in wanted)
+    return (
+        f"SELECT line FROM (VALUES {vals}) AS g(line) ORDER BY line"
+    )
+
+
+_QUERIES["marshal_parity"] = q_marshal_parity
+_ORACLES["marshal_parity"] = _marshal_parity_oracle_sql()
+
+
 _LQF_BLOCKLIST = ("cookie", "customer")  # 'customer' occurs in the corpus
 
 
@@ -2904,7 +3177,100 @@ _ORACLES["hll_distinct"] = _hll_oracle_sql()
 _ORACLES["cms_frequency"] = _cms_oracle_sql()
 
 _ORACLES["ivf_topk"] = _ivf_topk_oracle_sql()
-_ORACLES["ivf_assign"] = _ivf_assign_oracle_sql()
+_ORACLES["ivf_assign"] = _ivf_assign_final_sql()
+
+
+_SEMDEDUP_TAU = 0.92
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition: the trained k-means quantizer (same 8
+    centroids / 2 Lloyd rounds as ``ivf_assign``) clusters the embedding
+    corpus, then every vector with a lower-id same-cluster neighbor at
+    round-6 cosine ≥ 0.92 is marked dropped (similarity.semdedup). The
+    oracle extends the unrolled-Lloyd's SQL with the cluster-scoped pair
+    prune."""
+    import numpy as np
+
+    from edgar_spark.operators.similarity import kmeans_centroids, semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k, n_iter = 8, 2
+    cmat = kmeans_centroids(emb, k=k, n_iter=n_iter, mean_round_dp=9)
+    return semdedup(
+        emb, cmat, np.arange(k, dtype=np.int64), threshold=_SEMDEDUP_TAU
+    ).orderBy("vec_id")
+
+
+def _semdedup_oracle_sql() -> str:
+    return (
+        _ivf_assign_oracle_sql()
+        + f"""
+        , ve AS (
+            SELECT af.vec_id, af.centroid_id, e.v
+            FROM af JOIN e USING (vec_id)
+        ), pruned AS (
+            SELECT DISTINCT b.vec_id
+            FROM ve a JOIN ve b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                  >= {_SEMDEDUP_TAU}
+        )
+        SELECT ve.vec_id, ve.centroid_id,
+               pruned.vec_id IS NULL AS keep
+        FROM ve LEFT JOIN pruned USING (vec_id)
+        ORDER BY ve.vec_id"""
+    )
+
+
+_QUERIES["semdedup"] = q_semdedup
+_ORACLES["semdedup"] = _semdedup_oracle_sql()
+
+
+_PQ_M, _PQ_K, _PQ_ITER, _PQ_DIM = 4, 4, 1, 64
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization codes: the 64-dim embeddings split into 4
+    subspaces of 16 dims, each with a 4-centroid codebook trained by the
+    deterministic Lloyd's trainer (1 round, round-9 means) and assigned
+    by round-6 cosine (similarity.pq_encode). The oracle composes four
+    suffixed copies of the unrolled-Lloyd CTE chain, one per subspace
+    slice, joined on vec_id."""
+    from edgar_spark.operators.similarity import pq_encode
+
+    return pq_encode(
+        _t(spark, sf_dir, "embeddings"),
+        dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, mean_round_dp=9,
+    ).orderBy("vec_id")
+
+
+def _pq_encode_oracle_sql() -> str:
+    w = _PQ_DIM // _PQ_M
+    chains = []
+    for s in range(_PQ_M):
+        vexpr = f"(CAST(embedding AS DOUBLE[]))[{s * w + 1}:{(s + 1) * w}]"
+        chains.append(
+            _lloyd_cte_parts(
+                k=_PQ_K, n_iter=_PQ_ITER, mean_dp=9, sfx=f"_s{s}", vexpr=vexpr
+            )
+        )
+    joins = "".join(
+        f" JOIN af_s{s} a{s} USING (vec_id)" for s in range(1, _PQ_M)
+    )
+    cols = ", ".join(
+        f"a{s}.centroid_id AS code_{s}" if s else "a0.centroid_id AS code_0"
+        for s in range(_PQ_M)
+    )
+    return (
+        "WITH " + ", ".join(chains)
+        + f"\n        SELECT a0.vec_id, {cols} FROM af_s0 a0{joins}"
+        + " ORDER BY a0.vec_id"
+    )
+
+
+_QUERIES["pq_encode"] = q_pq_encode
+_ORACLES["pq_encode"] = _pq_encode_oracle_sql()
 _ORACLES["ngram_jaccard_lsh"] = _ngram_jaccard_lsh_oracle_sql()
 _ORACLES["streaming_sessionize"] = _ORACLES["sessionize_gap"]
 _ORACLES["minhash_near_dups"] = _minhash_oracle_sql()
@@ -5068,6 +5434,93 @@ def _phash_near_dups_oracle_sql() -> str:
 
 _QUERIES["phash_near_dups"] = q_phash_near_dups
 _ORACLES["phash_near_dups"] = _phash_near_dups_oracle_sql()
+
+
+def q_mm_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end through the stdlib-zlib codec: each
+    document's leading codepoints (mod 256) become the pixels of an 8×4
+    PNG whose color type rotates on doc_id % 3 — RGB (96 values), 8-bit
+    grayscale (32), and RGBA (128; alpha dropped on decode) — serialized
+    with encode_png (whose y%5 row filters make every 8-row image
+    exercise ALL FIVE scanline filters: None/Sub/Up/Average/Paeth) and
+    decoded back by the pure zlib+numpy unfilter chain inside
+    image_stats. The oracle recomputes the expected means straight from
+    the text codepoints per color mode, so a filter-algebra, channel-
+    order, alpha-handling, or gray-replication bug in either codec half
+    cannot pass (operators/multimodal.encode_png/_decode_png)."""
+    import numpy as np
+
+    from edgar_spark.operators.multimodal import encode_png, image_stats
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for t in pdf.itertuples(index=False):
+                s = t.text or ""
+                mode = t.doc_id % 3
+                n = {0: 96, 1: 32, 2: 128}[mode]
+                vals = [
+                    (ord(s[i]) % 256) if i < len(s) else 0 for i in range(n)
+                ]
+                a = np.array(vals, dtype=np.uint8)
+                px = (
+                    a.reshape(8, 4, 3)
+                    if mode == 0
+                    else (a.reshape(8, 4) if mode == 1 else a.reshape(8, 4, 4))
+                )
+                ids.append(t.doc_id)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return (
+        image_stats(media)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_MM_PNG_STATS_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, CAST(doc_id % 3 AS INT) AS mode,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 96 WHEN 1 THEN 32 ELSE 128 END AS n,
+               text
+        FROM documents
+    ), px AS (
+        SELECT doc_id, mode,
+               list_transform(range(n),
+                   i -> CASE WHEN i < length(text)
+                             THEN ascii(substr(text, CAST(i AS INT) + 1, 1))
+                                  % 256
+                             ELSE 0 END) AS v
+        FROM m
+    )
+    SELECT doc_id, 4 AS width, 8 AS height,
+           CASE mode
+               WHEN 0 THEN round(list_sum(v) / 96.0, 6)
+               WHEN 1 THEN round(list_sum(v) / 32.0, 6)
+               ELSE round(list_sum(list_transform(range(32),
+                        k -> v[k*4 + 1] + v[k*4 + 2] + v[k*4 + 3])) / 96.0, 6)
+           END AS mean_all,
+           CASE mode
+               WHEN 0 THEN round(list_sum(list_transform(range(32),
+                        k -> v[k*3 + 3])) / 32.0, 6)
+               WHEN 1 THEN round(list_sum(v) / 32.0, 6)
+               ELSE round(list_sum(list_transform(range(32),
+                        k -> v[k*4 + 3])) / 32.0, 6)
+           END AS mean_b
+    FROM px ORDER BY doc_id"""
+
+
+_QUERIES["mm_png_stats"] = q_mm_png_stats
+_ORACLES["mm_png_stats"] = _MM_PNG_STATS_ORACLE
 
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:

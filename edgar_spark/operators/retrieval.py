@@ -35,9 +35,14 @@ from pyspark.sql import functions as F
 
 from edgar_spark.operators.text import alnum_terms
 
-__all__ = ["index_terms", "postings", "tfidf_topk"]
+__all__ = ["index_terms", "postings", "postings_with_dl", "tfidf_topk", "bm25_topk"]
 
 IDF_SCALE = 1000
+
+# BM25 quantization scales (see bm25_topk): doc-length normalization and
+# the tf saturation ratio each carry 3-4 decimal digits of precision
+BM25_DL_SCALE = 1000  # L = (dl * N * 1000) div total_len ≈ 1000 · dl/avgdl
+BM25_TF_SCALE = 10000  # tf_part ≤ (k1+1) · 10000 = 22000
 
 # the shared indexing tokenizer (text.py) under its retrieval name
 index_terms = alnum_terms
@@ -94,6 +99,123 @@ def tfidf_topk(
         post.join(F.broadcast(weighted), "term")
         .groupBy(query_id_col, id_col)
         .agg(F.sum(F.expr("q_tf * tf * idf_scaled")).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )
+
+
+def postings_with_dl(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, tf, dl) — the inverted index with the document's
+    token length riding along. dl is computed BEFORE the explode and
+    carried through the term shuffle as an 8-byte payload column, so the
+    length-normalized scorers (BM25) never pay a corpus-scale doc_id
+    join to re-attach it: the one term-keyed shuffle postings() already
+    pays is the whole cost."""
+    terms = index_terms(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(terms).alias("_dl"),
+            F.explode(terms).alias("term"),
+        )
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Top-k docs per query by quantized BM25 (k1 = 1.2, b = 0.75).
+
+    Exact-integer reformulation of the standard scorer, in the same
+    spirit as the rational idf of ``tfidf_topk`` — every step is BIGINT
+    arithmetic with explicit ``div`` quantization, so rankings and
+    scores are bit-identical across engines and partitionings:
+
+    - idf: the BM25 idf argument ``(N - df + 0.5)/(df + 0.5)`` is the
+      exact rational ``(2N - 2df + 1)/(2df + 1)``; the quantized stand-in
+      (monotone in it, like tfidf's ``(N·1000) div df`` is in 1/df) is
+      ``idf_scaled = ((2N - 2df + 1) · 1000) div (2df + 1)``.
+    - doc-length norm: ``L = (dl · N · 1000) div Σdl ≈ 1000 · dl/avgdl``.
+    - tf saturation: ``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`` with
+      k1 = 6/5, b = 3/4 equals ``22·tf / (10·tf + 3 + 9·dl/avgdl)`` after
+      multiplying through by 10; substituting dl/avgdl ≈ L/1000 and
+      quantizing at scale 10⁴:
+      ``tf_part = (22 · tf · 10⁷) div (10⁴·tf + 3·10³ + 9·L)`` — bounded
+      by (k1+1)·10⁴ = 22000 regardless of tf.
+    - per-term score = ``q_tf · idf_scaled · tf_part`` summed per
+      (query, doc).
+
+    Overflow bounds (BIGINT): ``dl·N·1000 < 2⁶³`` caps corpus token mass
+    ×·max-doc-length around 10¹⁷ — at 10¹⁰ docs that allows ~1 M-token
+    documents; idf_scaled ≤ (2N+1)·1000 times tf_part·q_tf stays under
+    2⁶³ for q_tf into the thousands. All comfortably inside the 100 TB
+    frame, and the same expressions run unpromoted in ANSI SQL.
+
+    Plan shape = ``tfidf_topk``'s: one term-keyed shuffle building the
+    dl-carrying postings, a vocabulary-bounded df agg, idf folded into
+    the broadcast query side, and WindowGroupLimit top-k. Nothing
+    corpus-scale shuffles twice; the global (N, Σdl) pair is a 1-row
+    broadcast cross join.
+    """
+    post = postings_with_dl(docs, id_col, text_col)
+    stats = docs.select(F.size(index_terms(F.col(text_col))).alias("_dl")).agg(
+        F.count("*").alias("_n"), F.sum("_dl").alias("_total")
+    )
+    idf = (
+        post.groupBy("term")
+        .agg(F.count("*").alias("_df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.expr(
+                f"((2 * _n - 2 * _df + 1) * {IDF_SCALE}) div (2 * _df + 1)"
+            ).alias("idf_scaled"),
+        )
+    )
+    q_terms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(index_terms(F.col(query_text_col))).alias("term"),
+        )
+        .groupBy(query_id_col, "term")
+        .agg(F.count("*").alias("q_tf"))
+    )
+    weighted = idf.join(F.broadcast(q_terms), "term").select(
+        query_id_col, "term", "q_tf", "idf_scaled"
+    )
+    scored = (
+        post.join(F.broadcast(weighted), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_L", F.expr(f"(dl * _n * {BM25_DL_SCALE}) div _total")
+        )
+        .withColumn(
+            "_tf_part",
+            # (22·tf·10⁷) div (10⁴·tf + 3·10³ + 9·L): the 10⁴-scaled exact
+            # rational of tf·(k1+1) / (tf + k1·(1-b) + k1·b·dl/avgdl)
+            F.expr(
+                f"(22 * tf * {BM25_TF_SCALE} * {BM25_DL_SCALE}) "
+                f"div (10 * {BM25_DL_SCALE} * tf + 3 * {BM25_DL_SCALE} + 9 * _L)"
+            ),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(F.expr("q_tf * idf_scaled * _tf_part")).alias("score"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col)

@@ -442,6 +442,139 @@ def embedding_near_dups(
     )
 
 
+def pq_encode(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    round_dp: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mean_round_dp: int | None = 9,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, spherical variant): the
+    embedding splits into ``m`` contiguous subspaces of ``dim/m`` dims; a
+    per-subspace codebook of ``k`` centroids is trained with the same
+    deterministic Lloyd's trainer as the IVF coarse quantizer
+    (``kmeans_centroids`` — seeds = lowest-id subvectors, round-quantized
+    means), and each vector's code is its nearest sub-centroid per
+    subspace by round-``round_dp`` cosine (ties → lowest centroid id;
+    'spherical' because assignment matches the rest of this module's
+    cosine geometry rather than classic L2). Output: one row per vector,
+    (vec_id, code_0..code_{m-1}) — the m·log2(k)-bit code that compresses
+    a 10^10-vector corpus into RAM-resident ANN storage.
+
+    Scale shape: training touches only sliced sub-frames through the
+    existing kmeans path (driver holds m·k·(dim/m) floats — the
+    codebook); encoding is ONE mapInPandas pass that scores all m
+    subspaces per Arrow batch against the broadcast codebook — no joins,
+    no shuffle, map-only over the corpus scan."""
+    w = dim // m
+    if w * m != dim:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    vecs = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    cmats = []
+    for s in range(m):
+        sub = vecs.select(
+            id_col, F.slice(F.col(vec_col), s * w + 1, w).alias(vec_col)
+        )
+        cmats.append(
+            kmeans_centroids(
+                sub, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,
+                mean_round_dp=mean_round_dp,
+            )
+        )
+    books = np.stack(cmats)  # (m, k, w)
+    bnorms = np.linalg.norm(books, axis=2)  # (m, k)
+    dp = int(round_dp)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cols = {id_col: pdf[id_col]}
+            for s in range(m):
+                sub = mat[:, s * w : (s + 1) * w]
+                sims = (sub @ books[s].T) / np.outer(
+                    np.linalg.norm(sub, axis=1), bnorms[s]
+                )
+                sims = np.round(sims, dp)
+                cols[f"code_{s}"] = np.argsort(
+                    -sims, axis=1, kind="stable"
+                )[:, 0].astype(np.int64)
+            yield pd.DataFrame(cols)
+
+    schema = f"{id_col} long, " + ", ".join(
+        f"code_{s} long" for s in range(m)
+    )
+    return vecs.mapInPandas(gen, schema=schema)
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    centroid_ids: "np.ndarray",
+    threshold: float = 0.92,
+    round_dp: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering then
+    within-cluster cosine pruning — the composition of the k-means coarse
+    quantizer (``kmeans_centroids`` → ``ivf_assign``) with an exact
+    cluster-scoped near-dup prune. A vector is DROPPED when a lower-id
+    vector in the SAME cluster has cosine ≥ threshold with it (the
+    deterministic keep-lowest-id rule; rounded at ``round_dp`` before the
+    boundary call so SQL replays it exactly).
+
+    Output: (vec_id, centroid_id, keep) — one row per corpus vector.
+
+    Scale shape: this is WHY SemDeDup clusters first — the quadratic
+    pair space is bounded per cluster instead of per corpus. The plan
+    pays one mapInPandas assignment pass (vectorized matmul per Arrow
+    batch against the k×dim broadcast centroid matrix), one shuffle on
+    centroid_id for the within-cluster self-join, and a pruned-id
+    anti-join; with k sized so clusters run ~|corpus|/k vectors, the
+    join is (|corpus|²/k) work spread across k independent keys — at
+    10^9 vectors and k = 10^5 that is ~10^13 comparisons of ~10^4-row
+    partitions, embarrassingly parallel, no all-pairs blowup. Skewed
+    clusters are the known SemDeDup failure mode; cap them upstream by
+    raising k (the paper's posture) or pre-splitting hot centroids."""
+    assign = ivf_assign(
+        corpus, centroids, centroid_ids,
+        n_probe=1, round_dp=round_dp, vec_col=vec_col, id_col=id_col,
+    ).select(id_col, "centroid_id")
+    v = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("_v")
+    ).join(assign, id_col)
+    left = v.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "centroid_id"
+    )
+    right = v.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "centroid_id"
+    )
+    pruned = (
+        left.join(right, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_dp)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        v.join(pruned.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def rp_project(
     df: DataFrame,
     dim: int,

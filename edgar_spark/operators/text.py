@@ -540,6 +540,116 @@ def bpe_pair_counts(
     )
 
 
+def _bpe_pairs_of(syms_col: str = "syms") -> Column:
+    """Adjacent symbol pairs of a symbol-array column, each rendered as
+    the classic merges.txt ``'a b'`` string. Symbols are alnum-only
+    (alnum_terms), so the space separator is unambiguous."""
+    syms = F.col(syms_col)
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat(
+                F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right application of one BPE merge rule (a, b) →
+    ``a+b`` over a symbol array — pure JVM ``aggregate`` HOF, no Python.
+
+    The fold state is a single string ``out ~ carry`` (out = '|'-joined
+    merged symbols, carry = the pending symbol; both separators are safe
+    because symbols are alnum-only). A merged symbol is atomic for the
+    rest of the pass — standard BPE: 'aaaa' under (a,a) → [aa, aa], and
+    'aaa' → [aa, a]. The SAME varchar-encoded fold replays in DuckDB via
+    ``list_reduce``, which is what makes the trainer oracle-exact: a
+    struct accumulator would be cleaner here but has no DuckDB twin."""
+    A, B, AB = F.lit(a), F.lit(b), F.lit(a + b)
+
+    def step(acc, x):
+        out = F.substring_index(acc, "~", 1)
+        carry = F.substring_index(acc, "~", -1)
+        j_ab = F.when(out == "", AB).otherwise(F.concat(out, F.lit("|"), AB))
+        j_carry = F.when(out == "", carry).otherwise(
+            F.concat(out, F.lit("|"), carry)
+        )
+        return (
+            F.when(carry == "", F.concat(out, F.lit("~"), x))
+            .when((carry == A) & (x == B), F.concat(j_ab, F.lit("~")))
+            .otherwise(F.concat(j_carry, F.lit("~"), x))
+        )
+
+    def finish(acc):
+        out = F.substring_index(acc, "~", 1)
+        carry = F.substring_index(acc, "~", -1)
+        full = F.when(carry == "", out).otherwise(
+            F.when(out == "", carry).otherwise(F.concat(out, F.lit("|"), carry))
+        )
+        return F.split(full, r"\|")
+
+    return F.aggregate(syms, F.lit("~"), step, finish)
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """FULL BPE tokenizer training loop, distributed: ``n_merges`` rounds
+    of (count adjacent symbol pairs weighted by word frequency → take the
+    argmax pair, ties broken count-desc then pair-asc → greedily merge it
+    into every word) over the corpus word table. Returns the learned
+    merge table (round INT, pair 'a b', n BIGINT) — the merges.txt a real
+    tokenizer trainer emits.
+
+    Scale shape (the kmeans_centroids pattern): the corpus collapses to
+    its word-frequency table ONCE (one term shuffle; at 100 TB that is
+    ~10^8 distinct words vs 10^12 positions), each round is then one
+    vocabulary-sized pair count whose 1-row argmax is the only thing the
+    driver ever holds, and the merge application is a map-only JVM fold
+    over the word table. Per-round state is localCheckpoint'ed so round
+    r+1 reads materialized symbols instead of replaying r folds; blocks
+    free with the loop (ContextCleaner), nothing pins the CacheManager.
+    Integer counts + deterministic ties ⇒ the whole trainer unrolls into
+    exact SQL (see the ``bpe_train`` oracle)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    words = (
+        df.select(F.explode(alnum_terms(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("w") >= 2)
+        .select("freq", chars.alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for r in range(n_merges):
+        top = (
+            words.select("freq", F.explode(_bpe_pairs_of()).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], top[0]["n"]
+        a, b = pair.split(" ")
+        merges.append((r, pair, int(n)))
+        words = words.select(
+            "freq", bpe_apply_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+    import pandas as pd
+
+    out = pd.DataFrame(merges, columns=["round", "pair", "n"])
+    out["round"] = out["round"].astype("int32")
+    return df.sparkSession.createDataFrame(out)
+
+
 # Gopher rule-filter stop set (Rae et al. 2021, "Scaling Language Models:
 # Methods, Analysis & Insights from Training Gopher", App. A1.1)
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

@@ -73,6 +73,126 @@ def test_bmp_roundtrip_and_decode():
     assert payload[54] == px[1, 0, 2]
 
 
+def test_png_roundtrip_fuzz():
+    """PNG codec fuzz across color types (gray/RGB/RGBA) and sizes: the
+    y%5 encoder filter rotation means any image with ≥5 rows exercises
+    every unfilter path (None/Sub/Up/Average/Paeth)."""
+    import numpy as np
+
+    from edgar_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.RandomState(42)
+    for _ in range(40):
+        h, w = rng.randint(1, 24), rng.randint(1, 24)
+        ch = int(rng.choice([1, 3, 4]))
+        px = rng.randint(0, 256, size=(h, w, ch) if ch > 1 else (h, w)).astype(
+            np.uint8
+        )
+        out = decode_image(encode_png(px))
+        assert out.shape == (h, w, 3)
+        if ch == 1:
+            assert (out == np.repeat(px[:, :, None], 3, axis=2)).all()
+        else:
+            assert (out == (px if ch == 3 else px[:, :, :3])).all()
+
+
+def test_png_filters_match_spec():
+    """The encoder's forward filters reproduce the PNG spec §9 formulas
+    exactly (independent per-pixel recomputation over the decompressed
+    IDAT scanlines) — so roundtrip symmetry cannot hide a mirrored
+    filter-algebra bug in both halves."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from edgar_spark.operators.multimodal import encode_png
+
+    raw = (np.arange(5 * 3, dtype=np.uint8).reshape(5, 3) * 37 % 256).astype(
+        np.uint8
+    )
+    enc = encode_png(raw)
+    pos, idat = 8, b""
+    while pos + 12 <= len(enc):
+        (ln,) = struct.unpack_from(">I", enc, pos)
+        if enc[pos + 4 : pos + 8] == b"IDAT":
+            idat += enc[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    arr = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(5, 4)
+    r = raw.astype(int)
+    for y in range(5):
+        assert arr[y, 0] == y % 5
+        for x in range(3):
+            a = r[y, x - 1] if x > 0 else 0
+            b = r[y - 1, x] if y > 0 else 0
+            c = r[y - 1, x - 1] if x > 0 and y > 0 else 0
+            ft = y % 5
+            if ft == 0:
+                exp = r[y, x]
+            elif ft == 1:
+                exp = r[y, x] - a
+            elif ft == 2:
+                exp = r[y, x] - b
+            elif ft == 3:
+                exp = r[y, x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                exp = r[y, x] - pred
+            assert arr[y, x + 1] == exp % 256
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    """CRC mismatch and unsupported variants fail loudly (ValueError /
+    NotImplementedError), never silently return wrong pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from edgar_spark.operators.multimodal import (
+        PNG_SIG,
+        _decode_png,
+        encode_png,
+    )
+
+    good = bytearray(encode_png(np.zeros((2, 2), dtype=np.uint8)))
+    good[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(good))
+
+    # 16-bit depth is a declared NotImplementedError boundary
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        _decode_png(PNG_SIG + chunk)
+
+
+def test_png_feeds_ahash(spark):
+    """image_ahash consumes PNG payloads through the same decode lane as
+    BMP: identical pixels encoded as BMP and PNG must hash identically."""
+    import numpy as np
+
+    from edgar_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_ahash,
+    )
+
+    px = ((np.arange(8 * 8 * 3).reshape(8, 8, 3) * 7) % 256).astype(np.uint8)
+    rows = [(1, bytearray(encode_bmp(px))), (2, bytearray(encode_png(px)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert hashes[1] == hashes[2]
+
+
 def test_wav_decode():
     import struct
 
