@@ -41,11 +41,48 @@ def optimal_hashes(bits: int, n_keys: int) -> int:
     return max(1, int(round(bits / max(n_keys, 1) * math.log(2))))
 
 
-def probe_seen(filt, df, url_col: str, flag_col: str = "maybe_seen"):
-    """Append a boolean ``maybe_seen`` column (vectorized per batch; the
-    filter state rides to executors inside the closure — at design scale
-    this becomes a broadcast variable per shard group). Shared by every
-    seen-filter class so the probe path cannot diverge between modes."""
+def probe_seen(
+    filt, df, url_col: str, flag_col: str = "maybe_seen", ship: str = "broadcast"
+):
+    """Append a boolean ``maybe_seen`` column (vectorized per batch).
+
+    ``ship="broadcast"`` (default): the filter decomposes via its
+    ``probe_parts()`` protocol into one ``sc.broadcast`` PER SHARD plus a
+    tiny routing closure. PySpark broadcasts fetch lazily on first
+    ``.value`` access, so an executor pulls ONLY the shards its
+    partitions' URLs actually hash to — at the design scale (10^10 keys ≈
+    12 GB of bloom state across shards) no executor ever materializes the
+    whole seen-set, and the torrent-style broadcast distribution replaces
+    per-task closure serialization. Broadcasts free with the plan
+    (ContextCleaner unpersists them when the captured references are
+    GC'd).
+
+    ``ship="closure"`` keeps the old whole-filter-in-task-closure path —
+    the equivalence reference for tests, and the fallback for filter
+    objects without ``probe_parts()``.
+
+    Shared by every seen-filter class so the probe path cannot diverge
+    between modes; both paths produce identical flags by construction
+    (the broadcast parts close over the same state arrays)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField(flag_col, BooleanType())])
+
+    if ship == "broadcast" and hasattr(filt, "probe_parts"):
+        router, parts = filt.probe_parts()
+        sc = df.sparkSession.sparkContext
+        bcs = [sc.broadcast(p) for p in parts]
+
+        def gen_bc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[flag_col] = [
+                    bool(u is not None and bcs[router(u)].value(u))
+                    for u in pdf[url_col]
+                ]
+                yield pdf
+
+        return df.mapInPandas(gen_bc, schema=schema)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -55,10 +92,28 @@ def probe_seen(filt, df, url_col: str, flag_col: str = "maybe_seen"):
             ]
             yield pdf
 
-    from pyspark.sql.types import BooleanType, StructField, StructType
-
-    schema = StructType(df.schema.fields + [StructField(flag_col, BooleanType())])
     return df.mapInPandas(gen, schema=schema)
+
+
+class _BloomShardProber:
+    """One bloom shard's membership test as a picklable callable — the
+    broadcast unit of ``ShardedBloom.probe_parts``."""
+
+    __slots__ = ("arr", "bits", "k")
+
+    def __init__(self, arr: np.ndarray, bits: int, k: int) -> None:
+        self.arr, self.bits, self.k = arr, bits, k
+
+    def __call__(self, url: str) -> bool:
+        h1, h2 = _hash_pair(url)
+        arr, bits = self.arr, self.bits
+        return all(
+            arr[p >> 3] & (1 << (p & 7))
+            for p in ((h1 + i * h2) % bits for i in range(self.k))
+        )
+
+    def __reduce__(self):
+        return (_BloomShardProber, (self.arr, self.bits, self.k))
 
 
 class ShardedBloom:
@@ -171,6 +226,22 @@ class ShardedBloom:
 
     def probe(self, df, url_col: str, flag_col: str = "maybe_seen"):
         return probe_seen(self, df, url_col, flag_col)
+
+    def probe_parts(self):
+        """(router, per-shard probers) for broadcast-shipped probing:
+        each prober carries ONE shard's bit array plus the (bits, k)
+        scalars — nothing else — so broadcasting part i ships ~bits/8
+        bytes, and executors whose URLs never hash to shard i never
+        fetch it. (Probers are plain-pickle-able module-level objects:
+        ``sc.broadcast`` does not cloudpickle closures.)"""
+        n_shards = self.n_shards
+
+        def router(url: str) -> int:
+            return zlib.crc32(url.encode("utf-8")) % n_shards
+
+        return router, [
+            _BloomShardProber(a, self.bits, self.k) for a in self.shards
+        ]
 
 
 class CuckooFilter:
@@ -291,6 +362,11 @@ class CuckooFilter:
     def probe(self, df, url_col: str, flag_col: str = "maybe_seen"):
         return probe_seen(self, df, url_col, flag_col)
 
+    def probe_parts(self):
+        """Single-shard case of the broadcast protocol: one broadcast
+        carrying this filter's table+stash, trivial router."""
+        return (lambda url: 0), [self.contains]
+
     def add_all(self, urls) -> None:
         for u in urls:
             self.add(u)
@@ -396,6 +472,19 @@ class ShardedCuckoo:
 
     def probe(self, df, url_col: str, flag_col: str = "maybe_seen"):
         return probe_seen(self, df, url_col, flag_col)
+
+    def probe_parts(self):
+        """(router, per-shard contains closures): part i is shard i's
+        CuckooFilter bound ``contains`` — pickling it ships that shard's
+        table + stash only, so executors fetch just the shards their
+        URLs route to (blake2b upper-64 routing, same as ``_shard``)."""
+        n_shards = self.n_shards
+
+        def router(item: str) -> int:
+            _, h2 = _hash_pair(item)
+            return h2 % n_shards
+
+        return router, [s.contains for s in self.shards]
 
     # -- distributed build / maintenance -------------------------------
     def _pairs_df(self, df, url_col: str):

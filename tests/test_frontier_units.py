@@ -91,6 +91,45 @@ def test_sharded_cuckoo_distributed_build(spark):
     assert built.contains(urls[1])
 
 
+def test_probe_seen_broadcast_equals_closure(spark):
+    """The broadcast-shipped probe path (per-shard sc.broadcast + lazy
+    shard-selective fetch) produces flag-for-flag identical output to the
+    whole-filter-in-closure reference path, for all three filter classes."""
+    import pandas as pd
+
+    from edgar_spark.frontier.bloom import (
+        CuckooFilter,
+        ShardedBloom,
+        ShardedCuckoo,
+        probe_seen,
+    )
+
+    seen = [
+        f"https://www.sec.gov/Archives/edgar/data/{i}/R1.htm"
+        for i in range(400)
+    ]
+    mixed = seen[::2] + [f"https://www.sec.gov/other/{i}" for i in range(400)]
+    df = spark.createDataFrame(pd.DataFrame({"url": mixed})).repartition(7)
+
+    bloom = ShardedBloom(n_shards=4, bits_per_shard=1 << 14, n_hashes=5)
+    cuckoo = CuckooFilter(n_buckets=1 << 12)
+    shc = ShardedCuckoo(n_shards=4, n_buckets_per_shard=1 << 12)
+    for f in (bloom, cuckoo, shc):
+        for u in seen:
+            f.add(u)
+        assert hasattr(f, "probe_parts")
+        bc = {
+            r["url"]: r["maybe_seen"]
+            for r in probe_seen(f, df, "url", ship="broadcast").collect()
+        }
+        cl = {
+            r["url"]: r["maybe_seen"]
+            for r in probe_seen(f, df, "url", ship="closure").collect()
+        }
+        assert bc == cl
+        assert all(bc[u] for u in seen[::2])  # no false negatives
+
+
 def test_sharded_cuckoo_saturation_is_per_shard():
     """Overloading tiny shards degrades precision per shard only — and
     never yields a false negative anywhere."""
