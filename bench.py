@@ -202,6 +202,12 @@ OPERATOR_KEYS = [
     "host_stats",
     "mm_phash",
     "phash_near_dups",
+    "mm_png_stats",
+    "bm25_topk",
+    "bpe_train",
+    "marshal_parity",
+    "semdedup",
+    "pq_encode",
 ]
 
 

@@ -2716,7 +2716,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from edgar_spark.operators.retrieval import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    # the sf0.1 documents file is one input split; every tokenize pass in
+    # the plan (stats scan, broadcast idf subtree, corpus postings) would
+    # run as a single task without this (the repartition-parse-inputs
+    # rule) — measured 4.7 s → ~1.5 s at local[32]
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     queries = spark.createDataFrame(
         pd.DataFrame(_TFIDF_QUERIES, columns=["query_id", "query_text"])
     )

@@ -170,23 +170,26 @@ def bm25_topk(
     Plan shape = ``tfidf_topk``'s: one term-keyed shuffle building the
     dl-carrying postings, a vocabulary-bounded df agg, idf folded into
     the broadcast query side, and WindowGroupLimit top-k. Nothing
-    corpus-scale shuffles twice; the global (N, Σdl) pair is a 1-row
-    broadcast cross join.
+    corpus-scale shuffles twice; the global (N, Σdl) pair is collected
+    once and embedded as literals (the kmeans-centroids pattern — a
+    crossJoin'd 1-row agg would recompute its tokenize scan under every
+    consumer).
     """
     post = postings_with_dl(docs, id_col, text_col)
-    stats = docs.select(F.size(index_terms(F.col(text_col))).alias("_dl")).agg(
-        F.count("*").alias("_n"), F.sum("_dl").alias("_total")
-    )
-    idf = (
-        post.groupBy("term")
-        .agg(F.count("*").alias("_df"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "term",
-            F.expr(
-                f"((2 * _n - 2 * _df + 1) * {IDF_SCALE}) div (2 * _df + 1)"
-            ).alias("idf_scaled"),
-        )
+    # the two corpus scalars (N, Σdl) come to the driver once and embed as
+    # literals — the kmeans-centroids pattern. The crossJoin-broadcast
+    # alternative recomputes this 1-row agg (a full tokenize scan) under
+    # EACH of its two consumers; measured 4.9 s vs 1.4 s for tfidf at
+    # sf0.1 before this change.
+    srow = docs.select(
+        F.size(index_terms(F.col(text_col))).alias("_dl")
+    ).agg(F.count("*").alias("_n"), F.sum("_dl").alias("_total")).collect()[0]
+    n_docs, total_dl = int(srow["_n"]), int(srow["_total"])
+    idf = post.groupBy("term").agg(F.count("*").alias("_df")).select(
+        "term",
+        F.expr(
+            f"((2 * {n_docs} - 2 * _df + 1) * {IDF_SCALE}) div (2 * _df + 1)"
+        ).alias("idf_scaled"),
     )
     q_terms = (
         queries.select(
@@ -201,9 +204,9 @@ def bm25_topk(
     )
     scored = (
         post.join(F.broadcast(weighted), "term")
-        .crossJoin(F.broadcast(stats))
         .withColumn(
-            "_L", F.expr(f"(dl * _n * {BM25_DL_SCALE}) div _total")
+            "_L",
+            F.expr(f"(dl * {n_docs} * {BM25_DL_SCALE}) div {total_dl}"),
         )
         .withColumn(
             "_tf_part",

@@ -417,39 +417,52 @@ def bloom_decontaminate(
     the false positives engine-invariant, so the DuckDB oracle matches
     bit-for-bit.
 
-    Plan: probe side → distinct grams → ≤ k·|grams| distinct positions
-    (broadcast); corpus side → one scan, distinct grams per doc, k-way
-    position explode, broadcast LEFT join, per-(doc, gram) all-hit test,
-    per-doc count. The corpus never shuffles on gram text.
+    Plan: the probe side's distinct bit positions — bounded by
+    ``m_bits``, NOT by the probe corpus — come to the driver once and
+    pack into an ``m_bits/64``-word int64 bitmap that rides the plan as
+    an array LITERAL (2^18 bits = 32 KB: the whole point of the Bloom
+    encoding is that this is constant). The corpus side is then one scan:
+    distinct grams per doc explode ONCE, each gram's k positions probe
+    the literal bitmap with a ``forall``/``bit_get`` HOF entirely inside
+    codegen, and the only shuffle anywhere is the final per-doc count
+    partial-agg. No position explode (the former plan tripled corpus
+    rows), no broadcast join, no (doc, gram) exchange. (Round-3 plan
+    audit flagged those; warm-measured 5.4 s → ~3 s at sf0.1/local[32].)
     """
-    pg = probes.select(
-        F.explode(word_shingles(F.col(text_col), n)).alias("g")
-    ).distinct()
-    bits = pg.select(
-        F.explode(
-            F.array_distinct(bloom_gram_positions(F.col("g"), m_bits, k))
-        ).alias("pos")
-    ).distinct().withColumn("_hit", F.lit(True))
-    cp = docs.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
-    ).select(
-        id_col,
-        "g",
-        F.explode(
-            F.array_distinct(bloom_gram_positions(F.col("g"), m_bits, k))
-        ).alias("pos"),
-    )
-    per_gram = (
-        cp.join(F.broadcast(bits), "pos", "left")
-        .groupBy(id_col, "g")
-        .agg(
-            F.countDistinct("pos").alias("_np"),
-            F.countDistinct(F.when(F.col("_hit"), F.col("pos"))).alias("_nh"),
+    pos_rows = (
+        probes.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array_distinct(bloom_gram_positions(F.col("g"), m_bits, k))
+            ).alias("pos")
         )
+        .distinct()
+        .collect()  # ≤ m_bits rows of int — the constant-size filter state
+    )
+    import numpy as np
+
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    for r in pos_rows:
+        p = int(r["pos"])
+        words[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+    bitmap = F.lit([int(x) for x in words.astype(np.int64)])
+
+    cg = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("g"),
+    )
+    maybe = F.forall(
+        F.array_distinct(bloom_gram_positions(F.col("g"), m_bits, k)),
+        lambda p: F.bit_get(
+            F.element_at(bitmap, (p / 64).cast("int") + 1), (p % 64).cast("int")
+        )
+        == 1,
     )
     return (
-        per_gram.filter(F.col("_np") == F.col("_nh"))
+        cg.filter(maybe)
         .groupBy(id_col)
         .agg(F.count("*").alias("n_maybe"))
     )
