@@ -203,6 +203,7 @@ OPERATOR_KEYS = [
     "mm_phash",
     "phash_near_dups",
     "mm_png_stats",
+    "mm_jpeg_stats",
     "bm25_topk",
     "bpe_train",
     "marshal_parity",

@@ -2,12 +2,13 @@
 columns with typed metadata.
 
 The Spark-side machinery (schemas, Arrow batch shapes, partition-friendly
-UDF signatures) is real and tested. Decode is REAL for the three formats
+UDF signatures) is real and tested. Decode is REAL for the four formats
 decodable with stdlib ``struct``/``zlib`` + numpy alone — uncompressed
-24/32-bpp BMP, 8-bit gray/RGB/RGBA PNG (all five scanline filters), and
-16-bit PCM WAV — and honestly stubbed (``NotImplementedError``) for
-codecs whose libraries this container does not ship (JPEG/H.264); swap
-``decode_image`` for PIL/torchvision on a real cluster.
+24/32-bpp BMP, 8-bit gray/RGB/RGBA PNG (all five scanline filters),
+baseline JPEG (sequential DCT, gray/4:4:4/4:2:0 — ``operators/jpeg.py``),
+and 16-bit PCM WAV. The remaining honest ``NotImplementedError``
+boundaries are progressive JPEG and H.264 video; swap ``decode_image``
+for PIL/torchvision on a real cluster if those matter.
 """
 
 from __future__ import annotations
@@ -270,17 +271,22 @@ def _decode_png(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """binary → RGB (H, W, 3) uint8. BMP (uncompressed 24/32-bpp) and PNG
-    (8-bit gray/RGB/RGBA, all five filters) are decoded for real (stdlib
-    struct/zlib + numpy); JPEG needs libraries this container does not
-    ship — swap for PIL/torchvision on a real cluster."""
+    """binary → RGB (H, W, 3) uint8. BMP (uncompressed 24/32-bpp), PNG
+    (8-bit gray/RGB/RGBA, all five filters), and baseline JPEG (8-bit
+    sequential DCT, gray/4:4:4/4:2:0 — operators/jpeg.py) are decoded for
+    real in stdlib struct/zlib + numpy. Progressive JPEG raises inside
+    the JPEG module; everything else lands here."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from edgar_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "image decode: only BMP/PNG decodable without codec libraries in "
-        "this environment (got magic %r)" % payload[:4]
+        "image decode: only BMP/PNG/baseline-JPEG decodable without codec "
+        "libraries in this environment (got magic %r)" % payload[:4]
     )
 
 

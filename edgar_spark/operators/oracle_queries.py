@@ -5529,6 +5529,76 @@ _QUERIES["mm_png_stats"] = q_mm_png_stats
 _ORACLES["mm_png_stats"] = _MM_PNG_STATS_ORACLE
 
 
+def q_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end through the stdlib+numpy
+    codec (operators/jpeg.py — markers, Annex K Huffman, bit stuffing,
+    zigzag, FDCT/IDCT, quantization): each document's first 6 codepoints
+    become the six CONSTANT 8×8 blocks of a 16×24 image — grayscale
+    1-component JPEG for even doc_ids, RGB 4:4:4 with r=g=b for odd —
+    encoded at quality 100 (all-ones quantization per the IJG formula)
+    and decoded back by image_stats. A constant block has only DC energy
+    and this DC chain is exactly value-preserving for these inputs
+    (every floor sits ≥0.5 from its boundary: 8·(v−128) is an integer
+    for gray, and the r=g=b chroma weights sum to exactly 0.5 in
+    decimal, so Cb/Cr quantize to dead zero) — the roundtrip is the
+    IDENTITY and the oracle is plain integer means of the source
+    codepoints. Any drift anywhere in the JPEG pipeline breaks the
+    identity and hash-fails."""
+    import numpy as np
+
+    from edgar_spark.operators.jpeg import encode_jpeg
+    from edgar_spark.operators.multimodal import image_stats
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for t in pdf.itertuples(index=False):
+                s = t.text or ""
+                vals = [
+                    (ord(s[i]) % 256) if i < len(s) else 0 for i in range(6)
+                ]
+                blocks = np.array(vals, dtype=np.uint8).reshape(2, 3)
+                px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                if t.doc_id % 2 == 1:  # RGB with r=g=b
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                ids.append(t.doc_id)
+                payloads.append(encode_jpeg(px, quality=100))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return (
+        image_stats(media)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_MM_JPEG_STATS_ORACLE = """
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(6),
+                   i -> CASE WHEN i < length(text)
+                             THEN ascii(substr(text, CAST(i AS INT) + 1, 1))
+                                  % 256
+                             ELSE 0 END) AS v
+        FROM documents
+    )
+    SELECT doc_id, 24 AS width, 16 AS height,
+           round(list_sum(v) / 6.0, 6) AS mean_all,
+           round(list_sum(v) / 6.0, 6) AS mean_b
+    FROM px ORDER BY doc_id"""
+
+
+_QUERIES["mm_jpeg_stats"] = q_mm_jpeg_stats
+_ORACLES["mm_jpeg_stats"] = _MM_JPEG_STATS_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -193,6 +193,95 @@ def test_png_feeds_ahash(spark):
     assert hashes[1] == hashes[2]
 
 
+def test_jpeg_constant_block_identity():
+    """Quality-100 constant-8x8-block images roundtrip IDENTICALLY (the
+    mm_jpeg_stats exactness contract): grayscale and r=g=b RGB."""
+    import numpy as np
+
+    from edgar_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    blocks = rng.randint(0, 256, size=(2, 3), dtype=np.uint8)
+    px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg(px, quality=100))
+    assert (out == np.repeat(px[:, :, None], 3, axis=2)).all()
+    rgb = np.repeat(px[:, :, None], 3, axis=2)
+    out = decode_jpeg(encode_jpeg(rgb, quality=100))
+    assert (out == rgb).all()
+
+
+def test_jpeg_lossy_roundtrip_bounded():
+    """q90 roundtrip on a smooth gradient stays within a tight error
+    bound — a channel-order or DCT-scale bug in either half blows it."""
+    import numpy as np
+
+    from edgar_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((24, 40, 3), dtype=np.uint8)
+    for c in range(3):
+        img[:, :, c] = np.clip(
+            np.add.outer(np.arange(24) * 4, np.arange(40) * (c + 1)), 0, 255
+        )
+    out = decode_jpeg(encode_jpeg(img, quality=90)).astype(int)
+    assert out.shape == img.shape
+    assert np.abs(out - img.astype(int)).max() <= 4
+    # odd (non-multiple-of-8) dimensions crop back exactly
+    assert decode_jpeg(encode_jpeg(img[:13, :7], 80)).shape == (13, 7, 3)
+
+
+def test_jpeg_decodes_real_world_files():
+    """The decoder handles independently-produced baseline JPEGs (the
+    Spark distribution's mllib sample images, 4:2:0 subsampled) and
+    refuses progressive ones loudly."""
+    import glob
+
+    import numpy as np
+    import pytest
+
+    from edgar_spark.operators.jpeg import decode_jpeg
+
+    files = sorted(
+        glob.glob(
+            "/opt/spark-*/data/mllib/images/origin/kittens/*.jpg"
+        )
+    )
+    if not files:
+        pytest.skip("no sample JPEGs in this environment")
+    img = decode_jpeg(open(files[0], "rb").read())
+    assert img.ndim == 3 and img.shape[2] == 3 and img.shape[0] > 50
+    # photographic structure: strong vertical neighbor correlation
+    y = img.astype(float).mean(axis=2)
+    v = y - y.mean()
+    corr = (v[1:] * v[:-1]).sum() / np.sqrt(
+        (v[1:] ** 2).sum() * (v[:-1] ** 2).sum()
+    )
+    assert corr > 0.5
+
+    prog = glob.glob("/usr/share/doc/nodejs/*white-stripe.jpg")
+    if prog:
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            decode_jpeg(open(prog[0], "rb").read())
+
+
+def test_jpeg_feeds_image_stats(spark):
+    """decode_image routes JPEG payloads: image_stats over a q100
+    constant-block JPEG returns the exact block means."""
+    import numpy as np
+
+    from edgar_spark.operators.jpeg import encode_jpeg
+    from edgar_spark.operators.multimodal import image_stats
+
+    blocks = np.array([[10, 200], [30, 60]], dtype=np.uint8)
+    px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(px, quality=100)))],
+        "media_id long, payload binary",
+    )
+    r = image_stats(df).collect()[0]
+    assert (r["width"], r["height"]) == (16, 16)
+    assert r["mean_all"] == round((10 + 200 + 30 + 60) / 4.0, 6)
+
+
 def test_wav_decode():
     import struct
 
