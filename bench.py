@@ -209,6 +209,11 @@ OPERATOR_KEYS = [
     "marshal_parity",
     "semdedup",
     "pq_encode",
+    "bpe_encode",
+    "warc_roundtrip",
+    "mm_audio_features",
+    "failure_backoff",
+    "sitemap_index",
 ]
 
 

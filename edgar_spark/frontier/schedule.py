@@ -31,7 +31,75 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["recrawl_schedule"]
+__all__ = ["recrawl_schedule", "failure_backoff"]
+
+
+def failure_backoff(
+    attempts: DataFrame,
+    url_col: str = "url",
+    wave_col: str = "wave",
+    ok_col: str = "ok",
+    max_backoff: int = 32,
+    give_up_after: int = 5,
+) -> DataFrame:
+    """Per-URL retry policy from a fetch-attempt log — the error-side twin
+    of ``recrawl_schedule`` (which schedules SUCCESSES by freshness; this
+    schedules FAILURES by exponential backoff, the standard crawler
+    politeness-on-errors rule: a host throwing 5xx must not be hammered
+    every wave).
+
+    ``attempts`` rows are (url, wave, ok). Returns one row per url:
+    (url, n_attempts, fail_streak, backoff_waves, next_attempt_wave,
+    dead) where ``fail_streak`` counts consecutive failures since the
+    last success, ``backoff_waves = 2^min(fail_streak, log2(cap))`` (1
+    after a success — normal scheduling), ``next_attempt_wave`` = last
+    wave + backoff, and ``dead`` marks URLs past ``give_up_after``
+    consecutive failures (dropped from the frontier; a later evict/
+    re-discover can resurrect them).
+
+    Same scale shape as recrawl_schedule: ONE shuffle on the url key,
+    every window frame shares that partitioning, integer-only arithmetic
+    ⇒ exact SQL replay.
+    """
+    cap_log2 = max(0, int(max_backoff).bit_length() - 1)
+    if (1 << cap_log2) != max_backoff:
+        raise ValueError(f"max_backoff must be a power of two, got {max_backoff}")
+    hist = attempts.select(
+        url_col, wave_col, F.col(ok_col).cast("boolean").alias("_ok")
+    )
+    # fail_streak = attempts after the last success (all of them are
+    # failures by construction) — one agg + one conditional count, both
+    # sharing the url partitioning
+    per_url = hist.groupBy(url_col).agg(
+        F.count("*").alias("n_attempts"),
+        F.max(F.when(F.col("_ok"), F.col(wave_col))).alias("_last_ok"),
+        F.max(wave_col).alias("_last_w"),
+    )
+    streaked = (
+        hist.join(per_url, url_col)
+        .groupBy(url_col, "n_attempts", "_last_w")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_last_ok").isNull()
+                    | (F.col(wave_col) > F.col("_last_ok")),
+                    1,
+                ).otherwise(0)
+            ).alias("fail_streak")
+        )
+    )
+    backoff = F.expr(
+        f"cast(shiftleft(1, cast(least(fail_streak, {cap_log2}) as int)) "
+        "as bigint)"
+    )
+    return streaked.select(
+        url_col,
+        "n_attempts",
+        "fail_streak",
+        backoff.alias("backoff_waves"),
+        (F.col("_last_w") + backoff).alias("next_attempt_wave"),
+        (F.col("fail_streak") >= give_up_after).alias("dead"),
+    )
 
 
 def recrawl_schedule(

@@ -19,7 +19,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_sitemaps"]
+__all__ = ["parse_sitemaps", "parse_sitemap_index"]
+
+
+def parse_sitemap_index(
+    df: "DataFrame", xml_col: str = "xml", host_col: str = "host"
+) -> "DataFrame":
+    """Explode sitemap INDEX documents (``<sitemapindex>`` files — the
+    protocol's nesting level for hosts whose URL set exceeds the 50k/50MB
+    per-file cap) into (host, sitemap_url, lastmod) rows: each row is a
+    CHILD sitemap to fetch and feed back through ``parse_sitemaps``.
+    Same (?s)-flagged all-JVM extraction and ``\\s*``-trimmed captures
+    as the URL-level parser; entries without a ``<loc>`` are dropped."""
+    block = F.explode(
+        F.regexp_extract_all(
+            F.col(xml_col), F.lit("(?s)<sitemap>(.*?)</sitemap>"), F.lit(1)
+        )
+    ).alias("_entry")
+    entries = df.select(host_col, block)
+    loc = F.regexp_extract(F.col("_entry"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        F.col("_entry"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+    )
+    return entries.select(
+        host_col,
+        loc.alias("sitemap_url"),
+        F.nullif(lastmod, F.lit("")).alias("lastmod"),
+    ).filter(F.col("sitemap_url") != "")
 
 
 def parse_sitemaps(

@@ -11,6 +11,16 @@ replaces the manifest (``os.replace`` — POSIX-atomic on the same filesystem),
 so readers either see the previous snapshot or the complete new one: the same
 reader guarantee an Iceberg snapshot commit provides. Rollback = pointing
 ``current`` at an older id; old snapshots are retained for time travel.
+
+Named refs (Iceberg's branches/tags): the manifest additionally carries
+``refs`` — ``{"name": {"type": "tag"|"branch", "snapshot": id}}``. A TAG
+is an immutable pointer (re-tagging raises; drop + recreate to move); a
+BRANCH is mutable and advances when ``commit_snapshot(branch=...)``
+publishes to it, leaving ``current`` (the main line) untouched.
+``expire_snapshots`` keeps every ref-pointed snapshot alive. Snapshot ids
+are allocated as max(existing)+1, never current+1 — so a commit after a
+rollback (or on a branch) creates a NEW snapshot instead of silently
+overwriting a retained one.
 """
 
 from __future__ import annotations
@@ -35,21 +45,84 @@ class IceliteCatalog:
             return {"current": 0, "snapshots": {}}
         return json.loads(self._manifest_path.read_text())
 
+    def _publish(self, m: dict) -> None:
+        tmp = self._manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(m, indent=2))
+        os.replace(tmp, self._manifest_path)  # atomic publish
+
     def current_snapshot_id(self) -> int:
         return self._read_manifest()["current"]
 
-    def snapshot_meta(self, snap_id: Optional[int] = None) -> dict:
+    # ---------------------------------------------- named refs (tags/branches)
+    def refs(self) -> dict:
+        return dict(self._read_manifest().get("refs", {}))
+
+    def resolve_ref(self, name: str) -> int:
+        r = self._read_manifest().get("refs", {})
+        if name not in r:
+            raise KeyError(f"unknown ref {name!r}")
+        return r[name]["snapshot"]
+
+    def _set_ref(self, name: str, kind: str, snap_id: Optional[int]) -> int:
         m = self._read_manifest()
         sid = snap_id or m["current"]
+        if str(sid) not in m["snapshots"]:
+            raise KeyError(f"unknown snapshot {sid}")
+        existing = m.setdefault("refs", {}).get(name)
+        if existing is not None and (existing["type"] == "tag" or kind == "tag"):
+            raise ValueError(
+                f"ref {name!r} already exists as a {existing['type']} — "
+                "tags are immutable (drop_ref + recreate to move)"
+            )
+        m["refs"][name] = {"type": kind, "snapshot": sid}
+        self._publish(m)
+        return sid
+
+    def tag(self, name: str, snap_id: Optional[int] = None) -> int:
+        """Immutable named pointer to a snapshot (default: current) —
+        Iceberg's tag: 'the corpus we trained run X on'."""
+        return self._set_ref(name, "tag", snap_id)
+
+    def branch(self, name: str, snap_id: Optional[int] = None) -> int:
+        """Mutable named pointer (default: current); advance it by
+        committing with ``commit_snapshot(branch=name)``."""
+        return self._set_ref(name, "branch", snap_id)
+
+    def drop_ref(self, name: str) -> None:
+        m = self._read_manifest()
+        if name not in m.get("refs", {}):
+            raise KeyError(f"unknown ref {name!r}")
+        del m["refs"][name]
+        self._publish(m)
+
+    @staticmethod
+    def _sid(m: dict, snap_id: Optional[int], ref: Optional[str]) -> int:
+        if ref is not None:
+            refs = m.get("refs", {})
+            if ref not in refs:
+                raise KeyError(f"unknown ref {ref!r}")
+            return refs[ref]["snapshot"]
+        return snap_id or m["current"]
+
+    def snapshot_meta(
+        self, snap_id: Optional[int] = None, ref: Optional[str] = None
+    ) -> dict:
+        m = self._read_manifest()
+        sid = self._sid(m, snap_id, ref)
         if sid == 0:
             return {}
         return m["snapshots"][str(sid)].get("meta", {})
 
-    def table_path(self, name: str, snap_id: Optional[int] = None) -> Optional[str]:
-        """Data path of ``name`` in the given (default: current) snapshot,
-        or None if absent."""
+    def table_path(
+        self,
+        name: str,
+        snap_id: Optional[int] = None,
+        ref: Optional[str] = None,
+    ) -> Optional[str]:
+        """Data path of ``name`` in the given snapshot / named ref
+        (default: current), or None if absent."""
         m = self._read_manifest()
-        sid = snap_id or m["current"]
+        sid = self._sid(m, snap_id, ref)
         if sid == 0:
             return None
         return m["snapshots"][str(sid)]["tables"].get(name)
@@ -59,6 +132,7 @@ class IceliteCatalog:
         dfs: Dict[str, "object"],
         meta: Optional[dict] = None,
         carry: Optional[Dict[str, str]] = None,
+        branch: Optional[str] = None,
     ) -> int:
         """Write every table of the snapshot, then atomically publish it.
 
@@ -71,9 +145,19 @@ class IceliteCatalog:
         ``carry`` maps table names to already-written data paths (from a
         previous snapshot) to include unchanged — the Iceberg
         shared-manifest pattern: a snapshot references files, it does not
-        copy them."""
+        copy them.
+
+        ``branch`` publishes to that named branch ref instead of the main
+        line: the branch pointer advances, ``current`` is untouched.
+        Snapshot ids are max+1, so branch and main commits interleave
+        without collision (and a post-rollback commit never overwrites a
+        retained snapshot)."""
         m = self._read_manifest()
-        sid = m["current"] + 1
+        if branch is not None:
+            refs = m.get("refs", {})
+            if branch not in refs or refs[branch]["type"] != "branch":
+                raise KeyError(f"unknown branch {branch!r}")
+        sid = max([0] + [int(i) for i in m["snapshots"]]) + 1
         snap_dir = self.root / f"snap-{sid:06d}"
         tables = dict(carry or {})
         if len(dfs) > 1:
@@ -92,15 +176,22 @@ class IceliteCatalog:
                 df.write.mode("overwrite").parquet(str(path))
                 tables[name] = str(path)
         m["snapshots"][str(sid)] = {"tables": tables, "meta": meta or {}}
-        m["current"] = sid
-        tmp = self._manifest_path.with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(m, indent=2))
-        os.replace(tmp, self._manifest_path)  # atomic publish
+        if branch is not None:
+            m["refs"][branch]["snapshot"] = sid
+        else:
+            m["current"] = sid
+        self._publish(m)
         return sid
 
-    def read(self, spark, name: str, snap_id: Optional[int] = None):
+    def read(
+        self,
+        spark,
+        name: str,
+        snap_id: Optional[int] = None,
+        ref: Optional[str] = None,
+    ):
         m = self._read_manifest()
-        sid = snap_id or m["current"]
+        sid = self._sid(m, snap_id, ref)
         if sid == 0:
             raise FileNotFoundError(f"no snapshot in {self.root}")
         snap = m["snapshots"][str(sid)]
@@ -132,6 +223,9 @@ class IceliteCatalog:
         ids = sorted(int(s) for s in m["snapshots"])
         keep = set(ids[-max(1, keep_last):])
         keep.add(m["current"])
+        # every ref-pointed snapshot stays alive — dropping a tagged
+        # corpus out from under its name would break the ref contract
+        keep.update(r["snapshot"] for r in m.get("refs", {}).values())
         expired = [i for i in ids if i not in keep]
         if not expired:
             return []
@@ -147,9 +241,7 @@ class IceliteCatalog:
         } - live_paths
         for i in expired:
             del m["snapshots"][str(i)]
-        tmp = self._manifest_path.with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(m, indent=2))
-        os.replace(tmp, self._manifest_path)  # readers never see a gap
+        self._publish(m)  # readers never see a gap
         for p in dead_paths:  # physical delete only after the publish
             pp = pathlib.Path(p)
             if pp.exists() and self.root in pp.parents:
@@ -211,6 +303,4 @@ class IceliteCatalog:
         if str(snap_id) not in m["snapshots"]:
             raise KeyError(f"unknown snapshot {snap_id}")
         m["current"] = snap_id
-        tmp = self._manifest_path.with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(m, indent=2))
-        os.replace(tmp, self._manifest_path)
+        self._publish(m)

@@ -428,6 +428,52 @@ def audio_stats(
     )
 
 
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    silence_abs: int = 512,
+) -> DataFrame:
+    """Audio feature pass over REAL WAV decode — the speech-data curation
+    primitives next to ``audio_stats``: (id, n_samples, zcr, peak,
+    n_silent) where zcr counts strict sign changes between adjacent
+    channel-0 samples (the classic voiced/unvoiced heuristic), peak is
+    the max absolute int16 amplitude across all channels, and n_silent
+    counts samples under ``silence_abs`` (clip-level silence trimming).
+    All-integer state on the exact int16 grid (the float32 samples are
+    dyadic rationals, reconstructed losslessly), so the oracle replays
+    every value exactly. Same Arrow-batched shape as the other decode
+    stages; JVM prunes columns before decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: [], "n_samples": [], "zcr": [], "peak": [],
+                "n_silent": [],
+            }
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                _rate, samples = decode_wav(p)
+                ints = np.round(samples.astype(np.float64) * 32768.0).astype(
+                    np.int64
+                )
+                ch0 = ints[:, 0] if ints.size else np.zeros(0, np.int64)
+                out[id_col].append(mid)
+                out["n_samples"].append(int(ints.size))
+                out["zcr"].append(int(((ch0[:-1] * ch0[1:]) < 0).sum()))
+                out["peak"].append(int(np.abs(ints).max()) if ints.size else 0)
+                out["n_silent"].append(
+                    int((np.abs(ints) < silence_abs).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} long, n_samples int, zcr int, peak int, n_silent int"
+        ),
+    )
+
+
 def video_frame_sample(
     df: DataFrame,
     every_k: int = 2,

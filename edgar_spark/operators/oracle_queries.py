@@ -2808,6 +2808,37 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+def _bpe_fold_cte(dst: str, src: str, msrc: str, carry: str) -> str:
+    """One greedy-merge application round as a CTE: ``dst`` = ``src``
+    with the (a, b) pair from ``msrc`` folded into every symbol array,
+    ``carry`` columns passed through — the SQL twin of
+    ``text.bpe_apply_merge``'s varchar-encoded fold (via list_reduce)."""
+    return f"""{dst} AS (
+            SELECT {carry}, string_split(
+                CASE WHEN split_part(f, '~', 2) = '' THEN split_part(f, '~', 1)
+                     WHEN split_part(f, '~', 1) = '' THEN split_part(f, '~', 2)
+                     ELSE split_part(f, '~', 1) || '|' || split_part(f, '~', 2)
+                END, '|') AS syms
+            FROM (
+                SELECT {carry}, list_reduce(list_prepend('~', syms),
+                    (acc, x) -> CASE
+                        WHEN split_part(acc, '~', 2) = ''
+                            THEN split_part(acc, '~', 1) || '~' || x
+                        WHEN split_part(acc, '~', 2) = m.a AND x = m.b THEN
+                            CASE WHEN split_part(acc, '~', 1) = ''
+                                 THEN m.a || m.b
+                                 ELSE split_part(acc, '~', 1) || '|'
+                                      || m.a || m.b END || '~'
+                        ELSE
+                            CASE WHEN split_part(acc, '~', 1) = ''
+                                 THEN split_part(acc, '~', 2)
+                                 ELSE split_part(acc, '~', 1) || '|'
+                                      || split_part(acc, '~', 2)
+                            END || '~' || x
+                    END) AS f
+                FROM {src}, {msrc} AS m))"""
+
+
 def _bpe_train_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
     parts = [
         """w0 AS (
@@ -2841,32 +2872,7 @@ def _bpe_train_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
             FROM c{r} ORDER BY n DESC, pair LIMIT 1)"""
         )
         if r < n_merges - 1:
-            parts.append(
-                f"""w{r + 1} AS (
-            SELECT freq, string_split(
-                CASE WHEN split_part(f, '~', 2) = '' THEN split_part(f, '~', 1)
-                     WHEN split_part(f, '~', 1) = '' THEN split_part(f, '~', 2)
-                     ELSE split_part(f, '~', 1) || '|' || split_part(f, '~', 2)
-                END, '|') AS syms
-            FROM (
-                SELECT freq, list_reduce(list_prepend('~', syms),
-                    (acc, x) -> CASE
-                        WHEN split_part(acc, '~', 2) = ''
-                            THEN split_part(acc, '~', 1) || '~' || x
-                        WHEN split_part(acc, '~', 2) = m.a AND x = m.b THEN
-                            CASE WHEN split_part(acc, '~', 1) = ''
-                                 THEN m.a || m.b
-                                 ELSE split_part(acc, '~', 1) || '|'
-                                      || m.a || m.b END || '~'
-                        ELSE
-                            CASE WHEN split_part(acc, '~', 1) = ''
-                                 THEN split_part(acc, '~', 2)
-                                 ELSE split_part(acc, '~', 1) || '|'
-                                      || split_part(acc, '~', 2)
-                            END || '~' || x
-                    END) AS f
-                FROM w{r}, m{r} AS m))"""
-            )
+            parts.append(_bpe_fold_cte(f"w{r + 1}", f"w{r}", f"m{r}", "freq"))
     union = " UNION ALL ".join(
         f"SELECT round, pair, n FROM m{r}" for r in range(n_merges)
     )
@@ -2875,6 +2881,313 @@ def _bpe_train_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
 
 _QUERIES["bpe_train"] = q_bpe_train
 _ORACLES["bpe_train"] = _bpe_train_oracle_sql()
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: the merges learned by ``bpe_train`` (same 8
+    rounds) fold into every distinct corpus word — including the 1-char
+    words training skipped — and each document reports its word and
+    piece counts (text.bpe_encode). The oracle extends the unrolled
+    trainer with a parallel encode chain over the full word table."""
+    from edgar_spark.operators.text import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        r["pair"] for r in bpe_train(docs, n_merges=_BPE_MERGES).collect()
+    ]
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
+def _bpe_encode_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    train = _bpe_train_oracle_sql(n_merges)
+    body = train[len("WITH ") : train.rindex("SELECT round, pair, n FROM m0")]
+    body = body.rstrip().rstrip(",")
+    parts = [
+        body,
+        """ew0 AS (
+        SELECT w, list_transform(range(length(w)),
+                   i -> substr(w, CAST(i AS INT) + 1, 1)) AS syms
+        FROM (
+            SELECT DISTINCT unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x != '')) AS w
+            FROM documents))""",
+    ]
+    for r in range(n_merges):
+        parts.append(_bpe_fold_cte(f"ew{r + 1}", f"ew{r}", f"m{r}", "w"))
+    parts.append(
+        f"""wp AS (
+        SELECT w, len(syms) AS pieces FROM ew{n_merges}
+    ), tok AS (
+        SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            x -> x != '')) AS w
+        FROM documents)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(pieces) AS BIGINT) AS n_pieces
+    FROM tok JOIN wp USING (w)
+    GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
+_QUERIES["bpe_encode"] = q_bpe_encode
+_ORACLES["bpe_encode"] = _bpe_encode_oracle_sql()
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC write→parse identity: documents shard into 4 WARC files by
+    the JVM writer sink (sources/warc.write_warc — md5 shard, url-sorted
+    records, exact encode_warc_entry layout) and the Content-Length
+    offset walker (parse_warc) must recover every (file, rec_idx, uri,
+    length, payload) exactly. The oracle derives the same rows from the
+    source table: md5 shard + url rank replayed in SQL."""
+    from edgar_spark.sources.warc import parse_warc, write_warc
+
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("text").alias("payload"),
+    )
+    files = write_warc(pages, n_files=4).select(
+        F.col("file_id").cast("string").alias("file_id"), "data"
+    )
+    return parse_warc(files).orderBy("file_id", "rec_idx")
+
+
+_WARC_ROUNDTRIP_ORACLE = """
+    WITH p AS (
+        SELECT concat('https://', source, '.example.com/doc/',
+                      CAST(doc_id AS VARCHAR)) AS url,
+               text
+        FROM documents
+    ), sh AS (
+        SELECT url, text,
+               CAST(concat('0x', substr(md5(url), 1, 15)) AS BIGINT) % 4
+                   AS fid
+        FROM p
+    )
+    SELECT CAST(fid AS VARCHAR) AS file_id,
+           CAST(row_number() OVER (PARTITION BY fid ORDER BY url) - 1
+                AS INT) AS rec_idx,
+           url AS target_uri,
+           CAST(length(text) AS BIGINT) AS content_length,
+           text AS payload
+    FROM sh ORDER BY file_id, rec_idx"""
+
+
+_QUERIES["warc_roundtrip"] = q_warc_roundtrip
+_ORACLES["warc_roundtrip"] = _WARC_ROUNDTRIP_ORACLE
+
+
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation features through the REAL WAV roundtrip (same
+    2-channel synthesis as mm_audio_stats): zero-crossing count on
+    channel 0, peak amplitude, silence census — all exact int16-grid
+    integers (multimodal.audio_features), replayed analytically from the
+    codepoints by the oracle."""
+    import numpy as np
+
+    from edgar_spark.operators.multimodal import audio_features, encode_wav
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for t in pdf.itertuples(index=False):
+                s = t.text or ""
+                vals = [
+                    ((ord(s[i]) % 256) - 128) * 256 if i < len(s) else 0
+                    for i in range(32)
+                ]
+                ids.append(t.doc_id)
+                payloads.append(
+                    encode_wav(
+                        np.array(vals, dtype="<i2"), rate=8000, n_channels=2
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return (
+        audio_features(media)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_MM_AUDIO_FEATURES_ORACLE = """
+    WITH v AS (
+        SELECT doc_id,
+               list_transform(range(32),
+                   i -> CASE WHEN i < length(text)
+                             THEN (ascii(substr(text, CAST(i AS INT) + 1, 1))
+                                   % 256 - 128) * 256
+                             ELSE 0 END) AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           32 AS n_samples,
+           CAST(len(list_filter(range(15),
+                k -> s[CAST(2*k AS INT) + 1] * s[CAST(2*k AS INT) + 3] < 0))
+                AS INT) AS zcr,
+           CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak,
+           CAST(len(list_filter(s, x -> abs(x) < 512)) AS INT) AS n_silent
+    FROM v ORDER BY doc_id"""
+
+
+_QUERIES["mm_audio_features"] = q_mm_audio_features
+_ORACLES["mm_audio_features"] = _MM_AUDIO_FEATURES_ORACLE
+
+
+def q_failure_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential fetch-failure backoff (frontier/schedule.
+    failure_backoff): a synthetic attempt log — 50 URLs × one attempt
+    per wave; every 10th URL always fails (capped backoff + dead flag
+    fire), the rest fail on a deterministic (url, wave) pattern — rolls
+    up to per-URL retry state. Integer-only windowless aggs, exact SQL
+    replay."""
+    from edgar_spark.frontier.schedule import failure_backoff
+
+    d = F.col("doc_id")
+    url_id = d % 50
+    attempts = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (url_id % 7).cast("string"),
+            F.lit(".example.com/p/"), url_id.cast("string"),
+        ).alias("url"),
+        F.expr("doc_id div 50").alias("wave"),
+        F.when(url_id % 10 == 0, F.lit(False))
+        .otherwise(F.expr("(doc_id % 50 * 13 + (doc_id div 50) * 7) % 5 > 1"))
+        .alias("ok"),
+    )
+    return failure_backoff(
+        attempts, max_backoff=32, give_up_after=5
+    ).orderBy("url")
+
+
+_FAILURE_BACKOFF_ORACLE = """
+    WITH a AS (
+        SELECT concat('https://h', CAST(doc_id % 50 % 7 AS VARCHAR),
+                      '.example.com/p/', CAST(doc_id % 50 AS VARCHAR)) AS url,
+               doc_id // 50 AS wave,
+               CASE WHEN doc_id % 50 % 10 = 0 THEN FALSE
+                    ELSE (doc_id % 50 * 13 + (doc_id // 50) * 7) % 5 > 1
+               END AS ok
+        FROM documents
+    ), per_url AS (
+        SELECT url, CAST(count(*) AS BIGINT) AS n_attempts,
+               max(CASE WHEN ok THEN wave END) AS last_ok,
+               max(wave) AS last_w
+        FROM a GROUP BY url
+    ), streaked AS (
+        SELECT a.url, p.n_attempts, p.last_w,
+               CAST(sum(CASE WHEN p.last_ok IS NULL OR a.wave > p.last_ok
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_streak
+        FROM a JOIN per_url p USING (url)
+        GROUP BY a.url, p.n_attempts, p.last_w
+    )
+    SELECT url, n_attempts, fail_streak,
+           CAST(1 << CAST(least(fail_streak, 5) AS INT) AS BIGINT)
+               AS backoff_waves,
+           CAST(last_w + (1 << CAST(least(fail_streak, 5) AS INT))
+                AS BIGINT) AS next_attempt_wave,
+           fail_streak >= 5 AS dead
+    FROM streaked ORDER BY url"""
+
+
+_QUERIES["failure_backoff"] = q_failure_backoff
+_ORACLES["failure_backoff"] = _FAILURE_BACKOFF_ORACLE
+
+
+def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap INDEX ingestion: one pretty-printed <sitemapindex> per
+    source host, each pointing at ceil(n_docs/5) child sitemap files
+    (every 3rd entry omits <lastmod>), exploded into fetchable child
+    pointers by the (?s) regex chain (frontier/sitemap.
+    parse_sitemap_index)."""
+    from edgar_spark.frontier.sitemap import parse_sitemap_index
+
+    docs = _t(spark, sf_dir, "documents")
+    chunk = F.expr("doc_id div 5")
+    entry = F.concat(
+        F.lit("<sitemap>\n  <loc>\n    https://"),
+        F.col("source"),
+        F.lit(".example.com/sitemap-"),
+        chunk.cast("string"),
+        F.lit(".xml\n  </loc>\n"),
+        F.when(
+            chunk % 3 != 0,
+            F.concat(
+                F.lit("  <lastmod>2024-"),
+                F.lpad((chunk % 12 + 1).cast("string"), 2, "0"),
+                F.lit("-01</lastmod>\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</sitemap>\n"),
+    )
+    idx = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("source", F.struct(chunk.alias("c"), entry.alias("e")).alias("_s"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("_s")), lambda s: s["e"]),
+                "",
+            ).alias("xml")
+        )
+        .select(F.col("source").alias("host"), "xml")
+    )
+    return parse_sitemap_index(idx).orderBy("host", "sitemap_url")
+
+
+_SITEMAP_INDEX_ORACLE = """
+    WITH e AS (
+        SELECT source AS host, doc_id // 5 AS c,
+               concat('<sitemap>', chr(10), '  <loc>', chr(10),
+                      '    https://', source, '.example.com/sitemap-',
+                      CAST(doc_id // 5 AS VARCHAR), '.xml', chr(10),
+                      '  </loc>', chr(10),
+                      CASE WHEN (doc_id // 5) % 3 <> 0 THEN
+                          concat('  <lastmod>2024-',
+                                 lpad(CAST((doc_id // 5) % 12 + 1
+                                           AS VARCHAR), 2, '0'),
+                                 '-01</lastmod>', chr(10))
+                      ELSE '' END, '</sitemap>', chr(10)) AS entry
+        FROM documents WHERE doc_id % 5 = 0
+    ), sm AS (
+        SELECT host, string_agg(entry, '' ORDER BY c) AS xml
+        FROM e GROUP BY host
+    ), blocks AS (
+        SELECT host, unnest(regexp_extract_all(xml,
+                   '(?s)<sitemap>(.*?)</sitemap>', 1)) AS b
+        FROM sm
+    )
+    SELECT host,
+           regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)
+               AS sitemap_url,
+           nullif(regexp_extract(b, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1),
+                  '') AS lastmod
+    FROM blocks
+    WHERE regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) <> ''
+    ORDER BY host, sitemap_url"""
+
+
+_QUERIES["sitemap_index"] = q_sitemap_index
+_ORACLES["sitemap_index"] = _SITEMAP_INDEX_ORACLE
 
 
 # The reference's own marshal golden (samples/sample_10K_marshal.json,

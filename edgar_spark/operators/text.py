@@ -663,6 +663,47 @@ def bpe_train(
     return df.sparkSession.createDataFrame(out)
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge list (``bpe_train`` output pairs, in
+    training order) to the corpus: every distinct word folds through the
+    merges once, then documents join their per-word piece counts back.
+    Output: (doc_id, n_words, n_pieces) — the real tokenizer-apply
+    statistics (n_pieces is what a token-budgeted pipeline packs on).
+
+    Scale shape: the fold runs over the DISTINCT word table (10^8 rows
+    at 100 TB, not 10^12 positions) — one distinct shuffle, m chained
+    JVM aggregate folds, then a word-keyed join back to the exploded
+    corpus (the same single term shuffle the postings build pays; the
+    vocabulary-sized piece table is NOT broadcast — at web scale it
+    doesn't fit) and a per-doc partial-agg. Unlike training, encoding
+    covers every word including single-char ones (1 piece, no merge
+    applies)."""
+    terms = alnum_terms(F.col(text_col))
+    words = df.select(F.explode(terms).alias("w")).distinct()
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    for pair in merges:
+        a, b = pair.split(" ")
+        syms = bpe_apply_merge(syms, a, b)
+    wp = words.select("w", F.size(syms).alias("_pieces"))
+    exploded = df.select(F.col(id_col), F.explode(terms).alias("w"))
+    return (
+        exploded.join(wp, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_pieces").alias("n_pieces"),
+        )
+    )
+
+
 # Gopher rule-filter stop set (Rae et al. 2021, "Scaling Language Models:
 # Methods, Analysis & Insights from Training Gopher", App. A1.1)
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

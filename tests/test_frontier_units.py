@@ -758,3 +758,124 @@ def test_sitemap_urls_from_robots(spark):
     assert out == [
         "https://a.com/s1.xml", "https://a.com/s2.xml", "https://a.com/s3.xml",
     ]
+
+
+def test_parse_sitemap_index_and_multiline(spark):
+    """The index-level parser handles real-world pretty-printed XML
+    (newlines between and inside tags) and drops loc-less entries; the
+    URL-level parser handles the same formatting."""
+    from edgar_spark.frontier.sitemap import parse_sitemap_index, parse_sitemaps
+
+    idx_xml = (
+        "<?xml version=\"1.0\"?>\n<sitemapindex>\n"
+        "  <sitemap>\n    <loc>\n      https://a.com/s1.xml\n    </loc>\n"
+        "    <lastmod>2024-01-01</lastmod>\n  </sitemap>\n"
+        "  <sitemap>\n    <loc>https://a.com/s2.xml</loc>\n  </sitemap>\n"
+        "  <sitemap>\n    <lastmod>2024-02-02</lastmod>\n  </sitemap>\n"
+        "</sitemapindex>\n"
+    )
+    df = spark.createDataFrame([("a.com", idx_xml)], ["host", "xml"])
+    rows = parse_sitemap_index(df).orderBy("sitemap_url").collect()
+    assert [(r["sitemap_url"], r["lastmod"]) for r in rows] == [
+        ("https://a.com/s1.xml", "2024-01-01"),
+        ("https://a.com/s2.xml", None),
+    ]
+
+    url_xml = (
+        "<urlset>\n  <url>\n    <loc>\n      https://a.com/p1\n    </loc>\n"
+        "    <lastmod>2024-03-03</lastmod>\n  </url>\n"
+        "  <url><loc>https://a.com/p2</loc></url>\n</urlset>"
+    )
+    df2 = spark.createDataFrame([("a.com", url_xml)], ["host", "xml"])
+    got = parse_sitemaps(df2).orderBy("loc").collect()
+    assert [(r["loc"], r["lastmod"]) for r in got] == [
+        ("https://a.com/p1", "2024-03-03"),
+        ("https://a.com/p2", None),
+    ]
+
+
+def test_failure_backoff_policy(spark):
+    """Backoff doubles per consecutive failure, caps, resets on success,
+    and marks URLs past the give-up threshold dead."""
+    from edgar_spark.frontier.schedule import failure_backoff
+
+    rows = []
+    rows += [("u_ok", w, w != 3) for w in range(5)]       # one mid failure, last ok
+    rows += [("u_tail2", w, w < 3) for w in range(5)]     # last 2 fail
+    rows += [("u_allfail", w, False) for w in range(8)]   # 8 straight fails
+    df = spark.createDataFrame(rows, "url string, wave long, ok boolean")
+    out = {r["url"]: r for r in failure_backoff(df, max_backoff=32,
+                                                give_up_after=5).collect()}
+    assert out["u_ok"]["fail_streak"] == 0
+    assert out["u_ok"]["backoff_waves"] == 1
+    assert out["u_ok"]["next_attempt_wave"] == 5 and not out["u_ok"]["dead"]
+    assert out["u_tail2"]["fail_streak"] == 2
+    assert out["u_tail2"]["backoff_waves"] == 4 and not out["u_tail2"]["dead"]
+    assert out["u_allfail"]["fail_streak"] == 8
+    assert out["u_allfail"]["backoff_waves"] == 32  # capped at 2^5
+    assert out["u_allfail"]["dead"]
+
+
+def test_write_warc_roundtrip(spark):
+    """parse_warc(write_warc(pages)) is the identity on (url, payload) —
+    including payloads embedding the WARC magic string."""
+    from edgar_spark.sources.warc import parse_warc, write_warc
+
+    pages = [
+        ("https://a.com/1", "hello world"),
+        ("https://a.com/2", "tricky WARC/1.0\r\n\r\npayload inside"),
+        ("https://b.com/1", ""),
+    ]
+    df = spark.createDataFrame(pages, "url string, payload string")
+    files = write_warc(df, n_files=2).select(
+        __import__("pyspark.sql.functions", fromlist=["col"]).col("file_id")
+        .cast("string").alias("file_id"),
+        "data",
+    )
+    back = {
+        r["target_uri"]: r["payload"] for r in parse_warc(files).collect()
+    }
+    assert back == dict(pages)
+
+
+def test_icelite_refs_tags_branches(spark, tmp_path):
+    """Iceberg-style named refs: tags are immutable pointers, branches
+    advance on branch commits without moving the main line, ref-pointed
+    snapshots survive expiry, and post-rollback commits never collide."""
+    import pytest
+
+    from edgar_spark.icelite.table import IceliteCatalog
+
+    cat = IceliteCatalog(str(tmp_path / "cat"))
+    s1 = cat.commit_snapshot({"t": spark.range(3)})
+    s2 = cat.commit_snapshot({"t": spark.range(5)})
+    cat.tag("train-v1", s1)
+    assert cat.resolve_ref("train-v1") == s1
+    with pytest.raises(ValueError, match="immutable"):
+        cat.tag("train-v1", s2)
+
+    cat.branch("experiment", s2)
+    s3 = cat.commit_snapshot({"t": spark.range(7)}, branch="experiment")
+    assert cat.resolve_ref("experiment") == s3
+    assert cat.current_snapshot_id() == s2  # main line untouched
+    assert cat.read(spark, "t", ref="experiment").count() == 7
+    assert cat.read(spark, "t").count() == 5
+    assert cat.read(spark, "t", ref="train-v1").count() == 3
+
+    # expiry keeps ref-pointed snapshots alive
+    for _ in range(6):
+        cat.commit_snapshot({"t": spark.range(2)})
+    expired = cat.expire_snapshots(keep_last=2)
+    assert s1 not in expired and s3 not in expired
+    assert cat.read(spark, "t", ref="train-v1").count() == 3
+    assert cat.read(spark, "t", ref="experiment").count() == 7
+
+    # post-rollback commit allocates a FRESH id (no overwrite)
+    ids_before = set(int(i) for i in cat._read_manifest()["snapshots"])
+    cat.rollback(min(ids_before))
+    s_new = cat.commit_snapshot({"t": spark.range(1)})
+    assert s_new > max(ids_before)
+
+    cat.drop_ref("experiment")
+    with pytest.raises(KeyError):
+        cat.resolve_ref("experiment")
