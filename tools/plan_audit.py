@@ -88,9 +88,10 @@ AUDITS = {
     # span dedup: positional gram explode → ONE window shuffle on the
     # 60-bit gram hash → coverage explode + partial-agg count; no join
     "dup_ngram_spans": ["Generate", "Window", "HashAggregate", "!Join"],
-    # bloom probe: the bit-position set broadcasts; the corpus never
-    # shuffles on gram text
-    "bloom_decontaminate": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # bloom probe: the packed bitmap is a plan LITERAL probed by a
+    # forall/bit_get HOF — no join at all; the per-doc count is the
+    # only aggregation and the corpus never shuffles on gram text
+    "bloom_decontaminate": ["Generate", "HashAggregate", "!Join"],
     # revisit policy: all windows share the url partitioning; the
     # latest-row pick prunes via WindowGroupLimit
     "recrawl_schedule": ["Window", "WindowGroupLimit"],
@@ -168,6 +169,29 @@ AUDITS = {
     # host rollup: lang scoring fuses into the scan; one partial-agged
     # groupBy(host) (count-distinct expands it, still no join)
     "host_stats": ["HashAggregate", "!Join"],
+    # BM25: same shape as tfidf — postings/idf only join broadcast
+    # query-sized sides, dl rides the postings shuffle as a payload
+    "bm25_topk": ["BroadcastHashJoin", "WindowGroupLimit", "!SortMergeJoin"],
+    # BPE encode: vocabulary fold + word-keyed join back; the per-doc
+    # rollup partial-aggregates
+    "bpe_encode": ["Generate", "HashAggregate"],
+    # PQ encode: ONE Arrow pass against the broadcast codebook — the
+    # corpus never joins or shuffles
+    "pq_encode": ["MapInPandas", "!Join"],
+    # SemDeDup: assignment pass + cluster-scoped pair join + anti-join;
+    # never a nested-loop product
+    "semdedup": ["MapInPandas", "!BroadcastNestedLoopJoin"],
+    # WARC writer→reader roundtrip: per-file collect_list agg, then the
+    # Arrow record walk
+    "warc_roundtrip": ["MapInPandas", "HashAggregate", "!Join"],
+    # codec roundtrips: encode + decode are Arrow passes, no shuffle
+    "mm_png_stats": ["MapInPandas", "!Join", "!HashAggregate"],
+    "mm_jpeg_stats": ["MapInPandas", "!Join", "!HashAggregate"],
+    "mm_audio_features": ["MapInPandas", "!Join", "!HashAggregate"],
+    # failure backoff: url-keyed agg chain, never a single reducer
+    "failure_backoff": ["HashAggregate", "!Exchange SinglePartition"],
+    # sitemap index explode: regexp extraction stays in codegen
+    "sitemap_index": ["Generate", "!Join"],
 }
 
 
