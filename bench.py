@@ -209,6 +209,7 @@ OPERATOR_KEYS = [
     "marshal_parity",
     "semdedup",
     "pq_encode",
+    "pq_topk",
     "bpe_encode",
     "warc_roundtrip",
     "mm_audio_features",

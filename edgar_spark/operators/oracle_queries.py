@@ -3590,6 +3590,87 @@ def _pq_encode_oracle_sql() -> str:
 
 _QUERIES["pq_encode"] = q_pq_encode
 _ORACLES["pq_encode"] = _pq_encode_oracle_sql()
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search: the 3 lowest-id vectors query the
+    PQ-encoded corpus — per query an m×k lookup table of round-6
+    query↔centroid cosines rides the plan as literals and every corpus
+    CODE row scores with four element_at lookups (similarity.pq_topk).
+    The oracle recomputes the same additive-cosine score from the
+    unrolled codebooks and codes."""
+    import numpy as np
+
+    from edgar_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, mean_round_dp=9
+    )
+    codes = pq_encode(
+        emb, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, books=books
+    )
+    qrows = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .limit(3)
+        .collect()
+    )
+    return pq_topk(
+        codes,
+        np.array([r["v"] for r in qrows]),
+        np.array([r["vec_id"] for r in qrows]),
+        books,
+        k=5,
+    ).orderBy("query_id", "rank")
+
+
+def _pq_topk_oracle_sql() -> str:
+    w = _PQ_DIM // _PQ_M
+    chains = []
+    for s in range(_PQ_M):
+        vexpr = f"(CAST(embedding AS DOUBLE[]))[{s * w + 1}:{(s + 1) * w}]"
+        chains.append(
+            _lloyd_cte_parts(
+                k=_PQ_K, n_iter=_PQ_ITER, mean_dp=9, sfx=f"_s{s}", vexpr=vexpr
+            )
+        )
+    code_joins = "".join(
+        f" JOIN af_s{s} a{s} USING (vec_id)" for s in range(1, _PQ_M)
+    )
+    cent_joins = "".join(
+        f" JOIN clf_s{s} c{s} ON c{s}.cid = a{s}.centroid_id"
+        for s in range(_PQ_M)
+    )
+    score = " + ".join(
+        f"round(list_cosine_similarity(q.qv[{s * w + 1}:{(s + 1) * w}],"
+        f" c{s}.cv), 6)"
+        for s in range(_PQ_M)
+    )
+    return (
+        "WITH "
+        + ", ".join(chains)
+        + f"""
+        , q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings ORDER BY vec_id LIMIT 3
+        ), scored AS (
+            SELECT q.query_id, a0.vec_id, {score} AS score
+            FROM q CROSS JOIN af_s0 a0{code_joins}{cent_joins}
+        )
+        SELECT query_id, rank, vec_id, score FROM (
+            SELECT query_id, vec_id, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, vec_id
+                   ) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+        ORDER BY query_id, rank"""
+    )
+
+
+_QUERIES["pq_topk"] = q_pq_topk
+_ORACLES["pq_topk"] = _pq_topk_oracle_sql()
 _ORACLES["ngram_jaccard_lsh"] = _ngram_jaccard_lsh_oracle_sql()
 _ORACLES["streaming_sessionize"] = _ORACLES["sessionize_gap"]
 _ORACLES["minhash_near_dups"] = _minhash_oracle_sql()

@@ -130,3 +130,47 @@ def test_line_quality_filter_null_text(spark):
     assert out[1]["text"] == "" and out[1]["n_lines"] == 1
     assert out[1]["n_kept"] == 0 and out[1]["keep"] is False
     assert out[2]["keep"] is True
+
+
+def test_pq_encode_topk_consistency(spark):
+    """PQ codes + ADC search agree with a direct numpy replay: every
+    (query, vec) score equals the sum of round-6 subspace cosines
+    between the query slice and the vector's ASSIGNED centroid."""
+    import numpy as np
+
+    from edgar_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(12, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(df, dim=8, m=2, k=3, n_iter=1)
+    codes_df = pq_encode(df, dim=8, m=2, k=3, n_iter=1, books=books)
+    codes = {r["vec_id"]: (r["code_0"], r["code_1"]) for r in codes_df.collect()}
+    out = pq_topk(
+        codes_df, vecs[:2], np.arange(2), books, k=12
+    ).collect()
+    assert len(out) == 24
+    for r in out:
+        q = vecs[r["query_id"]]
+        exp = 0.0
+        for s in range(2):
+            c = books[s][codes[r["vec_id"]][s]]
+            sub = q[s * 4 : (s + 1) * 4]
+            exp += float(
+                np.round(
+                    (c @ sub) / (np.linalg.norm(sub) * np.linalg.norm(c)), 6
+                )
+            )
+        assert abs(r["score"] - exp) < 1e-12
+    # ranks are score-desc with vec_id ties, dense 1..12 per query
+    for qid in (0, 1):
+        rs = sorted(
+            [r for r in out if r["query_id"] == qid], key=lambda r: r["rank"]
+        )
+        assert [r["rank"] for r in rs] == list(range(1, 13))
+        assert all(
+            rs[i]["score"] >= rs[i + 1]["score"] for i in range(len(rs) - 1)
+        )

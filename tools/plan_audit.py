@@ -178,6 +178,9 @@ AUDITS = {
     # PQ encode: ONE Arrow pass against the broadcast codebook — the
     # corpus never joins or shuffles
     "pq_encode": ["MapInPandas", "!Join"],
+    # PQ ADC search: per-query literal lookup tables, codes scan only —
+    # a union of map-only scorings plus the top-k window, no join
+    "pq_topk": ["Union", "WindowGroupLimit", "!Join"],
     # SemDeDup: assignment pass + cluster-scoped pair join + anti-join;
     # never a nested-loop product
     "semdedup": ["MapInPandas", "!BroadcastNestedLoopJoin"],
