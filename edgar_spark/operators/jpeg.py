@@ -399,6 +399,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             b = body
             while b:
+                if len(b) < 65:
+                    raise ValueError("truncated DQT segment")
                 pq, tq = b[0] >> 4, b[0] & 0xF
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
@@ -409,15 +411,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             b = body
             while b:
+                if len(b) < 17:
+                    raise ValueError("truncated DHT segment")
                 tc, th = b[0] >> 4, b[0] & 0xF
                 bits = list(b[1:17])
                 n = sum(bits)
                 vals = list(b[17 : 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated DHT value list")
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _build_decode_table(
                     bits, vals
                 )
                 b = b[17 + n :]
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF segment")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -437,15 +445,27 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"non-baseline JPEG (SOF marker 0x{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("SOS before SOF")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             scan_tabs = []
             for i in range(ns):
                 cid, tsel = body[1 + 2 * i], body[2 + 2 * i]
                 scan_tabs.append((cid, tsel >> 4, tsel & 0xF))
+            for cid, td, ta in scan_tabs:
+                if td not in dc_tabs or ta not in ac_tabs:
+                    raise ValueError(f"SOS references missing DHT {td}/{ta}")
+                if not any(c[0] == cid for c in sof[2]):
+                    raise ValueError(f"SOS references unknown component {cid}")
+            for _cid, _hs, _vs, tq in sof[2]:
+                if tq not in qtables:
+                    raise ValueError(f"SOF references missing DQT {tq}")
             data = payload[pos:]
             return _decode_scan(
                 sof, qtables, dc_tabs, ac_tabs, scan_tabs, data,

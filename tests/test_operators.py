@@ -263,6 +263,37 @@ def test_jpeg_decodes_real_world_files():
             decode_jpeg(open(prog[0], "rb").read())
 
 
+def test_jpeg_decoder_survives_truncation_and_corruption():
+    """Malformed streams (every truncation point, random bit flips) must
+    either decode or raise a TYPED error (ValueError /
+    NotImplementedError / struct.error) — never hang, never IndexError:
+    at 100 TB a poisoned blob must surface as a countable decode
+    failure, not a task crash (image_stats strict=False relies on the
+    exception set)."""
+    import struct
+
+    import numpy as np
+
+    from edgar_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(9)
+    enc = encode_jpeg(
+        rng.randint(0, 256, size=(24, 24, 3), dtype=np.uint8), quality=85
+    )
+    for n in range(2, len(enc), 41):
+        try:
+            assert decode_jpeg(enc[:n]).ndim == 3
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+    for _ in range(150):
+        b = bytearray(enc)
+        b[rng.randint(2, len(b))] ^= 1 << rng.randint(8)
+        try:
+            decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+
+
 def test_jpeg_feeds_image_stats(spark):
     """decode_image routes JPEG payloads: image_stats over a q100
     constant-block JPEG returns the exact block means."""
