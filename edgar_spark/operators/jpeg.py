@@ -390,8 +390,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them rather than parsing the next two bytes
+        # as a bogus segment length
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (length-less) markers
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
             break
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
@@ -454,6 +467,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if len(body) < 1 or len(body) < 1 + 2 * body[0]:
                 raise ValueError("truncated SOS segment")
             ns = body[0]
+            if ns != len(sof[2]):
+                # spec-legal baseline streams may carry one scan per
+                # component (non-interleaved); _decode_scan assumes a
+                # single fully-interleaved scan — fail loud, not wrong
+                raise NotImplementedError(
+                    f"non-interleaved baseline scan ({ns} of "
+                    f"{len(sof[2])} components)"
+                )
             scan_tabs = []
             for i in range(ns):
                 cid, tsel = body[1 + 2 * i], body[2 + 2 * i]

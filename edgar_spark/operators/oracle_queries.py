@@ -2979,7 +2979,7 @@ _WARC_ROUNDTRIP_ORACLE = """
            CAST(row_number() OVER (PARTITION BY fid ORDER BY url) - 1
                 AS INT) AS rec_idx,
            url AS target_uri,
-           CAST(length(text) AS BIGINT) AS content_length,
+           CAST(strlen(text) AS BIGINT) AS content_length,
            text AS payload
     FROM sh ORDER BY file_id, rec_idx"""
 
@@ -4118,7 +4118,7 @@ _ORACLES["vocab_coverage"] = _VOCAB_ORACLE
 
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC round trip: one WARC file per source (records in doc_id order,
-    JVM-side encoding, Content-Length = char count) exploded back into
+    JVM-side encoding, Content-Length = octet count) exploded back into
     records by the Content-Length-walking Arrow kernel
     (sources/warc.parse_warc). The oracle is the straight projection of
     documents the encoding started from — parse(encode(x)) == x."""
@@ -4131,7 +4131,7 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".example.com/doc/"),
         F.col("doc_id").cast("string"),
         F.lit("\r\nContent-Length: "),
-        F.length("text").cast("string"),
+        F.octet_length("text").cast("string"),
         F.lit("\r\n\r\n"),
         F.col("text"),
         F.lit("\r\n\r\n"),
@@ -4158,7 +4158,7 @@ _WARC_ORACLE = """
                 AS INT) AS rec_idx,
            concat('https://', source, '.example.com/doc/',
                   CAST(doc_id AS VARCHAR)) AS target_uri,
-           CAST(length(text) AS BIGINT) AS content_length,
+           CAST(strlen(text) AS BIGINT) AS content_length,
            text AS payload
     FROM documents WHERE text IS NOT NULL
     ORDER BY file_id, rec_idx"""
@@ -5521,7 +5521,7 @@ def q_warc_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".example.com/doc/"),
         F.col("doc_id").cast("string"),
         F.lit("\r\nContent-Length: "),
-        F.length(html).cast("string"),
+        F.octet_length(html).cast("string"),
         F.lit("\r\n\r\n"),
         html,
         F.lit("\r\n\r\n"),
@@ -5563,7 +5563,7 @@ def _warc_wet_oracle_sql() -> str:
     w AS (
         SELECT concat('https://', source, '.example.com/doc/',
                       CAST(doc_id AS VARCHAR)) AS target_uri,
-               CAST(length(html) AS BIGINT) AS content_length,
+               CAST(strlen(html) AS BIGINT) AS content_length,
                trim({chain}) AS wet_text
         FROM h
     )

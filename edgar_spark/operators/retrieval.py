@@ -206,7 +206,13 @@ def bm25_topk(
         post.join(F.broadcast(weighted), "term")
         .withColumn(
             "_L",
-            F.expr(f"(dl * {n_docs} * {BM25_DL_SCALE}) div {total_dl}"),
+            # dl is IntegerType (F.size); without the cast the product is
+            # evaluated in 32-bit and overflows at dl·N ≥ 2³¹/1000 (~10k
+            # docs × 215-token doc) — ANSI mode crashes, non-ANSI corrupts
+            F.expr(
+                f"(cast(dl as bigint) * {n_docs} * {BM25_DL_SCALE})"
+                f" div {total_dl}"
+            ),
         )
         .withColumn(
             "_tf_part",

@@ -15,9 +15,11 @@ across files, which is exactly WARC's design (files are the parallelism
 unit; Common Crawl ships ~10^5 of them per snapshot). No shuffle: one
 scan, records explode out of their file rows.
 
-This module works on STR payloads (the corpus text column);
-Content-Length counts code points on both engines (Python ``len``,
-DuckDB ``length``), documented for the synthesis round-trip oracle.
+This module works on STR payloads (the corpus text column) but
+Content-Length counts OCTETS of the UTF-8 encoding, as the WARC spec
+requires — ``F.octet_length`` on the writer, a byte-offset walk in the
+parser (DuckDB mirrors it with ``strlen``). Files written here slice
+correctly in external WARC readers for any payload, not just ASCII.
 """
 
 from __future__ import annotations
@@ -38,6 +40,8 @@ __all__ = ["encode_warc_entry", "parse_warc_text", "parse_warc", "write_warc"]
 
 _MAGIC = "WARC/1.0\r\n"
 _SEP = "\r\n\r\n"
+_BMAGIC = _MAGIC.encode("ascii")
+_BSEP = _SEP.encode("ascii")
 
 _WARC_OUT = StructType(
     [
@@ -51,30 +55,37 @@ _WARC_OUT = StructType(
 
 
 def encode_warc_entry(uri: str, payload: str) -> str:
-    """One response record: header block, blank line, payload, separator."""
+    """One response record: header block, blank line, payload, separator.
+    Content-Length is the UTF-8 OCTET count of the payload (WARC spec),
+    not the character count."""
     return (
         f"{_MAGIC}WARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
-        f"Content-Length: {len(payload)}{_SEP}{payload}{_SEP}"
+        f"Content-Length: {len(payload.encode('utf-8'))}{_SEP}{payload}{_SEP}"
     )
 
 
 def parse_warc_text(data: str) -> list[tuple[str, int, str]]:
     """Walk one WARC file: [(target_uri, content_length, payload), ...].
 
-    Content-Length drives every payload slice — a payload containing
-    ``WARC/1.0`` parses correctly. Malformed trailing bytes end the walk
-    (truncated transfers are normal; complete records are kept).
+    Content-Length counts UTF-8 octets and drives every payload slice —
+    the walk happens over the encoded bytes, so a payload containing
+    ``WARC/1.0`` or multi-byte characters parses correctly and files
+    from external WARC writers slice at the right offsets. Malformed
+    trailing bytes (including a Content-Length that splits a multi-byte
+    sequence) end the walk; complete records are kept — truncated
+    transfers are normal.
     """
     out = []
+    raw = data.encode("utf-8")
     i = 0
-    n = len(data)
+    n = len(raw)
     while i < n:
-        if not data.startswith(_MAGIC, i):
+        if not raw.startswith(_BMAGIC, i):
             break
-        hdr_end = data.find(_SEP, i)
+        hdr_end = raw.find(_BSEP, i)
         if hdr_end < 0:
             break
-        header = data[i + len(_MAGIC) : hdr_end]
+        header = raw[i + len(_BMAGIC) : hdr_end].decode("utf-8", "replace")
         uri, clen = None, None
         for line in header.split("\r\n"):
             k, _, v = line.partition(":")
@@ -86,11 +97,15 @@ def parse_warc_text(data: str) -> list[tuple[str, int, str]]:
                     clen = int(v.strip())
                 except ValueError:
                     clen = None
-        body_start = hdr_end + len(_SEP)
+        body_start = hdr_end + len(_BSEP)
         if uri is None or clen is None or clen < 0 or body_start + clen > n:
             break
-        out.append((uri, clen, data[body_start : body_start + clen]))
-        i = body_start + clen + len(_SEP)
+        try:
+            payload = raw[body_start : body_start + clen].decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        out.append((uri, clen, payload))
+        i = body_start + clen + len(_BSEP)
     return out
 
 
@@ -120,7 +135,7 @@ def write_warc(
         F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
         F.col(url_col),
         F.lit("\r\nContent-Length: "),
-        F.length(payload_col).cast("string"),
+        F.octet_length(payload_col).cast("string"),
         F.lit("\r\n\r\n"),
         F.col(payload_col),
         F.lit("\r\n\r\n"),
@@ -156,6 +171,10 @@ def parse_warc(
             for fid, data in zip(b[file_col], b[data_col]):
                 if data is None:
                     continue
+                # write_warc emits BIGINT file ids; the output schema is
+                # string — coerce so parse(write(x)) composes directly
+                if not isinstance(fid, str):
+                    fid = str(fid)
                 for idx, (uri, clen, payload) in enumerate(
                     parse_warc_text(data)
                 ):

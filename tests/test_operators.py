@@ -1443,3 +1443,60 @@ def test_corpus_shuffle_determinism_and_balance(spark):
         if shard == 0
     ]
     assert shard0_ids != sorted(shard0_ids)
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2 edge cases: 0xFF fill padding before a marker and
+    length-less standalone markers (TEM 0x01) must not derail the
+    segment walk; a non-interleaved baseline SOS must fail LOUD
+    (NotImplementedError), never decode wrong pixels silently."""
+    import numpy as np
+    import pytest
+
+    from edgar_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.full((8, 8), 130, dtype=np.uint8)
+    payload = encode_jpeg(px, quality=100)
+    # inject fill bytes + a TEM marker right after SOI
+    padded = payload[:2] + b"\xff\xff\xff" + b"\xff\x01" + payload[2:]
+    assert (decode_jpeg(padded) == decode_jpeg(payload)).all()
+
+    # rewrite the SOS of an RGB stream to a single-component scan:
+    # spec-legal non-interleaved baseline, unsupported -> typed error
+    rgb = np.full((8, 8, 3), 99, dtype=np.uint8)
+    data = encode_jpeg(rgb, quality=100)
+    i = data.find(b"\xff\xda")
+    assert i > 0
+    comp0 = data[i + 5 : i + 7]  # (cid, table-sel) of component 1
+    tail_start = data.index(b"\x00\x3f\x00", i) + 3
+    new_sos = b"\xff\xda\x00\x08\x01" + comp0 + b"\x00\x3f\x00"
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(data[:i] + new_sos + data[tail_start:])
+
+
+def test_warc_octet_content_length_non_ascii(spark):
+    """Content-Length is UTF-8 OCTETS (WARC spec): non-ASCII payloads
+    roundtrip through write_warc -> parse_warc, and the recorded length
+    is the byte count external readers slice by, not the char count."""
+    from edgar_spark.sources.warc import (
+        encode_warc_entry,
+        parse_warc,
+        parse_warc_text,
+        write_warc,
+    )
+
+    payload = "naïve — ünïcode ☃ text"
+    n_bytes = len(payload.encode("utf-8"))
+    assert n_bytes > len(payload)
+    recs = parse_warc_text(encode_warc_entry("https://u/1", payload))
+    assert recs == [("https://u/1", n_bytes, payload)]
+
+    df = spark.createDataFrame(
+        [("https://u/1", payload), ("https://u/2", "ascii")],
+        ["url", "payload"],
+    )
+    out = parse_warc(write_warc(df, n_files=1)).orderBy("target_uri").collect()
+    assert [(r["target_uri"], r["content_length"], r["payload"]) for r in out] == [
+        ("https://u/1", n_bytes, payload),
+        ("https://u/2", 5, "ascii"),
+    ]

@@ -174,3 +174,29 @@ def test_pq_encode_topk_consistency(spark):
         assert all(
             rs[i]["score"] >= rs[i + 1]["score"] for i in range(len(rs) - 1)
         )
+
+
+def test_bm25_long_doc_no_int_overflow(spark):
+    """Regression: the doc-length norm dl·N·1000 must be BIGINT.
+
+    dl is IntegerType (F.size), so without an explicit cast the product
+    evaluates in 32-bit and overflows once dl·N ≥ ~2.1e6·1000 — here
+    21 500 tokens × 100 docs × 1000 = 2.15e9 > 2³¹. Under ANSI mode
+    (Spark 4 default) that crashed with ARITHMETIC_OVERFLOW before the
+    cast; non-ANSI silently wrapped and corrupted scores.
+    """
+    from edgar_spark.operators.retrieval import bm25_topk
+
+    long_doc = " ".join(["filler"] * 21_490 + ["needle"] * 10)
+    rows = [(0, long_doc)] + [
+        (i, "short doc text") for i in range(1, 100)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame([("q0", "needle")], columns=["query_id", "query_text"])
+    )
+    out = bm25_topk(docs, queries, k=3).collect()
+    assert out[0]["doc_id"] == 0
+    assert out[0]["score"] > 0
