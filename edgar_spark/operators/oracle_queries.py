@@ -5993,6 +5993,99 @@ _QUERIES["mm_jpeg_stats"] = q_mm_jpeg_stats
 _ORACLES["mm_jpeg_stats"] = _MM_JPEG_STATS_ORACLE
 
 
+_SUFFIX_MIN_LEN = 3
+
+
+def q_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-dedup spans via distributed suffix-array prefix
+    doubling (dedup.suffix_dup_spans; Lee et al. 2022's cut step): maximal
+    runs of token positions covered by a cross-document duplicated window
+    of >= 3 tokens, with true token extents. No hashing anywhere — the
+    Manber–Myers rank rounds replay verbatim in SQL, so the oracle is
+    value-exact, and min_len=3 catches spans the 5-gram key
+    (dup_ngram_spans) is blind to."""
+    from edgar_spark.operators.dedup import suffix_dup_spans
+
+    return suffix_dup_spans(
+        _t(spark, sf_dir, "documents"), min_len=_SUFFIX_MIN_LEN
+    ).orderBy("doc_id", "span_start")
+
+
+def _suffix_dup_oracle_sql(min_len: int = _SUFFIX_MIN_LEN) -> str:
+    """Unrolled prefix-doubling replay: rank_0 from token min-positions,
+    one CTE per doubling round (self-join at +2^{k-1}), the min_len-window
+    class as the overlapping (rank_K(p), rank_K(p + min_len - 2^K)) pair,
+    then run-length compression of marked starts."""
+    kk = min_len.bit_length() - 1
+    tail = min_len - (1 << kk)
+    rounds = []
+    for k in range(1, kk + 1):
+        delta = 1 << (k - 1)
+        rounds.append(
+            f""", r{k} AS (
+        SELECT a.doc_id, a.n_tok, a.g, a.lp,
+               min(a.g) OVER (PARTITION BY a.r, coalesce(b.r, -a.g)) AS r
+        FROM r{k - 1} a LEFT JOIN r{k - 1} b ON b.g = a.g + {delta}
+    )"""
+        )
+    c2 = f"coalesce(b.r, -a.g)" if tail else "CAST(0 AS BIGINT)"
+    cls_join = (
+        f"FROM r{kk} a LEFT JOIN r{kk} b ON b.g = a.g + {tail}"
+        if tail
+        else f"FROM r{kk} a"
+    )
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), offs AS (
+        SELECT doc_id, toks, len(toks) AS n_tok,
+               coalesce(sum(len(toks) + 1) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS off
+        FROM tk
+    ), pos AS (
+        SELECT doc_id, n_tok, off + i AS g, CAST(i AS INT) AS lp,
+               list_extract(toks, i) AS tok
+        FROM offs, unnest(range(1, n_tok + 1)) AS t(i)
+        UNION ALL
+        SELECT doc_id, n_tok, off + n_tok + 1, CAST(n_tok + 1 AS INT),
+               chr(1) || CAST(doc_id AS VARCHAR)
+        FROM offs
+    ), r0 AS (
+        SELECT doc_id, n_tok, g, lp, min(g) OVER (PARTITION BY tok) AS r
+        FROM pos
+    ){''.join(rounds)}, cls AS (
+        SELECT a.doc_id, a.n_tok, a.lp, a.r, {c2} AS c2
+        {cls_join}
+    ), mk AS (
+        SELECT doc_id, n_tok, lp,
+               min(doc_id) OVER (PARTITION BY r, c2) AS mn,
+               max(doc_id) OVER (PARTITION BY r, c2) AS mx
+        FROM cls
+    ), mrk AS (
+        SELECT doc_id, lp FROM mk
+        WHERE mn <> mx AND lp <= n_tok - {min_len - 1}
+    ), seg AS (
+        SELECT doc_id, lp,
+               CASE WHEN lp - lag(lp) OVER (PARTITION BY doc_id
+                        ORDER BY lp) > {min_len}
+                    THEN 1 ELSE 0 END AS new_run
+        FROM mrk
+    ), runs AS (
+        SELECT doc_id, lp,
+               sum(new_run) OVER (PARTITION BY doc_id ORDER BY lp) AS rk
+        FROM seg
+    )
+    SELECT doc_id, CAST(min(lp) AS INT) AS span_start,
+           CAST(max(lp) - min(lp) + {min_len} AS INT) AS span_len
+    FROM runs GROUP BY doc_id, rk ORDER BY doc_id, span_start"""
+
+
+_QUERIES["suffix_dup_spans"] = q_suffix_dup_spans
+_ORACLES["suffix_dup_spans"] = _suffix_dup_oracle_sql()
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -1500,3 +1500,82 @@ def test_warc_octet_content_length_non_ascii(spark):
         ("https://u/1", n_bytes, payload),
         ("https://u/2", 5, "ascii"),
     ]
+
+
+def test_suffix_dup_spans_exact_vs_ngram_blindspot(spark):
+    """The suffix-array operator must (a) report the TRUE maximal extent
+    of a shared span (one 12-token quote => one row, span_len=12), and
+    (b) catch short duplicated spans (3 tokens) that the positional
+    5-gram approximation (dup_ngram_spans, n=5) is provably blind to;
+    within-doc-only repeats stay unflagged (cross-doc contract)."""
+    import pandas as pd
+
+    from edgar_spark.operators.dedup import dup_ngram_spans, suffix_dup_spans
+
+    quote = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "intro words here " + quote + " closing remarks"),
+                (2, quote + " and some unique tail content"),
+                (3, "alpha beta gamma completely different text follows"),
+                (4, "prefix tokens alpha beta gamma suffix stuff"),
+                (5, "self repeat self repeat unique onlyhere self repeat"),
+                (6, None),
+                (7, "   "),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = [
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in suffix_dup_spans(docs, min_len=3)
+        .orderBy("doc_id", "span_start")
+        .collect()
+    ]
+    assert out == [(1, 4, 12), (2, 1, 12), (3, 1, 3), (4, 3, 3)]
+
+    flagged_by_5gram = {
+        r["doc_id"] for r in dup_ngram_spans(docs, n=5).collect()
+    }
+    assert flagged_by_5gram == {1, 2}  # 3-token span invisible to 5-grams
+
+
+def test_suffix_dup_spans_shifted_repeat_and_abutting_runs(spark):
+    """Shifted repeats (same phrase at different offsets) are caught at
+    their exact positions, and two distinct duplicated substrings that
+    abut coalesce into one covered run (the Lee et al. cut semantics)."""
+    import pandas as pd
+
+    from edgar_spark.operators.dedup import suffix_dup_spans
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # "one two three" duplicated, shifted by 2 positions
+                (10, "one two three apple banana cherry date"),
+                (11, "pad pad one two three kiwi lemon mango"),
+                # abutting distinct dups: "p q r" (with 12) + "x y z"
+                # (with 13) sit adjacent in 14 -> coverage merges into
+                # one 6-token cut region even though "p q r x y z" is
+                # itself duplicated nowhere
+                (12, "p q r melon grape fig plum pear peach"),
+                (13, "x y z soup stew broth chowder bisque"),
+                (14, "start p q r x y z finish"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = [
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in suffix_dup_spans(docs, min_len=3)
+        .orderBy("doc_id", "span_start")
+        .collect()
+    ]
+    assert out == [
+        (10, 1, 3),
+        (11, 3, 3),
+        (12, 1, 3),
+        (13, 1, 3),
+        (14, 2, 6),
+    ]
