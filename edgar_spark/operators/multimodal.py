@@ -5,10 +5,10 @@ The Spark-side machinery (schemas, Arrow batch shapes, partition-friendly
 UDF signatures) is real and tested. Decode is REAL for the four formats
 decodable with stdlib ``struct``/``zlib`` + numpy alone — uncompressed
 24/32-bpp BMP, 8-bit gray/RGB/RGBA PNG (all five scanline filters),
-baseline JPEG (sequential DCT, gray/4:4:4/4:2:0 — ``operators/jpeg.py``),
-and 16-bit PCM WAV. The remaining honest ``NotImplementedError``
-boundaries are progressive JPEG and H.264 video; swap ``decode_image``
-for PIL/torchvision on a real cluster if those matter.
+JPEG — baseline sequential AND progressive SOF2, gray/4:4:4/4:2:0
+(``operators/jpeg.py``) — and 16-bit PCM WAV. The remaining honest
+``NotImplementedError`` boundary is H.264 video; swap ``decode_image``
+for PIL/torchvision on a real cluster if that matters.
 """
 
 from __future__ import annotations
@@ -272,10 +272,11 @@ def _decode_png(payload: bytes) -> "np.ndarray":
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """binary → RGB (H, W, 3) uint8. BMP (uncompressed 24/32-bpp), PNG
-    (8-bit gray/RGB/RGBA, all five filters), and baseline JPEG (8-bit
-    sequential DCT, gray/4:4:4/4:2:0 — operators/jpeg.py) are decoded for
-    real in stdlib struct/zlib + numpy. Progressive JPEG raises inside
-    the JPEG module; everything else lands here."""
+    (8-bit gray/RGB/RGBA, all five filters), and JPEG (8-bit baseline
+    sequential + progressive SOF2, gray/4:4:4/4:2:0 —
+    operators/jpeg.py) are decoded for real in stdlib struct/zlib +
+    numpy. 12-bit/arithmetic/lossless JPEG raises inside the JPEG
+    module; everything else lands here."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == PNG_SIG:

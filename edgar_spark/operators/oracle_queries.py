@@ -5993,6 +5993,121 @@ _QUERIES["mm_jpeg_stats"] = q_mm_jpeg_stats
 _ORACLES["mm_jpeg_stats"] = _MM_JPEG_STATS_ORACLE
 
 
+def q_mm_progressive_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode end-to-end: the same constant-block
+    16×24 images as mm_jpeg_stats, but encoded as SOF2 with the libjpeg
+    default scan script (DC at Al=1 + refinement bit, AC spectral bands
+    at Al=2/1 + two successive-approximation refinement passes, EOB
+    runs) and decoded through the multi-scan coefficient-accumulation
+    path (operators/jpeg.py _decode_prog_scan). At quality 100 the
+    constant-block DC identity survives every point transform —
+    (dc>>1)<<1 | refinement bit reassembles dc exactly — so the oracle
+    stays the plain integer means of the source codepoints."""
+    import numpy as np
+
+    from edgar_spark.operators.jpeg import encode_jpeg
+    from edgar_spark.operators.multimodal import image_stats
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for t in pdf.itertuples(index=False):
+                s = t.text or ""
+                vals = [
+                    (ord(s[i]) % 256) if i < len(s) else 0 for i in range(6)
+                ]
+                blocks = np.array(vals, dtype=np.uint8).reshape(2, 3)
+                px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                if t.doc_id % 2 == 1:  # RGB with r=g=b
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                ids.append(t.doc_id)
+                payloads.append(
+                    encode_jpeg(px, quality=100, progressive=True)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return (
+        image_stats(media)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_QUERIES["mm_progressive_jpeg_stats"] = q_mm_progressive_jpeg_stats
+_ORACLES["mm_progressive_jpeg_stats"] = _MM_JPEG_STATS_ORACLE
+
+
+def q_mm_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0-subsampled JPEG encode→decode: each document's first 6
+    codepoints become six CONSTANT 16×16 tiles of a 32×48 RGB (r=g=b)
+    image, encoded with 2×2 luma sampling (the encoder's 2×2 box chroma
+    downsample + the decoder's interleaved 4-Y-blocks-per-MCU path and
+    nearest-neighbor upsample). Constant tiles are constant under box
+    downsampling and r=g=b pins Cb/Cr to exactly 128, so the quality-100
+    roundtrip is the identity and the oracle is plain integer means."""
+    import numpy as np
+
+    from edgar_spark.operators.jpeg import encode_jpeg
+    from edgar_spark.operators.multimodal import image_stats
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for t in pdf.itertuples(index=False):
+                s = t.text or ""
+                vals = [
+                    (ord(s[i]) % 256) if i < len(s) else 0 for i in range(6)
+                ]
+                tiles = np.array(vals, dtype=np.uint8).reshape(2, 3)
+                px = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1)
+                px = np.repeat(px[:, :, None], 3, axis=2)
+                ids.append(t.doc_id)
+                payloads.append(
+                    encode_jpeg(px, quality=100, subsampling="420")
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return (
+        image_stats(media)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_MM_JPEG_420_ORACLE = """
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(6),
+                   i -> CASE WHEN i < length(text)
+                             THEN ascii(substr(text, CAST(i AS INT) + 1, 1))
+                                  % 256
+                             ELSE 0 END) AS v
+        FROM documents
+    )
+    SELECT doc_id, 48 AS width, 32 AS height,
+           round(list_sum(v) / 6.0, 6) AS mean_all,
+           round(list_sum(v) / 6.0, 6) AS mean_b
+    FROM px ORDER BY doc_id"""
+
+
+_QUERIES["mm_jpeg_420_stats"] = q_mm_jpeg_420_stats
+_ORACLES["mm_jpeg_420_stats"] = _MM_JPEG_420_ORACLE
+
+
 _SUFFIX_MIN_LEN = 3
 
 

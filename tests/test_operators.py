@@ -257,10 +257,14 @@ def test_jpeg_decodes_real_world_files():
     )
     assert corr > 0.5
 
-    prog = glob.glob("/usr/share/doc/nodejs/*white-stripe.jpg")
-    if prog:
-        with pytest.raises(NotImplementedError, match="non-baseline"):
-            decode_jpeg(open(prog[0], "rb").read())
+    # independently-produced PROGRESSIVE files (libjpeg scan scripts,
+    # EOBn runs, successive approximation) decode too; both fixtures are
+    # mostly-white "stripe" photos, so the decode must come back bright
+    prog = sorted(glob.glob("/usr/share/doc/nodejs/*white-stripe.jpg"))
+    for f in prog:
+        img = decode_jpeg(open(f, "rb").read())
+        assert img.ndim == 3 and img.shape[2] == 3
+        assert img.mean() > 200 and img.max() == 255
 
 
 def test_jpeg_decoder_survives_truncation_and_corruption():
@@ -1579,3 +1583,57 @@ def test_suffix_dup_spans_shifted_repeat_and_abutting_runs(spark):
         (13, 1, 3),
         (14, 2, 6),
     ]
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive encode (SOF2, libjpeg default scan script: DC Al=1 +
+    refinement, AC spectral bands, two successive-approximation passes)
+    must reconstruct the EXACT same pixels as the baseline encode of the
+    same image at the same quality — both carry identical quantized
+    coefficients, so any drift in the multi-scan coefficient assembly
+    (EOB runs, correction bits, point transforms) breaks equality."""
+    import numpy as np
+
+    from edgar_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    img = (img.astype(float) * 0.3 + 128 * 0.7).astype(np.uint8)
+
+    for kwargs in (
+        {"subsampling": "444"},
+        {"subsampling": "420"},
+    ):
+        base = decode_jpeg(encode_jpeg(img, quality=85, **kwargs))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=85, progressive=True, **kwargs)
+        )
+        assert np.array_equal(base, prog), kwargs
+    gray = img[:, :, 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray, quality=85)),
+        decode_jpeg(encode_jpeg(gray, quality=85, progressive=True)),
+    )
+    # constant blocks at q100: progressive roundtrip is the IDENTITY
+    px = np.full((16, 24), 130, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(px, 100, progressive=True)) == 130).all()
+
+
+def test_jpeg_420_encoder_roundtrip():
+    """4:2:0 encode: constant 16x16 tiles survive the box chroma
+    downsample + nearest upsample EXACTLY at quality 100; lossy 4:2:0
+    on a smooth gradient stays within the usual JPEG error budget and
+    the odd-dimension crop is honored."""
+    import numpy as np
+
+    from edgar_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.full((32, 32, 3), 99, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(px, 100, subsampling="420")) == 99).all()
+
+    y, x = np.mgrid[0:33, 0:47]
+    img = np.stack([(y * 3) % 200 + 20, (x * 2) % 180 + 40,
+                    ((x + y) * 2) % 160 + 50], axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    assert out.shape == (33, 47, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 12
