@@ -198,6 +198,10 @@ OPERATOR_KEYS = [
     "gopher_rules",
     "boilerplate_blocks",
     "warc_wet_pipeline",
+    "suffix_dup_spans",
+    "hnsw_topk",
+    "mm_progressive_jpeg_stats",
+    "mm_jpeg_420_stats",
     "rp_project",
     "host_stats",
     "mm_phash",

@@ -6201,6 +6201,91 @@ _QUERIES["suffix_dup_spans"] = q_suffix_dup_spans
 _ORACLES["suffix_dup_spans"] = _suffix_dup_oracle_sql()
 
 
+_NSW_M, _NSW_EF, _NSW_ROUNDS, _NSW_K = 8, 24, 5, 5
+
+
+def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN (single-layer NSW — HNSW's layer-0 graph) top-5 for the
+    first 10 vectors: deterministic construction (node i links to its
+    top-8 exact prefix neighbors by rounded cosine, id-ordered
+    insertion, bidirectional closure) + fixed-5-round beam search of
+    width 24 from the min-id entry point (similarity.nsw_build /
+    nsw_topk). Both construction and search are pure functions of the
+    corpus, so the oracle replays them: a prefix-kNN window for the
+    graph, one unrolled CTE per beam round for the search."""
+    from edgar_spark.operators.similarity import nsw_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return nsw_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=_NSW_K,
+        m=_NSW_M,
+        ef=_NSW_EF,
+        rounds=_NSW_ROUNDS,
+    )
+
+
+def _hnsw_oracle_sql(
+    m: int = _NSW_M, ef: int = _NSW_EF, rounds: int = _NSW_ROUNDS,
+    k: int = _NSW_K,
+) -> str:
+    beams = []
+    for r in range(1, rounds + 1):
+        beams.append(
+            f""", b{r} AS (
+        SELECT query_id, node, s FROM (
+            SELECT query_id, node, s, row_number() OVER (
+                PARTITION BY query_id ORDER BY s DESC, node) AS rn
+            FROM (
+                SELECT query_id, node, s FROM b{r - 1}
+                UNION
+                SELECT b.query_id, a.dst AS node,
+                       round(list_cosine_similarity(q.qv, e.v), 6) AS s
+                FROM b{r - 1} b
+                JOIN adj a ON a.src = b.node
+                JOIN e ON e.id = a.dst
+                JOIN q ON q.query_id = b.query_id
+            ) u
+        ) t WHERE rn <= {ef}
+    )"""
+        )
+    return f"""
+    WITH e AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.id AS i, b.id AS j,
+               round(list_cosine_similarity(a.v, b.v), 6) AS s
+        FROM e a JOIN e b ON b.id < a.id
+    ), knn AS (
+        SELECT i, j FROM (
+            SELECT i, j, row_number() OVER (
+                PARTITION BY i ORDER BY s DESC, j) AS rn
+            FROM pairs
+        ) WHERE rn <= {m}
+    ), adj AS (
+        SELECT i AS src, j AS dst FROM knn
+        UNION
+        SELECT j AS src, i AS dst FROM knn
+    ), q AS (
+        SELECT id AS query_id, v AS qv FROM e WHERE id < 10
+    ), b0 AS (
+        SELECT q.query_id, e.id AS node,
+               round(list_cosine_similarity(q.qv, e.v), 6) AS s
+        FROM q, e WHERE e.id = (SELECT min(id) FROM e)
+    ){''.join(beams)}
+    SELECT query_id, node AS neighbor_id, s AS cos_sim_r, rank FROM (
+        SELECT query_id, node, s, row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, node) AS rank
+        FROM b{rounds} WHERE node != query_id
+    ) WHERE rank <= {k}"""
+
+
+_QUERIES["hnsw_topk"] = q_hnsw_topk
+_ORACLES["hnsw_topk"] = _hnsw_oracle_sql()
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -698,3 +698,211 @@ def rp_project(
         for row in planes
     ]
     return df.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def nsw_build(
+    corpus: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic single-layer NSW adjacency (the layer-0 graph of
+    HNSW, Malkov & Yashunin): node ``i`` links to its top-``m`` exact
+    neighbors among PREVIOUSLY-INSERTED nodes (``j < i`` — insertion
+    order fixed by id), ranked by ``round_dp``-rounded cosine with id
+    tiebreaks, plus the reverse edges (the bidirectional closure NSW
+    insertion creates). Because neighbor selection is exact and the
+    insertion order is the id order, the graph is a pure function of
+    the corpus — no RNG, no sequential state — and replays in SQL.
+
+    The prefix-kNN scoring runs as blocked GEMM (the
+    :func:`blocked_cosine_pairs` shape — block pairs are the
+    parallelism unit, each task one dense matmul, never per-pair HOF
+    lambdas), and each block pair emits only its LOCAL top-``m`` per
+    node, so the final global window ranks n_blocks·m candidates per
+    node, not n. Top-m of unioned per-block top-m is exactly the global
+    top-m under the (rounded cosine, id) total order. A 10^10 build
+    swaps candidate generation for LSH/IVF buckets (the operators
+    above) while keeping the ranking rule and the search identical —
+    the graph QUALITY degrades gracefully, the determinism does not.
+
+    Output: directed edge list (src, dst), deduplicated.
+    """
+    n = corpus.select(id_col).count()
+    n_blocks = max(1, -(-n // 1024), min(16, -(-n // 64)))
+    packed = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.pmod(F.col(id_col), F.lit(n_blocks)).alias("_b"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.collect_list("_id").alias("_ids"),
+            F.collect_list("_v").alias("_vecs"),
+        )
+    )
+    a = packed.select(
+        F.col("_b").alias("_ba"),
+        F.col("_ids").alias("_ids_a"),
+        F.col("_vecs").alias("_vecs_a"),
+    )
+    b = packed.select(
+        F.col("_b").alias("_bb"),
+        F.col("_ids").alias("_ids_b"),
+        F.col("_vecs").alias("_vecs_b"),
+    )
+    blk = a.crossJoin(b).filter(F.col("_ba") <= F.col("_bb"))
+    dp = int(round_dp)
+    mm = int(m)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def emit(ids_r, ids_c, sims):
+            # local top-m per row over prefix candidates (col id < row id)
+            out_i, out_j, out_s = [], [], []
+            pref = ids_c[None, :] < ids_r[:, None]
+            for r in range(len(ids_r)):
+                cj = ids_c[pref[r]]
+                if cj.size == 0:
+                    continue
+                cs = sims[r][pref[r]]
+                order = np.lexsort((cj, -cs))[:mm]
+                out_i.append(np.full(order.size, ids_r[r]))
+                out_j.append(cj[order])
+                out_s.append(cs[order])
+            if not out_i:
+                return None
+            return pd.DataFrame(
+                {
+                    "_i": np.concatenate(out_i),
+                    "_j": np.concatenate(out_j),
+                    "_s": np.concatenate(out_s),
+                }
+            )
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["_ids_a"], dtype=np.int64)
+                ids_b = np.asarray(row["_ids_b"], dtype=np.int64)
+                ma = np.vstack(row["_vecs_a"])
+                mb = np.vstack(row["_vecs_b"])
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                sims = np.round((ma @ mb.T) / np.outer(na, nb), dp)
+                got = emit(ids_a, ids_b, sims)
+                if got is not None:
+                    yield got
+                if row["_ba"] != row["_bb"]:
+                    got = emit(ids_b, ids_a, sims.T)
+                    if got is not None:
+                        yield got
+
+    cands = blk.mapInPandas(gen, schema="_i long, _j long, _s double")
+    w = Window.partitionBy("_i").orderBy(F.col("_s").desc(), F.col("_j"))
+    knn = (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= m)
+        .select("_i", "_j")
+    )
+    return (
+        knn.select(F.col("_i").alias("src"), F.col("_j").alias("dst"))
+        .union(knn.select(F.col("_j").alias("src"), F.col("_i").alias("dst")))
+        .distinct()
+    )
+
+
+def nsw_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ef: int = 24,
+    rounds: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Graph-ANN top-k by fixed-round BEAM search over the
+    :func:`nsw_build` graph: the beam starts at the entry node (the
+    min-id vector, HNSW's fixed entry point), and each round expands
+    every beam member's adjacency, scores the unseen candidates, and
+    keeps the ``ef`` best per query (rounded cosine desc, id asc).
+    A fixed round count replaces best-first's data-dependent loop —
+    that is what makes the search batch-parallel over all queries at
+    once AND exactly SQL-replayable (one unrolled CTE per round).
+
+    Scale: each round is one shuffle join of the beam (|Q|·ef rows)
+    against the adjacency table plus a broadcast-query scoring pass —
+    O(rounds) shuffles total, queries never leave the broadcast side,
+    the corpus-scale adjacency shuffles on the node id it is already
+    partitioned by. Self-matches are excluded from the final ranking
+    (queries drawn from the corpus), matching ``cosine_topk``.
+
+    Output: (query_id, neighbor_id, cos_sim_r, rank), rank <= k.
+    """
+    # the graph is referenced once per beam round and the beam chains on
+    # itself — materialize both (connected_components-style eager local
+    # checkpoints), or every round would recompute the whole build
+    adj = nsw_build(
+        corpus, m=m, vec_col=vec_col, id_col=id_col, round_dp=round_dp
+    ).localCheckpoint(eager=True)
+    vecs = corpus.select(
+        F.col(id_col).alias("_n"),
+        F.col(vec_col).cast("array<double>").alias("_nv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    entry = corpus.select(F.min(id_col).alias("_n")).join(vecs, "_n")
+    beam = (
+        q.crossJoin(F.broadcast(entry))
+        .select(
+            "query_id",
+            F.col("_n").alias("node"),
+            F.round(cosine(F.col("_qv"), F.col("_nv")), round_dp).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("node")
+    )
+    for _ in range(rounds):
+        nbrs = (
+            beam.join(adj, beam["node"] == adj["src"])
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+            .join(beam.select("query_id", "node"), ["query_id", "node"],
+                  "left_anti")
+        )
+        scored = (
+            nbrs.join(vecs, nbrs["node"] == vecs["_n"])
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "node",
+                F.round(cosine(F.col("_qv"), F.col("_nv")), round_dp).alias(
+                    "_s"
+                ),
+            )
+        )
+        beam = (
+            beam.union(scored)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= ef)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        beam.filter(F.col("node") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            F.col("_s").alias("cos_sim_r"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )

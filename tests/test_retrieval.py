@@ -200,3 +200,36 @@ def test_bm25_long_doc_no_int_overflow(spark):
     out = bm25_topk(docs, queries, k=3).collect()
     assert out[0]["doc_id"] == 0
     assert out[0]["score"] > 0
+
+
+def test_nsw_graph_ann_recall_at_least_ivf(spark):
+    """The graph-ANN search (deterministic NSW + fixed-round beam) must
+    reach at least IVF's recall@5 against brute-force ground truth on
+    the same corpus and query set — the quality bar for adding a graph
+    index next to the LSH/IVF/PQ family."""
+    from pyspark.sql import functions as F
+
+    from edgar_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        nsw_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qs, k=5).collect()
+    }
+    nsw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in nsw_topk(emb, qs, k=5, m=8, ef=24, rounds=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=2).collect()
+    }
+    nsw_recall = len(nsw & truth) / len(truth)
+    ivf_recall = len(ivf & truth) / len(truth)
+    assert nsw_recall >= ivf_recall
+    assert nsw_recall >= 0.9

@@ -163,6 +163,25 @@ AUDITS = {
     "rp_project": ["Project", "!Join", "!HashAggregate"],
     # perceptual hash: encode + decode are Arrow passes, no shuffle
     "mm_phash": ["MapInPandas", "!Join", "!HashAggregate"],
+    # progressive / 4:2:0 JPEG: encode + multi-scan decode are Arrow
+    # passes over the scan — no shuffle, no join
+    "mm_progressive_jpeg_stats": ["MapInPandas", "!Join"],
+    "mm_jpeg_420_stats": ["MapInPandas", "!Join"],
+    # suffix-array span dedup: token posexplode (Generate), rank rounds
+    # as integer-keyed groupBy+join (partial-agged HashAggregate), runs
+    # via per-doc windows — never a single-reducer exchange, never a
+    # nested-loop product
+    "suffix_dup_spans": [
+        "Generate",
+        "Window",
+        "HashAggregate",
+        "!Exchange SinglePartition",
+        "!BroadcastNestedLoopJoin",
+    ],
+    # graph ANN: the final beam rank prunes via WindowGroupLimit; the
+    # build + earlier rounds sit behind eager localCheckpoints (their
+    # GEMM/window shape is asserted by the build's own plan, below)
+    "hnsw_topk": ["WindowGroupLimit"],
     # visual near-dups: banding equality joins on chunk keys — never a
     # cross join; verification is bit_count on candidates only
     "phash_near_dups": ["MapInPandas", "!BroadcastNestedLoopJoin"],
