@@ -44,6 +44,43 @@ def host_of(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, r"^(?i:https?)://(?:[^/?#@]*@)?([^/?#]+)", 1))
 
 
+def fold_host(host: Column, aliases: "dict[str, str] | None" = None) -> Column:
+    """Politeness IDENTITY of a hostname: strip ``:port``, fold a single
+    leading ``www.`` onto the apex, then apply the known-alias map (DNS
+    CNAMEs, mirrors, CDN vanity hosts) — so a crawler budgets one origin
+    once instead of double-hitting it through every name it answers to.
+    Real crawlers consolidate politeness state exactly this way (the
+    SURT key above does the same www-fold for the CDX index).
+
+    ``aliases`` maps alias host → canonical host; both sides are
+    normalized with the same port/www fold, and lookups miss to the
+    host itself. The map is config-sized and embeds as a literal
+    ``CASE``/map in the plan — pure codegen, no join, no shuffle, and
+    the same expression replays in SQL. Alias CHAINS (a→b→c) must be
+    pre-flattened (``graph.redirect_resolve`` does transitive pointer
+    doubling if a raw CNAME log needs collapsing first).
+    """
+    h = F.regexp_replace(
+        F.regexp_extract(host, r"^([^:]*)", 1), r"^www\.", ""
+    )
+    if aliases:
+        def _norm(s: str) -> str:
+            s = s.lower().split(":")[0]
+            return s[4:] if s.startswith("www.") else s
+
+        flat = {}
+        for k, v in aliases.items():
+            nk, nv = _norm(k), _norm(v)
+            if nk != nv:
+                flat[nk] = nv
+        if flat:
+            mapping = F.create_map(
+                *[F.lit(x) for kv in sorted(flat.items()) for x in kv]
+            )
+            h = F.coalesce(mapping[h], h)
+    return h
+
+
 def politeness_bucket(
     url: Column, n_buckets: int, hash_fn: str = "xxhash64"
 ) -> Column:

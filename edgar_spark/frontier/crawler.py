@@ -46,7 +46,12 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edgar_spark.frontier.bloom import ShardedBloom
-from edgar_spark.frontier.canonical import canonicalize, host_of, politeness_bucket
+from edgar_spark.frontier.canonical import (
+    canonicalize,
+    fold_host,
+    host_of,
+    politeness_bucket,
+)
 from edgar_spark.frontier.robots import split_robots
 from edgar_spark.icelite import IceliteCatalog
 from edgar_spark.model.consolidate import consolidate_facts
@@ -96,6 +101,13 @@ class CrawlConfig:
     # nominal wall-clock of one fetch wave, used to turn a robots
     # Crawl-delay into a per-host page budget: budget = window / delay
     wave_window_ms: int = 60_000
+    # host-alias consolidation (canonical.fold_host): when not None, the
+    # frontier's politeness identity strips :port, folds www. onto the
+    # apex, and applies these (alias, canonical) pairs — so one origin
+    # reached through several names draws ONE politeness/delay budget.
+    # Robots rule hosts fold identically (rules key on the politeness
+    # identity). None (default) keeps the raw host — legacy behavior.
+    host_aliases: Optional[Tuple[Tuple[str, str], ...]] = None
     # retain only the N most recent snapshots (current always kept),
     # expiring older ones after each commit — one-commit-per-wave grows
     # storage without bound otherwise. None = keep everything (full time
@@ -155,6 +167,12 @@ class Crawler:
         self.seeds = seeds
         self.robots = robots
         self.cfg = config or CrawlConfig()
+        if self.robots is not None and self.cfg.host_aliases is not None:
+            # rules key on the same politeness identity as the frontier,
+            # so delay budgets and allow/deny merge across aliased names
+            self.robots = self.robots.withColumn(
+                "host", fold_host(F.col("host"), dict(self.cfg.host_aliases))
+            )
         self.catalog = IceliteCatalog(
             self.cfg.checkpoint_dir or tempfile.mkdtemp(prefix="edgar_spark_ckpt_")
         )
@@ -202,9 +220,17 @@ class Crawler:
             F.lit("pending").alias("state"),
             F.lit(None).cast("int").alias("wave"),
             F.lit(-1).alias("wave_added"),
-            host_of(url).alias("host"),
+            self._polite_host(url).alias("host"),
             politeness_bucket(url, self.cfg.politeness_buckets).alias("bucket"),
         )
+
+    def _polite_host(self, url):
+        """Frontier politeness identity: the raw host, or the fold_host
+        consolidation (port/www/alias merge) when host_aliases is set."""
+        h = host_of(url)
+        if self.cfg.host_aliases is not None:
+            return fold_host(h, dict(self.cfg.host_aliases))
+        return h
 
     # ------------------------------------------------------------ one wave
 
@@ -228,7 +254,7 @@ class Crawler:
             "state": F.lit("pending"),
             "wave": F.lit(None).cast("int"),
             "wave_added": F.lit(wave_no),
-            "host": host_of(url),
+            "host": self._polite_host(url),
             "bucket": politeness_bucket(url, self.cfg.politeness_buckets),
         }
         return df.select(*[c.alias(n) for n, c in cols.items()])

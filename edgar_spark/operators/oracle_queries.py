@@ -6286,6 +6286,73 @@ _QUERIES["hnsw_topk"] = q_hnsw_topk
 _ORACLES["hnsw_topk"] = _hnsw_oracle_sql()
 
 
+def q_host_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-alias politeness consolidation (canonical.fold_host — the
+    identity CrawlConfig.host_aliases wires into the frontier): five
+    deterministic host shapes per doc_id (www-prefixed, uppercase with a
+    port, a CDN alias, a www'd mirror alias, an unrelated host) collapse
+    through the port/www/alias fold into politeness identities; the
+    merge proof is the per-identity URL count vs the count of distinct
+    raw hosts that fed it. The fold is a pure codegen CASE/map — the
+    oracle replays the exact regexp+CASE chain."""
+    from edgar_spark.frontier.canonical import fold_host, host_of
+
+    d = F.col("doc_id")
+    h = (
+        F.when(d % 5 == 0, F.lit("www.example.com"))
+        .when(d % 5 == 1, F.lit("EXAMPLE.com:8080"))
+        .when(d % 5 == 2, F.lit("cdn.example.com"))
+        .when(d % 5 == 3, F.lit("www.mirror.net"))
+        .otherwise(F.lit("other.org"))
+    )
+    url = F.concat(F.lit("https://"), h, F.lit("/p/"), d.cast("string"))
+    aliases = {"cdn.example.com": "example.com", "mirror.net": "example.com"}
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            host_of(url).alias("raw_host"),
+            fold_host(host_of(url), aliases).alias("polite_host"),
+        )
+        .groupBy("polite_host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("raw_host").alias("n_hosts"),
+        )
+        .orderBy("polite_host")
+    )
+
+
+_HOST_ALIAS_ORACLE = """
+    WITH u AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN 'www.example.com'
+                   WHEN 1 THEN 'EXAMPLE.com:8080'
+                   WHEN 2 THEN 'cdn.example.com'
+                   WHEN 3 THEN 'www.mirror.net'
+                   ELSE 'other.org' END AS h
+        FROM documents
+    ), f AS (
+        SELECT lower(h) AS raw_host,
+               regexp_replace(regexp_extract(lower(h), '^([^:]*)', 1),
+                              '^www\\.', '') AS apex
+        FROM u
+    ), p AS (
+        SELECT raw_host,
+               CASE apex WHEN 'cdn.example.com' THEN 'example.com'
+                         WHEN 'mirror.net' THEN 'example.com'
+                         ELSE apex END AS polite_host
+        FROM f
+    )
+    SELECT polite_host, count(*) AS n_urls,
+           count(DISTINCT raw_host) AS n_hosts
+    FROM p GROUP BY polite_host ORDER BY polite_host"""
+
+
+_QUERIES["host_alias"] = q_host_alias
+_ORACLES["host_alias"] = _HOST_ALIAS_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -647,3 +647,59 @@ def test_golden_partial_filing_num_in_link(crawl):
     assert err and "Missing fields in Operations[" in err
     assert "Missing fields in Assets[" in err
     assert "Revenue," in err and "OpCashFlow," in err
+
+
+def test_host_alias_merges_politeness_budget(spark):
+    """Host-alias consolidation (CrawlConfig.host_aliases +
+    canonical.fold_host): a Crawl-delay rule keyed on the APEX host
+    ("sec.gov") does not touch a www.sec.gov frontier under legacy
+    identities, but once folding is on, www/apex (and any alias pair)
+    collapse to ONE politeness identity and the merged budget binds —
+    same filings, paid in extra waves. This is how a real crawler
+    avoids double-hitting one origin through several DNS names."""
+    import pandas as pd
+
+    from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+    from edgar_spark.frontier.robots import ROBOTS_SCHEMA
+    from edgar_spark.synth.corpus import build_pages, build_seeds
+
+    pages = build_pages(spark, 2, 1)
+    seeds = build_seeds(spark, 2)
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            [{"host": "edgar.example", "path_prefix": "/", "allowed": True,
+              "crawl_delay_ms": 10_000, "pattern_len": None,
+              "pattern_regex": None}]
+        ),
+        ROBOTS_SCHEMA,
+    )
+
+    def key(res):
+        return sorted(
+            (r["ticker"], r["filing_type"], str(r["filing_date"]),
+             r["revenue"])
+            for r in res.filings.collect()
+        )
+
+    # legacy identity: rule host "edgar.example" matches nothing — free
+    free = Crawler(
+        spark, pages, seeds, robots=robots, config=CrawlConfig(max_waves=8)
+    ).run()
+    assert max(m["fetched"] for m in free.metrics) > 6
+
+    # folded identity: www.sec.gov → sec.gov → (alias pair) edgar.example
+    # — every frontier URL now draws from that ONE 6-page/wave budget
+    merged = Crawler(
+        spark, pages, seeds, robots=robots,
+        config=CrawlConfig(
+            max_waves=40,
+            wave_window_ms=60_000,
+            host_aliases=(("sec.gov", "edgar.example"),),
+        ),
+    ).run()
+    budget = 60_000 // 10_000
+    fetched = [m["fetched"] for m in merged.metrics]
+    assert all(f <= budget for f in fetched)
+    assert max(fetched) == budget
+    assert len(merged.metrics) > len(free.metrics)
+    assert key(merged) == key(free) and len(key(free)) > 0
