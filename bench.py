@@ -219,6 +219,8 @@ OPERATOR_KEYS = [
     "mm_audio_features",
     "failure_backoff",
     "sitemap_index",
+    "host_alias",
+    "corpus_to_manifest",
 ]
 
 

@@ -2006,11 +2006,18 @@ _ORACLES: Dict[str, str] = {
 
 
 def _minhash_cte(
-    n_hashes: int = 64, shingle_k: int = 5, bands: int = 16
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    src: str = "documents",
+    prelude: str = "",
 ) -> str:
     """The shared WITH-clause body computing signatures, bands, and LSH
-    candidate pairs — reused by the minhash near-dup oracle and the
-    LSH-paired n-gram verify oracle."""
+    candidate pairs — reused by the minhash near-dup oracle, the
+    LSH-paired n-gram verify oracle, and (via ``src``/``prelude``) the
+    end-to-end corpus_to_manifest oracle, which minhashes a derived CTE
+    instead of the raw documents table. ``prelude`` is spliced between
+    WITH and the first minhash CTE, so it must end with a comma."""
     from edgar_spark.operators.dedup import MINHASH_P, minhash_coeffs
 
     a, b = minhash_coeffs(n_hashes)
@@ -2024,12 +2031,12 @@ def _minhash_cte(
     # lambda-indexing a 64-element literal per element re-builds the
     # constant every evaluation and is ~100× slower in DuckDB
     return f"""
-        WITH coeffs(i, a, b) AS (VALUES {coeff_rows}),
+        WITH {prelude}coeffs(i, a, b) AS (VALUES {coeff_rows}),
         toks AS (
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN []
                         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
-            FROM documents
+            FROM {src}
         ), sh AS (
             SELECT doc_id,
                    CASE WHEN len(tk) = 0 THEN []
@@ -6351,6 +6358,227 @@ _HOST_ALIAS_ORACLE = """
 
 _QUERIES["host_alias"] = q_host_alias
 _ORACLES["host_alias"] = _HOST_ALIAS_ORACLE
+
+
+_C2M_BLOCKED = ("src3", "src7")  # robots: Disallow / on these two hosts
+
+
+def q_corpus_to_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB training-data pipeline end-to-end as ONE plan:
+
+    crawl gate (split_robots over per-source hosts; two hosts publish
+    ``Disallow: /``) → WET extraction (HTML wrap + parse/wet rule chain)
+    → Gopher rule battery (all rules except the stop-word rule, which is
+    vacuous on the synthetic vocabulary — exactly one stop word exists)
+    → C4-style line-quality filter over the 8-token lining (blocklist
+    drops 'customer' lines; doc keeps iff ≥50 % of lines survive, and
+    the SURVIVING LINES become the doc's text) → MinHash+LSH greedy
+    dedup (drop any doc with a verified near-dup of smaller id) →
+    GPT-style sequence packing of the survivors (seq_len=512).
+
+    Every stage is an existing green-keyed operator
+    (robots_gate, warc_wet_pipeline, gopher_rules, line_quality_filter,
+    minhash_near_dups, pack_sequences); this key proves they compose
+    into one Catalyst plan — scan-fused gates, one dedup banding
+    shuffle, one prefix-sum — and the oracle replays the whole chain as
+    chained CTEs, so the manifest is value-exact end to end."""
+    import pandas as pd
+
+    from edgar_spark.frontier.canonical import host_of
+    from edgar_spark.frontier.robots import split_robots
+    from edgar_spark.operators.curation import (
+        line_quality_filter,
+        pack_sequences,
+        to_lines,
+    )
+    from edgar_spark.operators.dedup import minhash_dedup_pairs
+    from edgar_spark.operators.text import gopher_rules
+    from edgar_spark.parse.wet import html_to_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    pages = docs.select(
+        "doc_id", "source", "text", url.alias("url")
+    ).withColumn("host", host_of(F.col("url")))
+    rules = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"{s}.example.com", "/", False, 1, None) for s in _C2M_BLOCKED],
+            columns=["host", "path_prefix", "allowed", "pattern_len", "pattern"],
+        ),
+        schema="host string, path_prefix string, allowed boolean, "
+        "pattern_len int, pattern string",
+    )
+    fetched, _blocked = split_robots(pages, rules)
+    html = F.concat(
+        F.lit("<html><head><title>T</title><style>x{}</style></head>"
+              "<body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    wet = html_to_text(
+        fetched.select("doc_id", html.alias("payload")), html_col="payload"
+    ).select("doc_id", F.col("wet_text").alias("text"))
+    gop = gopher_rules(wet)
+    gkept = gop.filter(
+        F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio")
+        & F.col("r_bullet")
+        & F.col("r_ellipsis")
+        & F.col("r_alpha")
+    ).select("doc_id", "text")
+    lined = gkept.select(
+        "doc_id", to_lines(F.col("text"), width=8).alias("text")
+    )
+    lq = line_quality_filter(lined, blocklist=_LQF_BLOCKLIST)
+    survivors = lq.filter(F.col("keep")).select("doc_id", "text")
+    pairs = minhash_dedup_pairs(
+        survivors, threshold=0.5, n_hashes=64, bands=16
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    reps = survivors.join(losers, "doc_id", "left_anti")
+    return pack_sequences(reps, seq_len=512)
+
+
+def _corpus_to_manifest_oracle_sql() -> str:
+    html = (
+        "concat('<html><head><title>T</title><style>x{}</style></head>"
+        "<body><p>', text, '</p></body></html>')"
+    )
+    chain = _wet_chain_sql(html)
+    blocked = ", ".join(f"'{s}'" for s in _C2M_BLOCKED)
+    block = " AND ".join(
+        f"NOT contains(lower(line), '{b}')" for b in _LQF_BLOCKLIST
+    )
+    prelude = f"""fetched AS (
+            SELECT doc_id, source, text FROM documents
+            WHERE text IS NOT NULL AND source NOT IN ({blocked})
+        ), wet AS (
+            SELECT doc_id, trim({chain}) AS text FROM fetched
+        ), gt AS (
+            SELECT doc_id, text,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS gtoks,
+                   regexp_split_to_array(text, '\\n') AS glines
+            FROM wet
+        ), gc AS (
+            SELECT doc_id, text,
+                   CAST(len(gtoks) AS BIGINT) AS n_words,
+                   CAST(coalesce(list_sum(list_transform(gtoks,
+                        w -> length(w))), 0) AS BIGINT) AS word_chars,
+                   CAST(len(list_filter(gtoks,
+                        w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+                       AS n_alpha,
+                   CAST(len(glines) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(glines,
+                        l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT)
+                       AS n_bullet,
+                   CAST(len(list_filter(glines,
+                        l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                        AS BIGINT) AS n_ellipsis,
+                   CAST(len(regexp_split_to_array(text, '#')) - 1
+                        + len(regexp_split_to_array(text, '(\\.\\.\\.|…)'))
+                        - 1 AS BIGINT) AS n_symbols
+            FROM gt
+        ), gkept AS (
+            SELECT doc_id, text FROM gc
+            WHERE n_words >= 50 AND n_words <= 100000
+              AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+              AND n_symbols * 10 < n_words
+              AND n_bullet * 10 < n_lines * 9
+              AND n_ellipsis * 10 < n_lines * 3
+              AND n_alpha * 10 >= n_words * 8
+        ), ltk AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS ltoks
+            FROM gkept
+        ), lined AS (
+            SELECT doc_id,
+                   CASE WHEN len(ltoks) = 0 THEN ''
+                        ELSE array_to_string(list_transform(
+                            range(0, CAST(floor((len(ltoks) - 1) / 8)
+                                          AS INT) + 1),
+                            i -> array_to_string(ltoks[i*8+1 : i*8+8], ' ')
+                        ), chr(10)) END AS text
+            FROM ltk
+        ), ll AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS ord
+            FROM lined
+        ), lok AS (
+            SELECT * FROM ll
+            WHERE len(list_filter(regexp_split_to_array(trim(line), '\\s+'),
+                                  w -> w != '')) >= 3
+              AND length(regexp_replace(line, '[^a-zA-Z]', '', 'g')) * 100
+                  >= length(line) * 50
+              AND {block}
+        ), lagg AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text2,
+                   count(*) AS n_kept
+            FROM lok GROUP BY doc_id
+        ), survivors AS (
+            SELECT li.doc_id, coalesce(a.text2, '') AS text
+            FROM lined li LEFT JOIN lagg a USING (doc_id)
+            WHERE coalesce(a.n_kept, 0) * 100
+                  >= len(string_split(li.text, chr(10))) * 50
+        ),
+        """
+    return f"""{_minhash_cte(64, 5, 16, src="survivors", prelude=prelude)}
+        , pairs AS (
+            SELECT id_a, id_b FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+            WHERE CAST(len(list_filter(range(64),
+                       i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 64
+                  >= 0.5
+        ), losers AS (
+            SELECT DISTINCT id_b AS doc_id FROM pairs
+        ), reps AS (
+            SELECT s.doc_id, s.text FROM survivors s
+            LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL
+        ), ptk AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM reps
+        ), ps AS (
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok
+            FROM ptk WHERE n_tok > 0
+        ), po AS (
+            SELECT doc_id, n_tok,
+                   CAST(coalesce(sum(n_tok) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS o
+            FROM ps
+        ), pe AS (
+            SELECT doc_id, n_tok, o,
+                   unnest(range(o // 512, (o + n_tok - 1) // 512 + 1))
+                       AS seq_id
+            FROM po
+        )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+               doc_id,
+               CAST(greatest(o, seq_id * 512) - o AS BIGINT) AS tok_start,
+               CAST(least(o + n_tok, (seq_id + 1) * 512) - o AS BIGINT)
+                   AS tok_end,
+               CAST(greatest(o, seq_id * 512) - seq_id * 512 AS BIGINT)
+                   AS seq_off
+        FROM pe"""
+
+
+_QUERIES["corpus_to_manifest"] = q_corpus_to_manifest
+_ORACLES["corpus_to_manifest"] = _corpus_to_manifest_oracle_sql()
 
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:

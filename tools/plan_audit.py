@@ -214,6 +214,21 @@ AUDITS = {
     "failure_backoff": ["HashAggregate", "!Exchange SinglePartition"],
     # sitemap index explode: regexp extraction stays in codegen
     "sitemap_index": ["Generate", "!Join"],
+    # alias fold: pure codegen CASE projection + one partial-agged
+    # groupBy on the folded identity — no join anywhere
+    "host_alias": ["HashAggregate", "!Join"],
+    # end-to-end manifest: tiny robots rules broadcast to the gate, the
+    # WET/gopher/line gates fuse into the scan-side projection, minhash
+    # banding shuffles on keys (SMJ between corpus-scale sig sides is
+    # the correct shape), packing windows run at bucket parallelism —
+    # never a single reducer, never a nested-loop product
+    "corpus_to_manifest": [
+        "BroadcastHashJoin",
+        "Generate",
+        "Window",
+        "!Exchange SinglePartition",
+        "!BroadcastNestedLoopJoin",
+    ],
 }
 
 
