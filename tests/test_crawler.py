@@ -703,3 +703,42 @@ def test_host_alias_merges_politeness_budget(spark):
     assert max(fetched) == budget
     assert len(merged.metrics) > len(free.metrics)
     assert key(merged) == key(free) and len(key(free)) > 0
+
+
+def test_cuckoo_forced_multi_shard_equivalent(spark, tmp_path):
+    """Forced multi-shard cuckoo preset: 8 shards of tiny (2^8-bucket)
+    tables so URLs really spread across shards (and evictions kick in),
+    yet the crawl result is identical to the bloom default — the shard
+    split must be a pure layout choice, never a semantic one."""
+    from edgar_spark.frontier.crawler import CrawlConfig, Crawler
+    from edgar_spark.synth.corpus import build_pages, build_seeds
+
+    pages = build_pages(spark, 3, 2)
+    seeds = build_seeds(spark, 3)
+    a = Crawler(
+        spark, pages, seeds,
+        config=CrawlConfig(max_waves=4, checkpoint_dir=str(tmp_path / "a")),
+    ).run()
+    cuckoo_crawler = Crawler(
+        spark, pages, seeds,
+        config=CrawlConfig(
+            max_waves=4,
+            seen_filter="cuckoo",
+            cuckoo_shards=8,
+            cuckoo_buckets=1 << 8,
+            checkpoint_dir=str(tmp_path / "b"),
+        ),
+    )
+    b = cuckoo_crawler.run()
+    key = lambda res: sorted(  # noqa: E731
+        (r["ticker"], r["filing_type"], str(r["filing_date"]), r["revenue"])
+        for r in res.filings.collect()
+    )
+    assert key(a) == key(b) and len(key(a)) > 0
+    # the filter really is sharded: >1 shard holds fingerprints
+    occupied = [
+        s
+        for s in cuckoo_crawler._bloom.shards
+        if (s.table != 0).any() or s.stash
+    ]
+    assert len(occupied) > 1
