@@ -53,15 +53,21 @@ def fold_host(host: Column, aliases: "dict[str, str] | None" = None) -> Column:
     SURT key above does the same www-fold for the CDX index).
 
     ``aliases`` maps alias host → canonical host; both sides are
-    normalized with the same port/www fold, and lookups miss to the
-    host itself. The map is config-sized and embeds as a literal
+    normalized with the same lowercase/port/www fold, and lookups miss
+    to the host itself. The map is config-sized and embeds as a literal
     ``CASE``/map in the plan — pure codegen, no join, no shuffle, and
     the same expression replays in SQL. Alias CHAINS (a→b→c) must be
     pre-flattened (``graph.redirect_resolve`` does transitive pointer
     doubling if a raw CNAME log needs collapsing first).
+
+    The column is lowercased HERE, not assumed pre-lowered: callers
+    feed hosts from sources other than :func:`host_of` (e.g. robots
+    rule tables carry the hostname verbatim from the robots.txt URL),
+    and a case-sensitive www-strip or map lookup would silently miss —
+    leaving a Disallow/Crawl-delay rule keyed on a never-matching host.
     """
     h = F.regexp_replace(
-        F.regexp_extract(host, r"^([^:]*)", 1), r"^www\.", ""
+        F.regexp_extract(F.lower(host), r"^([^:]*)", 1), r"^www\.", ""
     )
     if aliases:
         def _norm(s: str) -> str:

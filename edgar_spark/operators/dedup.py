@@ -912,6 +912,13 @@ def suffix_dup_spans(
     r0 = pos.groupBy("_tok").agg(F.min("_g").alias("_r"))
     cur = pos.join(r0, "_tok").select("_doc", "n_tok", "_g", "_lp", "_r")
     for k in range(1, kk + 1):
+        # each round references `cur` THREE times (self-shift join + class
+        # min + re-join); without a materialization boundary the
+        # unmaterialized lineage multiplies ~4× per round — exponential
+        # plan size in floor(log2(min_len)). localCheckpoint (same
+        # discipline as connected_components / nsw_build) pins each rank
+        # table so a round reads the previous round's rows, not its plan.
+        cur = cur.localCheckpoint(eager=True)
         delta = 1 << (k - 1)
         shifted = cur.select(
             (F.col("_g") - delta).alias("_g"), F.col("_r").alias("_r2")
@@ -924,6 +931,9 @@ def suffix_dup_spans(
             "_doc", "n_tok", "_g", "_lp", F.col("_nr").alias("_r")
         )
 
+    # the tail shift + doc-span stages each read `cur`/`cls` twice more —
+    # pin the final rank table once so the tail never replays the rounds
+    cur = cur.localCheckpoint(eager=True)
     if tail:
         sh = cur.select(
             (F.col("_g") - tail).alias("_g"), F.col("_r").alias("_c2")

@@ -5930,6 +5930,44 @@ _QUERIES["mm_png_stats"] = q_mm_png_stats
 _ORACLES["mm_png_stats"] = _MM_PNG_STATS_ORACLE
 
 
+def _mm_jpeg_media(docs: DataFrame, tile_px: int, rgb: str, **enc) -> DataFrame:
+    """Shared constant-block image generator behind the three JPEG keys
+    (baseline / progressive / 4:2:0): each document's first 6 codepoints
+    become six CONSTANT ``tile_px``×``tile_px`` tiles of a 2×3-tile
+    image, encoded by the from-scratch codec with ``enc`` kwargs.
+    ``rgb='odd'`` promotes odd doc_ids to r=g=b RGB (gray otherwise);
+    ``rgb='all'`` promotes every image. ONE definition — the `vals`
+    derivation here is what the shared oracles' integer means replay, so
+    the three keys cannot silently diverge."""
+    import numpy as np
+
+    from edgar_spark.operators.jpeg import encode_jpeg
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for t in pdf.itertuples(index=False):
+                s = t.text or ""
+                vals = [
+                    (ord(s[i]) % 256) if i < len(s) else 0 for i in range(6)
+                ]
+                tiles = np.array(vals, dtype=np.uint8).reshape(2, 3)
+                px = np.repeat(
+                    np.repeat(tiles, tile_px, axis=0), tile_px, axis=1
+                )
+                if rgb == "all" or (rgb == "odd" and t.doc_id % 2 == 1):
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                ids.append(t.doc_id)
+                payloads.append(encode_jpeg(px, quality=100, **enc))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+
+
 def q_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode end-to-end through the stdlib+numpy
     codec (operators/jpeg.py — markers, Annex K Huffman, bit stuffing,
@@ -5945,33 +5983,10 @@ def q_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTITY and the oracle is plain integer means of the source
     codepoints. Any drift anywhere in the JPEG pipeline breaks the
     identity and hash-fails."""
-    import numpy as np
-
-    from edgar_spark.operators.jpeg import encode_jpeg
     from edgar_spark.operators.multimodal import image_stats
 
-    docs = _t(spark, sf_dir, "documents")
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for t in pdf.itertuples(index=False):
-                s = t.text or ""
-                vals = [
-                    (ord(s[i]) % 256) if i < len(s) else 0 for i in range(6)
-                ]
-                blocks = np.array(vals, dtype=np.uint8).reshape(2, 3)
-                px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
-                if t.doc_id % 2 == 1:  # RGB with r=g=b
-                    px = np.repeat(px[:, :, None], 3, axis=2)
-                ids.append(t.doc_id)
-                payloads.append(encode_jpeg(px, quality=100))
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
-
-    media = docs.select("doc_id", "text").mapInPandas(
-        gen, schema="media_id long, payload binary"
+    media = _mm_jpeg_media(
+        _t(spark, sf_dir, "documents"), tile_px=8, rgb="odd"
     )
     return (
         image_stats(media)
@@ -6010,35 +6025,11 @@ def q_mm_progressive_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-block DC identity survives every point transform —
     (dc>>1)<<1 | refinement bit reassembles dc exactly — so the oracle
     stays the plain integer means of the source codepoints."""
-    import numpy as np
-
-    from edgar_spark.operators.jpeg import encode_jpeg
     from edgar_spark.operators.multimodal import image_stats
 
-    docs = _t(spark, sf_dir, "documents")
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for t in pdf.itertuples(index=False):
-                s = t.text or ""
-                vals = [
-                    (ord(s[i]) % 256) if i < len(s) else 0 for i in range(6)
-                ]
-                blocks = np.array(vals, dtype=np.uint8).reshape(2, 3)
-                px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
-                if t.doc_id % 2 == 1:  # RGB with r=g=b
-                    px = np.repeat(px[:, :, None], 3, axis=2)
-                ids.append(t.doc_id)
-                payloads.append(
-                    encode_jpeg(px, quality=100, progressive=True)
-                )
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
-
-    media = docs.select("doc_id", "text").mapInPandas(
-        gen, schema="media_id long, payload binary"
+    media = _mm_jpeg_media(
+        _t(spark, sf_dir, "documents"), tile_px=8, rgb="odd",
+        progressive=True,
     )
     return (
         image_stats(media)
@@ -6059,34 +6050,11 @@ def q_mm_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-neighbor upsample). Constant tiles are constant under box
     downsampling and r=g=b pins Cb/Cr to exactly 128, so the quality-100
     roundtrip is the identity and the oracle is plain integer means."""
-    import numpy as np
-
-    from edgar_spark.operators.jpeg import encode_jpeg
     from edgar_spark.operators.multimodal import image_stats
 
-    docs = _t(spark, sf_dir, "documents")
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for t in pdf.itertuples(index=False):
-                s = t.text or ""
-                vals = [
-                    (ord(s[i]) % 256) if i < len(s) else 0 for i in range(6)
-                ]
-                tiles = np.array(vals, dtype=np.uint8).reshape(2, 3)
-                px = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1)
-                px = np.repeat(px[:, :, None], 3, axis=2)
-                ids.append(t.doc_id)
-                payloads.append(
-                    encode_jpeg(px, quality=100, subsampling="420")
-                )
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
-
-    media = docs.select("doc_id", "text").mapInPandas(
-        gen, schema="media_id long, payload binary"
+    media = _mm_jpeg_media(
+        _t(spark, sf_dir, "documents"), tile_px=16, rgb="all",
+        subsampling="420",
     )
     return (
         image_stats(media)

@@ -879,3 +879,29 @@ def test_icelite_refs_tags_branches(spark, tmp_path):
     cat.drop_ref("experiment")
     with pytest.raises(KeyError):
         cat.resolve_ref("experiment")
+
+
+def test_fold_host_case_insensitive(spark):
+    """fold_host lowercases the COLUMN side before the www-strip and the
+    alias lookup: hosts arriving verbatim from robots.txt URLs (not via
+    host_of) may be mixed-case, and a case-sensitive miss would leave a
+    Disallow/Crawl-delay rule keyed on a never-matching identity."""
+    from pyspark.sql import functions as F
+
+    from edgar_spark.frontier.canonical import fold_host
+
+    rows = spark.createDataFrame(
+        [("WWW.Sec.gov:443",), ("www.sec.gov",), ("CDN.Example.COM",),
+         ("Other.ORG",)],
+        ["host"],
+    )
+    aliases = {"cdn.EXAMPLE.com": "Example.com"}
+    out = dict(
+        rows.select(
+            "host", fold_host(F.col("host"), aliases).alias("f")
+        ).collect()
+    )
+    assert out["WWW.Sec.gov:443"] == "sec.gov"
+    assert out["www.sec.gov"] == "sec.gov"
+    assert out["CDN.Example.COM"] == "example.com"
+    assert out["Other.ORG"] == "other.org"

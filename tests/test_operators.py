@@ -1689,3 +1689,29 @@ def test_corpus_to_manifest_pipeline(spark):
         if seq_id != last:
             assert total == 512, f"seq {seq_id} not full: {total}"
     assert ids == set(by_seq)
+
+
+def test_suffix_dup_spans_large_min_len(spark):
+    """min_len=64 ⇒ six doubling rounds: the per-round localCheckpoint
+    keeps the plan linear in rounds (without it the lineage multiplies
+    ~4× per round and Catalyst analysis blows up well before 6). Two
+    identical 80-token docs are fully covered; the unique doc is not
+    flagged; a 63-token shared run stays below the threshold."""
+    from edgar_spark.operators.dedup import suffix_dup_spans
+
+    shared = " ".join(f"w{i}" for i in range(80))
+    short = " ".join(f"s{i}" for i in range(63))
+    df = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, shared),
+            (3, " ".join(f"u{i}" for i in range(90))),
+            (4, short + " x1"),
+            (5, short + " y1"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in suffix_dup_spans(df, min_len=64).collect()}
+    assert out[1]["span_start"] == 1 and out[1]["span_len"] == 80
+    assert out[2]["span_start"] == 1 and out[2]["span_len"] == 80
+    assert 3 not in out and 4 not in out and 5 not in out
