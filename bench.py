@@ -221,6 +221,7 @@ OPERATOR_KEYS = [
     "sitemap_index",
     "host_alias",
     "corpus_to_manifest",
+    "conditional_fetch",
 ]
 
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["recrawl_schedule", "failure_backoff"]
+__all__ = ["recrawl_schedule", "failure_backoff", "conditional_fetch"]
 
 
 def failure_backoff(
@@ -310,4 +310,90 @@ def snapshot_diff(
         status.alias("status"),
         "old_digest",
         "new_digest",
+    )
+
+
+def conditional_fetch(
+    store: DataFrame,
+    responses: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """HTTP conditional-revalidation merge (RFC 9110 §13.1 / §15.4.5):
+    decide, per fetched URL, whether the stored copy is reusable and
+    which validators to carry forward — the operator that turns a
+    recrawl wave into mostly-free 304s instead of full transfers (the
+    reference refetches unconditionally; its corpus is immutable,
+    folder.go:42-65).
+
+    ``store`` is the crawler's validator cache: one row per previously
+    captured URL with ``etag``, ``last_modified`` (either may be NULL)
+    and ``digest`` (content fingerprint, non-NULL — it defines "stored").
+    ``responses`` is the wave's fetch results: (url, status, etag,
+    last_modified, digest) — exactly what `sources.http
+    .parse_http_headers` extracts plus a body digest; a 304 carries no
+    body, so its ``digest`` is NULL.
+
+    One row per response:
+
+    * ``action`` — ``'error'`` (no/4xx/5xx status, or a protocol-violating
+      304 with nothing stored: keep the stored entry), ``'revalidated'``
+      (304: reuse the stored body for free), ``'new'`` (200, nothing
+      stored), ``'unchanged'`` (200 whose body digest equals the stored
+      one — the server ignored our validators but transferred identical
+      bytes; recrawl backoff treats it as unchanged), ``'updated'``
+      (200, different body);
+    * ``digest``/``etag``/``last_modified`` — the EFFECTIVE entry to
+      store back: a 304 keeps the stored digest and lets the 304's
+      headers refresh the validators (RFC 9110 §15.4.5 allows metadata
+      updates), an error keeps everything stored, a 200 replaces all
+      three;
+    * ``sent_if_none_match`` / ``sent_if_modified_since`` — the request
+      hints this wave derived from the store (what made the 304
+      possible), for per-wave revalidation-rate metrics.
+
+    Plan: ONE left join of the wave against the store on url — at
+    10^10 URLs that is the same url-keyed MERGE shuffle every state
+    transition already pays; every decision is a codegen CASE, no
+    Python, no extra exchange. All comparisons are NULL-safe string
+    equality → exact in any engine.
+    """
+    s = store.select(
+        F.col(url_col),
+        F.col("etag").alias("_s_etag"),
+        F.col("last_modified").alias("_s_lm"),
+        F.col("digest").alias("_s_digest"),
+    )
+    j = responses.join(s, url_col, "left")
+    status = F.col("status")
+    stored = F.col("_s_digest").isNotNull()
+    err = status.isNull() | (status >= 400) | ((status == 304) & ~stored)
+    action = (
+        F.when(err, F.lit("error"))
+        .when(status == 304, F.lit("revalidated"))
+        .when(~stored, F.lit("new"))
+        .when(F.col("digest").eqNullSafe(F.col("_s_digest")), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    keep_stored = err | (status == 304)
+    digest = F.when(keep_stored, F.col("_s_digest")).otherwise(F.col("digest"))
+    etag = (
+        F.when(err, F.col("_s_etag"))
+        .when(status == 304, F.coalesce(F.col("etag"), F.col("_s_etag")))
+        .otherwise(F.col("etag"))
+    )
+    lm = (
+        F.when(err, F.col("_s_lm"))
+        .when(status == 304, F.coalesce(F.col("last_modified"), F.col("_s_lm")))
+        .otherwise(F.col("last_modified"))
+    )
+    return j.select(
+        F.col(url_col),
+        action.alias("action"),
+        digest.alias("digest"),
+        etag.alias("etag"),
+        lm.alias("last_modified"),
+        F.col("_s_etag").isNotNull().alias("sent_if_none_match"),
+        (F.col("_s_etag").isNull() & F.col("_s_lm").isNotNull()).alias(
+            "sent_if_modified_since"
+        ),
     )

@@ -6404,7 +6404,15 @@ def q_corpus_to_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", to_lines(F.col("text"), width=8).alias("text")
     )
     lq = line_quality_filter(lined, blocklist=_LQF_BLOCKLIST)
-    survivors = lq.filter(F.col("keep")).select("doc_id", "text")
+    # the survivor set feeds THREE consumers (signature kernel, dedup
+    # anti-join spine, packing) — materialize the gate chain once
+    # instead of replaying robots+WET+gopher+line per branch; at 100 TB
+    # this is the checkpoint-before-fan-out noted in SCALE.md
+    survivors = (
+        lq.filter(F.col("keep"))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
     pairs = minhash_dedup_pairs(
         survivors, threshold=0.5, n_hashes=64, bands=16
     )
@@ -6547,6 +6555,132 @@ def _corpus_to_manifest_oracle_sql() -> str:
 
 _QUERIES["corpus_to_manifest"] = q_corpus_to_manifest
 _ORACLES["corpus_to_manifest"] = _corpus_to_manifest_oracle_sql()
+
+
+def q_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP conditional-revalidation merge (frontier/schedule.py::
+    conditional_fetch) over a deterministic store/response pair that
+    exercises every branch: 5xx errors (stored entry kept), 304s with a
+    stored copy (free reuse, validators optionally refreshed by the
+    304's headers), a protocol-violating 304 with nothing stored
+    (error), brand-new 200s, 200s whose body digest matches the store
+    (server ignored our validators), and genuinely updated 200s. The
+    oracle replays the CASE fold with NULL-safe equality."""
+    from edgar_spark.frontier.schedule import conditional_fetch
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = F.concat(F.lit("https://w.example/p/"), ds)
+    tdig = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    store = docs.filter(d % 7 != 0).select(
+        url.alias("url"),
+        F.when(d % 3 == 0, F.concat(F.lit('W/"e'), ds, F.lit('"'))).alias(
+            "etag"
+        ),
+        F.when(
+            d % 3 != 1,
+            F.concat(
+                F.lit("Mon, 0"), (d % 7 + 1).cast("string"),
+                F.lit(" Jan 2024"),
+            ),
+        ).alias("last_modified"),
+        tdig.alias("digest"),
+    )
+    status = (
+        F.when(d % 11 == 0, F.lit(503))
+        .when(d % 5 == 0, F.lit(304))
+        .otherwise(F.lit(200))
+    )
+    rdigest = F.when(
+        status == 200,
+        F.when(
+            d % 4 == 1,
+            F.md5(F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("!"))),
+        ).otherwise(tdig),
+    )
+    retag = F.when(
+        (status == 304) & (d % 6 == 0),
+        F.concat(F.lit('W/"r'), ds, F.lit('"')),
+    ).when(
+        (status == 200) & (d % 2 == 0),
+        F.concat(F.lit('W/"n'), ds, F.lit('"')),
+    )
+    rlm = F.when(status == 200, F.lit("Tue, 02 Jan 2024"))
+    responses = docs.select(
+        url.alias("url"),
+        status.alias("status"),
+        retag.alias("etag"),
+        rlm.alias("last_modified"),
+        rdigest.alias("digest"),
+    )
+    return conditional_fetch(store, responses).orderBy("url")
+
+
+_CONDITIONAL_FETCH_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               concat('https://w.example/p/', CAST(doc_id AS VARCHAR)) AS url,
+               md5(coalesce(text, '')) AS tdig,
+               md5(concat(coalesce(text, ''), '!')) AS tdig2
+        FROM documents
+    ), store AS (
+        SELECT url,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat('W/"e', CAST(doc_id AS VARCHAR), '"')
+               END AS s_etag,
+               CASE WHEN doc_id % 3 != 1
+                    THEN concat('Mon, 0', CAST(doc_id % 7 + 1 AS VARCHAR),
+                                ' Jan 2024')
+               END AS s_lm,
+               tdig AS s_digest
+        FROM d WHERE doc_id % 7 != 0
+    ), resp AS (
+        SELECT doc_id, url,
+               CASE WHEN doc_id % 11 = 0 THEN 503
+                    WHEN doc_id % 5 = 0 THEN 304
+                    ELSE 200 END AS status,
+               CASE WHEN doc_id % 11 != 0 AND doc_id % 5 = 0
+                         AND doc_id % 6 = 0
+                    THEN concat('W/"r', CAST(doc_id AS VARCHAR), '"')
+                    WHEN doc_id % 11 != 0 AND doc_id % 5 != 0
+                         AND doc_id % 2 = 0
+                    THEN concat('W/"n', CAST(doc_id AS VARCHAR), '"')
+               END AS r_etag,
+               CASE WHEN doc_id % 11 != 0 AND doc_id % 5 != 0
+                    THEN 'Tue, 02 Jan 2024' END AS r_lm,
+               CASE WHEN doc_id % 11 != 0 AND doc_id % 5 != 0
+                    THEN CASE WHEN doc_id % 4 = 1 THEN tdig2 ELSE tdig END
+               END AS r_digest
+        FROM d
+    ), j AS (
+        SELECT r.url, r.status, r.r_etag, r.r_lm, r.r_digest,
+               s.s_etag, s.s_lm, s.s_digest,
+               (r.status IS NULL OR r.status >= 400
+                OR (r.status = 304 AND s.s_digest IS NULL)) AS err
+        FROM resp r LEFT JOIN store s USING (url)
+    )
+    SELECT url,
+           CASE WHEN err THEN 'error'
+                WHEN status = 304 THEN 'revalidated'
+                WHEN s_digest IS NULL THEN 'new'
+                WHEN r_digest IS NOT DISTINCT FROM s_digest THEN 'unchanged'
+                ELSE 'updated' END AS action,
+           CASE WHEN err OR status = 304 THEN s_digest
+                ELSE r_digest END AS digest,
+           CASE WHEN err THEN s_etag
+                WHEN status = 304 THEN coalesce(r_etag, s_etag)
+                ELSE r_etag END AS etag,
+           CASE WHEN err THEN s_lm
+                WHEN status = 304 THEN coalesce(r_lm, s_lm)
+                ELSE r_lm END AS last_modified,
+           s_etag IS NOT NULL AS sent_if_none_match,
+           (s_etag IS NULL AND s_lm IS NOT NULL) AS sent_if_modified_since
+    FROM j ORDER BY url"""
+
+
+_QUERIES["conditional_fetch"] = q_conditional_fetch
+_ORACLES["conditional_fetch"] = _CONDITIONAL_FETCH_ORACLE
 
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:

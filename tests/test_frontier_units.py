@@ -905,3 +905,60 @@ def test_fold_host_case_insensitive(spark):
     assert out["www.sec.gov"] == "sec.gov"
     assert out["CDN.Example.COM"] == "example.com"
     assert out["Other.ORG"] == "other.org"
+
+
+def test_conditional_fetch_actions(spark):
+    """Every RFC 9110 revalidation branch, with explicit rows: 304 reuse
+    (validators refreshed by the 304's headers when present, kept
+    otherwise), error keeps the stored entry untouched, a 304 for a
+    never-stored URL is a protocol error, 200s split new / unchanged /
+    updated by stored digest, and the sent_* request-hint flags derive
+    from the STORE side only."""
+    from edgar_spark.frontier.schedule import conditional_fetch
+
+    store = spark.createDataFrame(
+        [
+            ("u/reval", 'W/"a"', "Mon", "d1"),
+            ("u/reval-refresh", 'W/"b"', None, "d2"),
+            ("u/err", None, "Tue", "d3"),
+            ("u/same", 'W/"c"', None, "d4"),
+            ("u/diff", None, None, "d5"),
+        ],
+        "url string, etag string, last_modified string, digest string",
+    )
+    responses = spark.createDataFrame(
+        [
+            ("u/reval", 304, None, None, None),
+            ("u/reval-refresh", 304, 'W/"b2"', "Wed", None),
+            ("u/err", 503, None, None, None),
+            ("u/same", 200, 'W/"c2"', "Thu", "d4"),
+            ("u/diff", 200, None, None, "d5x"),
+            ("u/new", 200, 'W/"n"', "Fri", "d6"),
+            ("u/bad304", 304, None, None, None),
+        ],
+        "url string, status int, etag string, last_modified string, "
+        "digest string",
+    )
+    out = {
+        r["url"]: r for r in conditional_fetch(store, responses).collect()
+    }
+    r = out["u/reval"]
+    assert (r["action"], r["digest"], r["etag"], r["last_modified"]) == (
+        "revalidated", "d1", 'W/"a"', "Mon")
+    assert r["sent_if_none_match"] and not r["sent_if_modified_since"]
+    r = out["u/reval-refresh"]
+    assert (r["action"], r["digest"], r["etag"], r["last_modified"]) == (
+        "revalidated", "d2", 'W/"b2"', "Wed")
+    r = out["u/err"]
+    assert (r["action"], r["digest"], r["etag"], r["last_modified"]) == (
+        "error", "d3", None, "Tue")
+    assert not r["sent_if_none_match"] and r["sent_if_modified_since"]
+    assert out["u/same"]["action"] == "unchanged"
+    assert out["u/same"]["etag"] == 'W/"c2"'  # 200 replaces validators
+    assert out["u/diff"]["action"] == "updated"
+    assert out["u/diff"]["digest"] == "d5x"
+    r = out["u/new"]
+    assert r["action"] == "new" and r["digest"] == "d6"
+    assert not r["sent_if_none_match"] and not r["sent_if_modified_since"]
+    assert out["u/bad304"]["action"] == "error"
+    assert out["u/bad304"]["digest"] is None

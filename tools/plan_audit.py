@@ -167,12 +167,14 @@ AUDITS = {
     # passes over the scan — no shuffle, no join
     "mm_progressive_jpeg_stats": ["MapInPandas", "!Join"],
     "mm_jpeg_420_stats": ["MapInPandas", "!Join"],
-    # suffix-array span dedup: token posexplode (Generate), rank rounds
-    # as integer-keyed groupBy+join (partial-agged HashAggregate), runs
-    # via per-doc windows — never a single-reducer exchange, never a
-    # nested-loop product
+    # suffix-array span dedup: the doubling rounds sit behind per-round
+    # localCheckpoints (the materialization that keeps plan size linear
+    # in rounds), so the audited final plan starts at the pinned rank
+    # table: class grouping (partial-agged HashAggregate) + per-doc run
+    # windows — never a single-reducer exchange, never a nested-loop
+    # product (the pre-checkpoint explode/prefix-sum shape is audited by
+    # pack_sequences/dup_ngram_spans which share those operators)
     "suffix_dup_spans": [
-        "Generate",
         "Window",
         "HashAggregate",
         "!Exchange SinglePartition",
@@ -217,15 +219,24 @@ AUDITS = {
     # alias fold: pure codegen CASE projection + one partial-agged
     # groupBy on the folded identity — no join anywhere
     "host_alias": ["HashAggregate", "!Join"],
-    # end-to-end manifest: tiny robots rules broadcast to the gate, the
-    # WET/gopher/line gates fuse into the scan-side projection, minhash
-    # banding shuffles on keys (SMJ between corpus-scale sig sides is
-    # the correct shape), packing windows run at bucket parallelism —
-    # never a single reducer, never a nested-loop product
+    # end-to-end manifest: the robots+WET+gopher+line gate chain is
+    # materialized ONCE behind a survivors localCheckpoint (the
+    # checkpoint-before-fan-out SCALE.md documents; gate plan shapes are
+    # audited by robots_gate / line_quality_filter), so the audited plan
+    # covers the fan-out: minhash banding Generate, keyed joins (SMJ
+    # between corpus-scale sig sides is the correct shape), packing
+    # windows at bucket parallelism — never a single reducer, never a
+    # nested-loop product
     "corpus_to_manifest": [
-        "BroadcastHashJoin",
         "Generate",
         "Window",
+        "!Exchange SinglePartition",
+        "!BroadcastNestedLoopJoin",
+    ],
+    # revalidation merge: ONE url-keyed left join (the MERGE shuffle a
+    # state transition pays anyway), decisions are codegen CASEs
+    "conditional_fetch": [
+        "Join LeftOuter",
         "!Exchange SinglePartition",
         "!BroadcastNestedLoopJoin",
     ],
