@@ -222,6 +222,7 @@ OPERATOR_KEYS = [
     "host_alias",
     "corpus_to_manifest",
     "conditional_fetch",
+    "cache_freshness",
 ]
 
 

@@ -6683,6 +6683,107 @@ _QUERIES["conditional_fetch"] = q_conditional_fetch
 _ORACLES["conditional_fetch"] = _CONDITIONAL_FETCH_ORACLE
 
 
+_CF_EPOCH = 1_704_067_200  # Mon, 01 Jan 2024 00:00:00 GMT
+
+
+def q_cache_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 freshness lifetime (sources/http.py::cache_freshness)
+    over synthesized response heads cycling through every precedence
+    branch: max-age, s-maxage outranking max-age, `private` overriding a
+    max-age (uncacheable), Expires−Date, the Last-Modified/10 heuristic,
+    and headerless; an Age header debits a quarter of the docs. The
+    Spark side REALLY parses the headers (including the IMF-fixdate →
+    epoch conversion); the oracle derives each branch's expected values
+    arithmetically from doc_id, so any parse defect hash-fails."""
+    from edgar_spark.sources.http import cache_freshness
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    mm = F.lpad((d % 60).cast("string"), 2, "0")
+    base = "HTTP/1.1 200 OK\r\n"
+    date_h = "Date: Mon, 01 Jan 2024 00:00:00 GMT\r\n"
+    age_h = F.when(d % 4 == 0, F.lit("Age: 50\r\n")).otherwise(F.lit(""))
+    variant = (
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit("Cache-Control: max-age="),
+                (d % 1000 + 1).cast("string"),
+                F.lit("\r\n"),
+            ),
+        )
+        .when(
+            d % 6 == 1,
+            F.lit("Cache-Control: s-maxage=600, max-age=3600\r\n"),
+        )
+        .when(d % 6 == 2, F.lit("Cache-Control: private, max-age=3600\r\n"))
+        .when(
+            d % 6 == 3,
+            F.concat(
+                F.lit(date_h + "Expires: Mon, 01 Jan 2024 00:01:"),
+                mm,
+                F.lit(" GMT\r\n"),
+            ),
+        )
+        .when(
+            d % 6 == 4,
+            F.concat(
+                F.lit(date_h + "Last-Modified: Sun, 31 Dec 2023 23:"),
+                mm,
+                F.lit(":00 GMT\r\n"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    raw = F.concat(F.lit(base), age_h, variant, F.lit("\r\n"))
+    heads = docs.select(
+        "doc_id",
+        raw.alias("raw"),
+        (F.lit(_CF_EPOCH + 100) + d).cast("bigint").alias("fetched_at"),
+    )
+    # no orderBy: the comparator sorts rows itself, and the key's plan
+    # should show the operator's true zero-exchange shape
+    return cache_freshness(heads).select(
+        "doc_id", "cacheable", "lifetime_s", "age_s", "fresh_until",
+        "freshness_source",
+    )
+
+
+_CACHE_FRESHNESS_ORACLE = f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(doc_id % 6 AS INT) AS v,
+               CAST(doc_id % 60 AS BIGINT) AS mm,
+               CASE WHEN doc_id % 4 = 0 THEN 50 ELSE 0 END AS age_s,
+               CAST({_CF_EPOCH} + 100 + doc_id AS BIGINT) AS fetched_at
+        FROM documents
+    ), c AS (
+        SELECT doc_id, age_s, fetched_at,
+               CASE v WHEN 0 THEN doc_id % 1000 + 1
+                      WHEN 1 THEN 600
+                      WHEN 3 THEN 60 + mm
+                      WHEN 4 THEN 360 - 6 * mm
+                      ELSE 0 END AS lifetime_s,
+               CASE v WHEN 0 THEN 'cache-control'
+                      WHEN 1 THEN 'cache-control'
+                      WHEN 3 THEN 'expires'
+                      WHEN 4 THEN 'heuristic'
+                      ELSE 'none' END AS freshness_source,
+               v != 2 AS cacheable
+        FROM b
+    )
+    SELECT doc_id, cacheable,
+           CAST(lifetime_s AS BIGINT) AS lifetime_s,
+           CAST(age_s AS BIGINT) AS age_s,
+           CAST(fetched_at + lifetime_s - age_s AS BIGINT) AS fresh_until,
+           freshness_source
+    FROM c ORDER BY doc_id"""
+
+
+_QUERIES["cache_freshness"] = q_cache_freshness
+_ORACLES["cache_freshness"] = _CACHE_FRESHNESS_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

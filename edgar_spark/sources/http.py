@@ -138,3 +138,111 @@ def parse_http_headers(df: DataFrame, raw_col: str = "raw") -> DataFrame:
             ),
         )
     )
+
+
+_HTTP_DATE_FMT = "dd MMM yyyy HH:mm:ss zzz"
+
+
+def _http_date_s(val: Column) -> Column:
+    """IMF-fixdate header value → UTC epoch seconds (bigint, NULL on
+    malformed). Spark's post-3.0 parser refuses ``EEE`` as a PARSE token
+    (day-of-week is format-only), so the ``Mon, `` prefix is stripped by
+    regexp first; the ``zzz`` zone token parses the literal ``GMT``, so
+    the result is session-timezone-independent — the property that lets
+    an engine-independent oracle replay it exactly. ``try_to_timestamp``
+    (not ``unix_timestamp(str, fmt)``) because web-crawl headers WILL be
+    malformed and ANSI mode must yield NULL, not a task failure."""
+    return F.try_to_timestamp(
+        F.regexp_replace(val, r"^[A-Za-z]{3}, ", ""), F.lit(_HTTP_DATE_FMT)
+    ).cast("long")
+
+
+def cache_freshness(
+    df: DataFrame,
+    raw_col: str = "raw",
+    fetched_at_col: str = "fetched_at",
+    heuristic_div: int = 10,
+) -> DataFrame:
+    """RFC 9111 freshness lifetime from response headers — what decides
+    when a stored capture goes stale and `frontier.schedule
+    .conditional_fetch` must revalidate it (the reference never
+    revisits; its corpus is immutable filings).
+
+    Precedence per §4.2.1/§4.2.2, for a shared (crawler) cache:
+
+    * ``Cache-Control: no-store`` / ``no-cache`` / ``private`` →
+      uncacheable (lifetime 0, ``source='none'``);
+    * ``s-maxage=N`` (shared caches outrank max-age), else ``max-age=N``;
+    * else ``Expires − Date`` (clamped at 0; an invalid/past Expires
+      means already stale);
+    * else the §4.2.2 heuristic: ``(Date − Last-Modified) / 10``
+      (``heuristic_div``, integer division);
+    * nothing usable → lifetime 0.
+
+    Adds: ``cacheable`` (bool), ``lifetime_s``/``age_s`` (bigint),
+    ``fresh_until`` (bigint epoch: ``fetched_at + lifetime − age``), and
+    ``freshness_source`` ∈ {'cache-control','expires','heuristic',
+    'none'}. All integer arithmetic over regexp extracts and
+    IMF-fixdate parses — exact in any engine; one per-row projection,
+    zero shuffles.
+    """
+    raw = F.col(raw_col)
+    cc = F.lower(F.coalesce(_header(raw, "cache-control"), F.lit("")))
+    no_cache = (
+        cc.contains("no-store") | cc.contains("no-cache")
+        | cc.contains("private")
+    )
+    s_maxage = F.nullif(
+        F.regexp_extract(cc, r"s-maxage=(\d+)", 1), F.lit("")
+    ).cast("bigint")
+    # leading-boundary alternation, NOT a lookbehind — RE2 engines (the
+    # DuckDB oracle) have no lookbehind, and this must replay exactly
+    max_age = F.nullif(
+        F.regexp_extract(cc, r"(?:^|[ ,])max-age=(\d+)", 1), F.lit("")
+    ).cast("bigint")
+    cc_age = F.coalesce(s_maxage, max_age)
+    date_s = _http_date_s(_header(raw, "date"))
+    expires_s = _http_date_s(_header(raw, "expires"))
+    lm_s = _http_date_s(_header(raw, "last-modified"))
+    age_s = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                F.coalesce(_header(raw, "age"), F.lit("")), r"^(\d+)$", 1
+            ),
+            F.lit(""),
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    lifetime = (
+        F.when(no_cache, F.lit(0).cast("bigint"))
+        .when(cc_age.isNotNull(), cc_age)
+        .when(
+            expires_s.isNotNull() & date_s.isNotNull(),
+            F.greatest(expires_s - date_s, F.lit(0).cast("bigint")),
+        )
+        .when(
+            lm_s.isNotNull() & date_s.isNotNull(),
+            F.greatest(
+                ((date_s - lm_s) / heuristic_div).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    source = (
+        F.when(no_cache, F.lit("none"))
+        .when(cc_age.isNotNull(), F.lit("cache-control"))
+        .when(expires_s.isNotNull() & date_s.isNotNull(), F.lit("expires"))
+        .when(lm_s.isNotNull() & date_s.isNotNull(), F.lit("heuristic"))
+        .otherwise(F.lit("none"))
+    )
+    return (
+        df.withColumn("cacheable", ~no_cache)
+        .withColumn("lifetime_s", lifetime)
+        .withColumn("age_s", age_s)
+        .withColumn(
+            "fresh_until",
+            (F.col(fetched_at_col).cast("bigint") + lifetime - age_s),
+        )
+        .withColumn("freshness_source", source)
+    )

@@ -173,3 +173,42 @@ def test_extract_links_bare_host_dir(spark):
     rows = extract_links(df).collect()
     # empty page path resolves relative links against "/"
     assert rows[0]["dst_url"] == "https://h.com/x.html"
+
+
+def test_cache_freshness_precedence(spark):
+    """RFC 9111 lifetime precedence with explicit heads: s-maxage beats
+    max-age, no-store/private kill cacheability even with a max-age,
+    Expires−Date clamps at zero when already past, the Date−Last-Modified
+    heuristic divides by 10, Age debits fresh_until, and a malformed
+    date leaves the branch unusable (source 'none')."""
+    from edgar_spark.sources.http import cache_freshness
+
+    rows = [
+        (1, "HTTP/1.1 200 OK\r\nCache-Control: max-age=100\r\n\r\n"),
+        (2, "HTTP/1.1 200 OK\r\nCache-Control: s-maxage=7, max-age=100\r\n\r\n"),
+        (3, "HTTP/1.1 200 OK\r\nCache-Control: private, max-age=100\r\n\r\n"),
+        (4, "HTTP/1.1 200 OK\r\nDate: Mon, 01 Jan 2024 00:00:00 GMT\r\n"
+            "Expires: Sun, 31 Dec 2023 00:00:00 GMT\r\n\r\n"),
+        (5, "HTTP/1.1 200 OK\r\nDate: Mon, 01 Jan 2024 00:00:00 GMT\r\n"
+            "Expires: Mon, 01 Jan 2024 00:02:00 GMT\r\n\r\n"),
+        (6, "HTTP/1.1 200 OK\r\nAge: 30\r\nDate: Mon, 01 Jan 2024 01:00:00 GMT\r\n"
+            "Last-Modified: Mon, 01 Jan 2024 00:00:00 GMT\r\n\r\n"),
+        (7, "HTTP/1.1 200 OK\r\nDate: NOT A DATE\r\n"
+            "Expires: Mon, 01 Jan 2024 00:02:00 GMT\r\n\r\n"),
+        (8, "HTTP/1.1 200 OK\r\n\r\n"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw, 1_000_000) for i, raw in rows],
+        "doc_id long, raw string, fetched_at long",
+    )
+    out = {r["doc_id"]: r for r in cache_freshness(df).collect()}
+    assert (out[1]["lifetime_s"], out[1]["freshness_source"]) == (100, "cache-control")
+    assert out[2]["lifetime_s"] == 7
+    assert (out[3]["cacheable"], out[3]["lifetime_s"], out[3]["freshness_source"]) == (False, 0, "none")
+    assert (out[4]["lifetime_s"], out[4]["freshness_source"]) == (0, "expires")
+    assert out[5]["lifetime_s"] == 120
+    r6 = out[6]
+    assert (r6["lifetime_s"], r6["age_s"], r6["freshness_source"]) == (360, 30, "heuristic")
+    assert r6["fresh_until"] == 1_000_000 + 360 - 30
+    assert (out[7]["lifetime_s"], out[7]["freshness_source"]) == (0, "none")
+    assert (out[8]["cacheable"], out[8]["freshness_source"]) == (True, "none")

@@ -240,6 +240,9 @@ AUDITS = {
         "!Exchange SinglePartition",
         "!BroadcastNestedLoopJoin",
     ],
+    # freshness lifetime: pure per-row projection (regexp extracts +
+    # fixdate parses + CASE folds), zero exchanges
+    "cache_freshness": ["Project", "!Exchange", "!Join"],
 }
 
 
