@@ -223,6 +223,7 @@ OPERATOR_KEYS = [
     "corpus_to_manifest",
     "conditional_fetch",
     "cache_freshness",
+    "warc_revisit",
 ]
 
 
@@ -248,7 +249,20 @@ def load_reference_timings() -> tuple:
             data = json.load(fh)
         # the driver wraps the bench JSON line under "parsed"
         inner = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
-        return cands[-1], (inner or {}).get("queries", {}) or {}
+        q = (inner or {}).get("queries", {}) or {}
+        if not q and isinstance(data.get("tail"), str):
+            # the driver's record truncates the bench line once the key
+            # count outgrows its tail buffer ("parsed": null) — recover
+            # whatever per-query pairs survive in the fragment so the
+            # regression gate still sees a reference
+            q = {
+                k: float(v)
+                for k, v in re.findall(
+                    r'"([a-z0-9_]+)":\s*([0-9]+\.?[0-9]*)', data["tail"]
+                )
+                if k not in ("value", "sf", "cpus")
+            }
+        return cands[-1], q
     except (OSError, json.JSONDecodeError):
         return None, {}
 

@@ -6784,6 +6784,77 @@ _QUERIES["cache_freshness"] = q_cache_freshness
 _ORACLES["cache_freshness"] = _CACHE_FRESHNESS_ORACLE
 
 
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC identical-payload-digest dedup (sources/warc.py::
+    revisit_records) over a capture log with three shapes: every doc's
+    original capture, a recrawl of every third doc 5 ticks later (same
+    url, same bytes → same-url revisit), and a mirror-host capture of
+    every fifth doc 3 ticks later (different url, same bytes →
+    CROSS-url revisit, the case the digest-keyed group exists for).
+    Corpus-level duplicate texts fold additionally — the earliest
+    capture of each distinct payload anywhere is the one stored. The
+    oracle replays the digest window verbatim."""
+    from edgar_spark.sources.warc import revisit_records
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    pay = F.coalesce(F.col("text"), F.lit(""))
+    cap1 = docs.select(
+        F.concat(F.lit("https://a.example/p/"), ds).alias("url"),
+        (d * 10).cast("long").alias("ts"),
+        pay.alias("payload"),
+    )
+    cap2 = docs.filter(d % 3 == 0).select(
+        F.concat(F.lit("https://a.example/p/"), ds).alias("url"),
+        (d * 10 + 5).cast("long").alias("ts"),
+        pay.alias("payload"),
+    )
+    cap3 = docs.filter(d % 5 == 0).select(
+        F.concat(F.lit("https://m.example/p/"), ds).alias("url"),
+        (d * 10 + 3).cast("long").alias("ts"),
+        pay.alias("payload"),
+    )
+    return revisit_records(cap1.unionByName(cap2).unionByName(cap3))
+
+
+_WARC_REVISIT_ORACLE = """
+    WITH c AS (
+        SELECT concat('https://a.example/p/', CAST(doc_id AS VARCHAR)) AS url,
+               CAST(doc_id * 10 AS BIGINT) AS ts,
+               coalesce(text, '') AS payload
+        FROM documents
+        UNION ALL
+        SELECT concat('https://a.example/p/', CAST(doc_id AS VARCHAR)),
+               CAST(doc_id * 10 + 5 AS BIGINT), coalesce(text, '')
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT concat('https://m.example/p/', CAST(doc_id AS VARCHAR)),
+               CAST(doc_id * 10 + 3 AS BIGINT), coalesce(text, '')
+        FROM documents WHERE doc_id % 5 = 0
+    ), r AS (
+        SELECT url, ts, payload, md5(payload) AS dig,
+               row_number() OVER (
+                   PARTITION BY md5(payload) ORDER BY ts, url) AS rn,
+               first_value(url) OVER (
+                   PARTITION BY md5(payload) ORDER BY ts, url) AS ru,
+               first_value(ts) OVER (
+                   PARTITION BY md5(payload) ORDER BY ts, url) AS rt
+        FROM c
+    )
+    SELECT url, ts,
+           CASE WHEN rn > 1 THEN 'revisit' ELSE 'response' END AS rec_type,
+           dig AS digest,
+           CASE WHEN rn > 1 THEN ru END AS refers_to_uri,
+           CASE WHEN rn > 1 THEN rt END AS refers_to_ts,
+           CASE WHEN rn = 1 THEN payload END AS payload
+    FROM r"""
+
+
+_QUERIES["warc_revisit"] = q_warc_revisit
+_ORACLES["warc_revisit"] = _WARC_REVISIT_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -36,7 +36,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["encode_warc_entry", "parse_warc_text", "parse_warc", "write_warc"]
+__all__ = [
+    "encode_warc_entry",
+    "parse_warc_text",
+    "parse_warc",
+    "write_warc",
+    "revisit_records",
+    "write_warc_records",
+]
 
 _MAGIC = "WARC/1.0\r\n"
 _SEP = "\r\n\r\n"
@@ -184,3 +191,119 @@ def parse_warc(
             )
 
     return df.select(file_col, data_col).mapInPandas(gen, _WARC_OUT)
+
+
+def revisit_records(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """WARC 1.1 §6.7.2 ``identical-payload-digest`` dedup — the archive-
+    level twin of `frontier.schedule.conditional_fetch`: when a capture's
+    payload digest matches an earlier capture, the archive stores a
+    bodyless *revisit* record pointing at the original instead of the
+    bytes again (how Common Crawl / IA keep recrawl snapshots from
+    storing every unchanged page twice).
+
+    Within each payload-digest group the earliest capture (by ``ts``,
+    ties by url) stays a full ``response``; every later capture becomes
+    a ``revisit`` with ``refers_to_uri``/``refers_to_ts`` naming the
+    original and a NULL payload (the body is not stored). Note the
+    group key is the DIGEST, not the url — identical bytes served from
+    two urls dedup across urls, exactly as the profile allows.
+
+    Output: (url, ts, rec_type, digest, refers_to_uri, refers_to_ts,
+    payload). Plan: ONE window shuffle on the digest key (first-row pick
+    + first_value ride the same partitioning); md5 here stands in for
+    the spec's sha1 under the engine's replayable-hash convention.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("_dig").orderBy(ts_col, url_col)
+    first = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = captures.select(
+        url_col,
+        F.col(ts_col).cast("long").alias(ts_col),
+        payload_col,
+        F.md5(F.col(payload_col)).alias("_dig"),
+    )
+    ranked = base.select(
+        url_col,
+        ts_col,
+        payload_col,
+        "_dig",
+        F.row_number().over(w).alias("_rn"),
+        F.first(url_col).over(first).alias("_ru"),
+        F.first(ts_col).over(first).alias("_rt"),
+    )
+    is_rev = F.col("_rn") > 1
+    return ranked.select(
+        url_col,
+        ts_col,
+        F.when(is_rev, "revisit").otherwise("response").alias("rec_type"),
+        F.col("_dig").alias("digest"),
+        F.when(is_rev, F.col("_ru")).alias("refers_to_uri"),
+        F.when(is_rev, F.col("_rt")).alias("refers_to_ts"),
+        F.when(~is_rev, F.col(payload_col)).alias(payload_col),
+    )
+
+
+def write_warc_records(
+    records: DataFrame,
+    n_files: int = 4,
+    url_col: str = "url",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Render a `revisit_records` table into WARC files — response
+    records with their body, revisit records as the bodyless §6.7.2
+    layout (WARC-Refers-To-Target-URI / WARC-Payload-Digest headers,
+    ``Content-Length: 0``). Same sharding/collect shape as
+    :func:`write_warc` (md5(url) shard, url-sorted within a file, all
+    rendering in codegen); ``parse_warc`` walks the mixed file correctly
+    because the revisit body is exactly 0 octets."""
+    from pyspark.sql import functions as F
+
+    response = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(payload_col).cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col(payload_col),
+        F.lit("\r\n\r\n"),
+    )
+    revisit = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: revisit\r\n"
+            "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+            "identical-payload-digest\r\nWARC-Target-URI: "
+        ),
+        F.col(url_col),
+        F.lit("\r\nWARC-Refers-To-Target-URI: "),
+        F.col("refers_to_uri"),
+        F.lit("\r\nWARC-Refers-To-Date: "),
+        F.col("refers_to_ts").cast("string"),
+        F.lit("\r\nWARC-Payload-Digest: md5:"),
+        F.col("digest"),
+        F.lit("\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
+    )
+    entry = F.when(F.col("rec_type") == "revisit", revisit).otherwise(response)
+    fid = F.pmod(
+        F.conv(F.substring(F.md5(F.col(url_col)), 1, 15), 16, 10).cast("long"),
+        F.lit(n_files),
+    )
+    return (
+        records.select(
+            fid.alias("file_id"),
+            F.struct(F.col(url_col).alias("u"), entry.alias("e")).alias("_s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("_s")), lambda s: s["e"]),
+                "",
+            ).alias("data")
+        )
+    )

@@ -1715,3 +1715,48 @@ def test_suffix_dup_spans_large_min_len(spark):
     assert out[1]["span_start"] == 1 and out[1]["span_len"] == 80
     assert out[2]["span_start"] == 1 and out[2]["span_len"] == 80
     assert 3 not in out and 4 not in out and 5 not in out
+
+
+def test_warc_revisit_records_and_roundtrip(spark):
+    """Revisit dedup semantics on explicit captures (earliest capture of
+    a digest stores the body, later ones — same url or cross-url —
+    become bodyless revisits pointing at it), and the mixed
+    response/revisit file renders into WARC that parse_warc walks
+    correctly (revisit bodies are exactly 0 octets)."""
+    from edgar_spark.sources.warc import (
+        parse_warc,
+        revisit_records,
+        write_warc_records,
+    )
+
+    caps = spark.createDataFrame(
+        [
+            ("u/a", 10, "hello"),
+            ("u/a", 20, "hello"),       # same-url recrawl, unchanged
+            ("u/mirror", 15, "hello"),  # cross-url identical bytes
+            ("u/b", 5, "world"),
+            ("u/c", 30, "unique"),
+        ],
+        "url string, ts long, payload string",
+    )
+    recs = revisit_records(caps)
+    out = {(r["url"], r["ts"]): r for r in recs.collect()}
+    assert out[("u/a", 10)]["rec_type"] == "response"
+    assert out[("u/a", 10)]["payload"] == "hello"
+    r = out[("u/a", 20)]
+    assert (r["rec_type"], r["refers_to_uri"], r["refers_to_ts"],
+            r["payload"]) == ("revisit", "u/a", 10, None)
+    m = out[("u/mirror", 15)]
+    assert (m["rec_type"], m["refers_to_uri"]) == ("revisit", "u/a")
+    assert out[("u/b", 5)]["rec_type"] == "response"
+    assert out[("u/c", 30)]["rec_type"] == "response"
+
+    parsed = parse_warc(write_warc_records(recs, n_files=2)).collect()
+    assert len(parsed) == 5
+    by_uri = {}
+    for p in parsed:
+        by_uri.setdefault(p["target_uri"], []).append(p)
+    lens = sorted(p["content_length"] for p in by_uri["u/a"])
+    assert lens == [0, 5]  # one revisit (bodyless) + one response
+    assert by_uri["u/mirror"][0]["content_length"] == 0
+    assert by_uri["u/b"][0]["payload"] == "world"

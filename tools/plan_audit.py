@@ -243,6 +243,9 @@ AUDITS = {
     # freshness lifetime: pure per-row projection (regexp extracts +
     # fixdate parses + CASE folds), zero exchanges
     "cache_freshness": ["Project", "!Exchange", "!Join"],
+    # revisit dedup: ONE window shuffle on the payload digest (rank +
+    # first_value share the partitioning), union feeds it — no join
+    "warc_revisit": ["Window", "Union", "!Join"],
 }
 
 
