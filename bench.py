@@ -254,12 +254,16 @@ def load_reference_timings() -> tuple:
             # the driver's record truncates the bench line once the key
             # count outgrows its tail buffer ("parsed": null) — recover
             # whatever per-query pairs survive in the fragment so the
-            # regression gate still sees a reference
+            # regression gate still sees a reference. The window is cut
+            # at BOTH ends, so the first and last matches may be clipped
+            # (a clipped key can alias another query, a clipped value
+            # parses as a wrong number) — drop them.
+            pairs = re.findall(
+                r'"([a-z0-9_]+)":\s*([0-9]+\.?[0-9]*)', data["tail"]
+            )[1:-1]
             q = {
                 k: float(v)
-                for k, v in re.findall(
-                    r'"([a-z0-9_]+)":\s*([0-9]+\.?[0-9]*)', data["tail"]
-                )
+                for k, v in pairs
                 if k not in ("value", "sf", "cpus")
             }
         return cands[-1], q

@@ -335,18 +335,23 @@ def conditional_fetch(
 
     One row per response:
 
-    * ``action`` — ``'error'`` (no/4xx/5xx status, or a protocol-violating
-      304 with nothing stored: keep the stored entry), ``'revalidated'``
-      (304: reuse the stored body for free), ``'new'`` (200, nothing
-      stored), ``'unchanged'`` (200 whose body digest equals the stored
-      one — the server ignored our validators but transferred identical
-      bytes; recrawl backoff treats it as unchanged), ``'updated'``
-      (200, different body);
+    * ``action`` — ``'error'`` (no/1xx/4xx/5xx status, or a protocol-
+      violating 304 with nothing stored: keep the stored entry),
+      ``'revalidated'`` (304: reuse the stored body for free),
+      ``'redirect'`` (other 3xx: the entry is NOT content — keep the
+      stored copy untouched and let `graph.resolve_redirects` chase the
+      Location), ``'skipped'`` (2xx with no body digest, e.g. 204: a
+      bodyless success must not erase the stored entry), ``'new'``
+      (content 2xx, nothing stored), ``'unchanged'`` (content 2xx whose
+      body digest equals the stored one — the server ignored our
+      validators but transferred identical bytes; recrawl backoff
+      treats it as unchanged), ``'updated'`` (content 2xx, different
+      body);
     * ``digest``/``etag``/``last_modified`` — the EFFECTIVE entry to
       store back: a 304 keeps the stored digest and lets the 304's
       headers refresh the validators (RFC 9110 §15.4.5 allows metadata
-      updates), an error keeps everything stored, a 200 replaces all
-      three;
+      updates), errors/redirects/bodyless responses keep everything
+      stored, a content 2xx replaces all three;
     * ``sent_if_none_match`` / ``sent_if_modified_since`` — the request
       hints this wave derived from the store (what made the 304
       possible), for per-wave revalidation-rate metrics.
@@ -366,23 +371,34 @@ def conditional_fetch(
     j = responses.join(s, url_col, "left")
     status = F.col("status")
     stored = F.col("_s_digest").isNotNull()
-    err = status.isNull() | (status >= 400) | ((status == 304) & ~stored)
+    err = (
+        status.isNull()
+        | (status < 200)
+        | (status >= 400)
+        | ((status == 304) & ~stored)
+    )
+    redirect = ~err & (status >= 300) & (status != 304)
+    bodyless = ~err & ~redirect & (status != 304) & F.col("digest").isNull()
     action = (
         F.when(err, F.lit("error"))
         .when(status == 304, F.lit("revalidated"))
+        .when(redirect, F.lit("redirect"))
+        .when(bodyless, F.lit("skipped"))
         .when(~stored, F.lit("new"))
         .when(F.col("digest").eqNullSafe(F.col("_s_digest")), F.lit("unchanged"))
         .otherwise(F.lit("updated"))
     )
-    keep_stored = err | (status == 304)
-    digest = F.when(keep_stored, F.col("_s_digest")).otherwise(F.col("digest"))
+    keep = err | redirect | bodyless
+    digest = F.when(keep | (status == 304), F.col("_s_digest")).otherwise(
+        F.col("digest")
+    )
     etag = (
-        F.when(err, F.col("_s_etag"))
+        F.when(keep, F.col("_s_etag"))
         .when(status == 304, F.coalesce(F.col("etag"), F.col("_s_etag")))
         .otherwise(F.col("etag"))
     )
     lm = (
-        F.when(err, F.col("_s_lm"))
+        F.when(keep, F.col("_s_lm"))
         .when(status == 304, F.coalesce(F.col("last_modified"), F.col("_s_lm")))
         .otherwise(F.col("last_modified"))
     )

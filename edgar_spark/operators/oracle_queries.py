@@ -6563,9 +6563,10 @@ def q_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises every branch: 5xx errors (stored entry kept), 304s with a
     stored copy (free reuse, validators optionally refreshed by the
     304's headers), a protocol-violating 304 with nothing stored
-    (error), brand-new 200s, 200s whose body digest matches the store
-    (server ignored our validators), and genuinely updated 200s. The
-    oracle replays the CASE fold with NULL-safe equality."""
+    (error), 302 redirects and bodyless 204s (both keep the stored
+    entry untouched), brand-new 200s, 200s whose body digest matches
+    the store (server ignored our validators), and genuinely updated
+    200s. The oracle replays the CASE fold with NULL-safe equality."""
     from edgar_spark.frontier.schedule import conditional_fetch
 
     docs = _t(spark, sf_dir, "documents")
@@ -6590,6 +6591,8 @@ def q_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = (
         F.when(d % 11 == 0, F.lit(503))
         .when(d % 5 == 0, F.lit(304))
+        .when(d % 13 == 0, F.lit(302))
+        .when(d % 17 == 0, F.lit(204))
         .otherwise(F.lit(200))
     )
     rdigest = F.when(
@@ -6635,48 +6638,58 @@ _CONDITIONAL_FETCH_ORACLE = """
                END AS s_lm,
                tdig AS s_digest
         FROM d WHERE doc_id % 7 != 0
-    ), resp AS (
-        SELECT doc_id, url,
+    ), st AS (
+        SELECT doc_id, url, tdig, tdig2,
                CASE WHEN doc_id % 11 = 0 THEN 503
                     WHEN doc_id % 5 = 0 THEN 304
-                    ELSE 200 END AS status,
-               CASE WHEN doc_id % 11 != 0 AND doc_id % 5 = 0
-                         AND doc_id % 6 = 0
+                    WHEN doc_id % 13 = 0 THEN 302
+                    WHEN doc_id % 17 = 0 THEN 204
+                    ELSE 200 END AS status
+        FROM d
+    ), resp AS (
+        SELECT doc_id, url, status,
+               CASE WHEN status = 304 AND doc_id % 6 = 0
                     THEN concat('W/"r', CAST(doc_id AS VARCHAR), '"')
-                    WHEN doc_id % 11 != 0 AND doc_id % 5 != 0
-                         AND doc_id % 2 = 0
+                    WHEN status = 200 AND doc_id % 2 = 0
                     THEN concat('W/"n', CAST(doc_id AS VARCHAR), '"')
                END AS r_etag,
-               CASE WHEN doc_id % 11 != 0 AND doc_id % 5 != 0
-                    THEN 'Tue, 02 Jan 2024' END AS r_lm,
-               CASE WHEN doc_id % 11 != 0 AND doc_id % 5 != 0
+               CASE WHEN status = 200 THEN 'Tue, 02 Jan 2024' END AS r_lm,
+               CASE WHEN status = 200
                     THEN CASE WHEN doc_id % 4 = 1 THEN tdig2 ELSE tdig END
                END AS r_digest
-        FROM d
+        FROM st
     ), j AS (
         SELECT r.url, r.status, r.r_etag, r.r_lm, r.r_digest,
                s.s_etag, s.s_lm, s.s_digest,
-               (r.status IS NULL OR r.status >= 400
+               (r.status IS NULL OR r.status < 200 OR r.status >= 400
                 OR (r.status = 304 AND s.s_digest IS NULL)) AS err
         FROM resp r LEFT JOIN store s USING (url)
+    ), k AS (
+        SELECT *,
+               (NOT err AND status >= 300 AND status != 304) AS redirect,
+               (NOT err AND NOT (status >= 300 AND status != 304)
+                AND status != 304 AND r_digest IS NULL) AS bodyless
+        FROM j
     )
     SELECT url,
            CASE WHEN err THEN 'error'
                 WHEN status = 304 THEN 'revalidated'
+                WHEN redirect THEN 'redirect'
+                WHEN bodyless THEN 'skipped'
                 WHEN s_digest IS NULL THEN 'new'
                 WHEN r_digest IS NOT DISTINCT FROM s_digest THEN 'unchanged'
                 ELSE 'updated' END AS action,
-           CASE WHEN err OR status = 304 THEN s_digest
-                ELSE r_digest END AS digest,
-           CASE WHEN err THEN s_etag
+           CASE WHEN err OR redirect OR bodyless OR status = 304
+                THEN s_digest ELSE r_digest END AS digest,
+           CASE WHEN err OR redirect OR bodyless THEN s_etag
                 WHEN status = 304 THEN coalesce(r_etag, s_etag)
                 ELSE r_etag END AS etag,
-           CASE WHEN err THEN s_lm
+           CASE WHEN err OR redirect OR bodyless THEN s_lm
                 WHEN status = 304 THEN coalesce(r_lm, s_lm)
                 ELSE r_lm END AS last_modified,
            s_etag IS NOT NULL AS sent_if_none_match,
            (s_etag IS NULL AND s_lm IS NOT NULL) AS sent_if_modified_since
-    FROM j ORDER BY url"""
+    FROM k ORDER BY url"""
 
 
 _QUERIES["conditional_fetch"] = q_conditional_fetch

@@ -172,19 +172,26 @@ def cache_freshness(
 
     * ``Cache-Control: no-store`` / ``no-cache`` / ``private`` →
       uncacheable (lifetime 0, ``source='none'``);
-    * ``s-maxage=N`` (shared caches outrank max-age), else ``max-age=N``;
-    * else ``Expires − Date`` (clamped at 0; an invalid/past Expires
-      means already stale);
+    * ``s-maxage=N`` (shared caches outrank max-age), else ``max-age=N``
+      — numeric values longer than 18 digits (crawl junk that would
+      overflow or ANSI-crash a bigint cast) clamp to a one-year cap,
+      the safe side (revalidate sooner than a bogus eternity);
+    * else, when an ``Expires`` header is PRESENT: ``Expires − Date``
+      clamped at 0 — and an unparsable Expires (``Expires: 0``, the
+      common do-not-cache idiom) means **already stale** per §5.3, it
+      does NOT fall through to the heuristic;
     * else the §4.2.2 heuristic: ``(Date − Last-Modified) / 10``
       (``heuristic_div``, integer division);
     * nothing usable → lifetime 0.
 
     Adds: ``cacheable`` (bool), ``lifetime_s``/``age_s`` (bigint),
-    ``fresh_until`` (bigint epoch: ``fetched_at + lifetime − age``), and
-    ``freshness_source`` ∈ {'cache-control','expires','heuristic',
+    ``fresh_until`` (bigint epoch: ``fetched_at + lifetime − age``;
+    an 18+-digit ``Age`` clamps HIGH so the entry reads as long-stale),
+    and ``freshness_source`` ∈ {'cache-control','expires','heuristic',
     'none'}. All integer arithmetic over regexp extracts and
-    IMF-fixdate parses — exact in any engine; one per-row projection,
-    zero shuffles.
+    IMF-fixdate parses — exact in any engine, and every cast is
+    length-guarded so hostile headers yield clamped values, never an
+    ANSI task failure; one per-row projection, zero shuffles.
     """
     raw = F.col(raw_col)
     cc = F.lower(F.coalesce(_header(raw, "cache-control"), F.lit("")))
@@ -192,33 +199,59 @@ def cache_freshness(
         cc.contains("no-store") | cc.contains("no-cache")
         | cc.contains("private")
     )
-    s_maxage = F.nullif(
-        F.regexp_extract(cc, r"s-maxage=(\d+)", 1), F.lit("")
-    ).cast("bigint")
+    year = F.lit(31_536_000).cast("bigint")
+
+    def _digits(col: Column, absurd: Column) -> Column:
+        """Digit string → bigint; >18 digits would ANSI-crash or overflow
+        the cast, so clamp to ``absurd`` (direction chosen per field).
+        NULL stays NULL — a bare when/otherwise would send the NULL
+        branch to the clamp."""
+        return F.when(
+            col.isNotNull() & (F.length(col) <= 18), col.cast("bigint")
+        ).when(col.isNotNull(), absurd)
+
+    s_maxage = _digits(
+        F.nullif(F.regexp_extract(cc, r"s-maxage=(\d+)", 1), F.lit("")),
+        year,
+    )
     # leading-boundary alternation, NOT a lookbehind — RE2 engines (the
     # DuckDB oracle) have no lookbehind, and this must replay exactly
-    max_age = F.nullif(
-        F.regexp_extract(cc, r"(?:^|[ ,])max-age=(\d+)", 1), F.lit("")
-    ).cast("bigint")
+    max_age = _digits(
+        F.nullif(
+            F.regexp_extract(cc, r"(?:^|[ ,])max-age=(\d+)", 1), F.lit("")
+        ),
+        year,
+    )
     cc_age = F.coalesce(s_maxage, max_age)
     date_s = _http_date_s(_header(raw, "date"))
     expires_s = _http_date_s(_header(raw, "expires"))
     lm_s = _http_date_s(_header(raw, "last-modified"))
+    has_expires = _header(raw, "expires").isNotNull()
     age_s = F.coalesce(
-        F.nullif(
-            F.regexp_extract(
-                F.coalesce(_header(raw, "age"), F.lit("")), r"^(\d+)$", 1
+        _digits(
+            F.nullif(
+                F.regexp_extract(
+                    F.coalesce(_header(raw, "age"), F.lit("")), r"^(\d+)$", 1
+                ),
+                F.lit(""),
             ),
-            F.lit(""),
-        ).cast("bigint"),
+            # an absurd Age errs STALE: clamp high (still overflow-safe
+            # in fetched_at + lifetime - age, all < 2^63)
+            F.lit(10**18).cast("bigint"),
+        ),
         F.lit(0).cast("bigint"),
     )
     lifetime = (
         F.when(no_cache, F.lit(0).cast("bigint"))
         .when(cc_age.isNotNull(), cc_age)
         .when(
-            expires_s.isNotNull() & date_s.isNotNull(),
-            F.greatest(expires_s - date_s, F.lit(0).cast("bigint")),
+            has_expires,
+            # present-but-unparsable (or Date-less) Expires = already
+            # past (§5.3); never falls through to the heuristic
+            F.when(
+                expires_s.isNotNull() & date_s.isNotNull(),
+                F.greatest(expires_s - date_s, F.lit(0).cast("bigint")),
+            ).otherwise(F.lit(0).cast("bigint")),
         )
         .when(
             lm_s.isNotNull() & date_s.isNotNull(),
@@ -232,7 +265,7 @@ def cache_freshness(
     source = (
         F.when(no_cache, F.lit("none"))
         .when(cc_age.isNotNull(), F.lit("cache-control"))
-        .when(expires_s.isNotNull() & date_s.isNotNull(), F.lit("expires"))
+        .when(has_expires, F.lit("expires"))
         .when(lm_s.isNotNull() & date_s.isNotNull(), F.lit("heuristic"))
         .otherwise(F.lit("none"))
     )

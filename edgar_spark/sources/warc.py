@@ -136,9 +136,17 @@ def write_warc(
     which is also what keeps the collect_list bounded). Roundtrip
     ``parse_warc(write_warc(pages))`` is the identity on (url, payload)
     — the ``warc_roundtrip`` driver key pins it value-exactly."""
+    return _pack_warc(df, _response_entry(url_col, payload_col),
+                      n_files, url_col)
+
+
+def _response_entry(url_col: str, payload_col: str):
+    """The response-record render Column — ONE definition shared by
+    ``write_warc`` and ``write_warc_records`` so the framing (the thing
+    the octet-length fix touched) cannot diverge between writers."""
     from pyspark.sql import functions as F
 
-    entry = F.concat(
+    return F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
         F.col(url_col),
         F.lit("\r\nContent-Length: "),
@@ -147,6 +155,13 @@ def write_warc(
         F.col(payload_col),
         F.lit("\r\n\r\n"),
     )
+
+
+def _pack_warc(df: DataFrame, entry, n_files: int, url_col: str) -> DataFrame:
+    """Shared shard-and-pack stage: md5(url) shard id, url-sorted records
+    within a file, one collect_list shuffle. Output (file_id, data)."""
+    from pyspark.sql import functions as F
+
     fid = F.pmod(
         F.conv(F.substring(F.md5(F.col(url_col)), 1, 15), 16, 10).cast("long"),
         F.lit(n_files),
@@ -217,13 +232,20 @@ def revisit_records(
     payload). Plan: ONE window shuffle on the digest key (first-row pick
     + first_value ride the same partitioning); md5 here stands in for
     the spec's sha1 under the engine's replayable-hash convention.
+
+    Bodyless captures (NULL payload — fetch failures) are EXCLUDED:
+    md5(NULL) is NULL and a NULL digest group would mark arbitrary
+    failed captures as revisits of each other (and render as NULL
+    entries that array_join silently drops). Failures are not archive
+    records — route them through `frontier.schedule.failure_backoff` /
+    `conditional_fetch` instead.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     w = Window.partitionBy("_dig").orderBy(ts_col, url_col)
     first = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base = captures.select(
+    base = captures.filter(F.col(payload_col).isNotNull()).select(
         url_col,
         F.col(ts_col).cast("long").alias(ts_col),
         payload_col,
@@ -265,15 +287,7 @@ def write_warc_records(
     because the revisit body is exactly 0 octets."""
     from pyspark.sql import functions as F
 
-    response = F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
-        F.col(url_col),
-        F.lit("\r\nContent-Length: "),
-        F.octet_length(payload_col).cast("string"),
-        F.lit("\r\n\r\n"),
-        F.col(payload_col),
-        F.lit("\r\n\r\n"),
-    )
+    response = _response_entry(url_col, payload_col)
     revisit = F.concat(
         F.lit(
             "WARC/1.0\r\nWARC-Type: revisit\r\n"
@@ -290,20 +304,4 @@ def write_warc_records(
         F.lit("\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
     )
     entry = F.when(F.col("rec_type") == "revisit", revisit).otherwise(response)
-    fid = F.pmod(
-        F.conv(F.substring(F.md5(F.col(url_col)), 1, 15), 16, 10).cast("long"),
-        F.lit(n_files),
-    )
-    return (
-        records.select(
-            fid.alias("file_id"),
-            F.struct(F.col(url_col).alias("u"), entry.alias("e")).alias("_s"),
-        )
-        .groupBy("file_id")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list("_s")), lambda s: s["e"]),
-                "",
-            ).alias("data")
-        )
-    )
+    return _pack_warc(records, entry, n_files, url_col)

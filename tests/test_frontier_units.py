@@ -911,9 +911,10 @@ def test_conditional_fetch_actions(spark):
     """Every RFC 9110 revalidation branch, with explicit rows: 304 reuse
     (validators refreshed by the 304's headers when present, kept
     otherwise), error keeps the stored entry untouched, a 304 for a
-    never-stored URL is a protocol error, 200s split new / unchanged /
-    updated by stored digest, and the sent_* request-hint flags derive
-    from the STORE side only."""
+    never-stored URL is a protocol error, redirects (3xx) and bodyless
+    2xxs keep the stored entry instead of erasing it, 200s split new /
+    unchanged / updated by stored digest, and the sent_* request-hint
+    flags derive from the STORE side only."""
     from edgar_spark.frontier.schedule import conditional_fetch
 
     store = spark.createDataFrame(
@@ -923,6 +924,8 @@ def test_conditional_fetch_actions(spark):
             ("u/err", None, "Tue", "d3"),
             ("u/same", 'W/"c"', None, "d4"),
             ("u/diff", None, None, "d5"),
+            ("u/moved", 'W/"m"', "Sat", "d7"),
+            ("u/nobody", None, "Sun", "d8"),
         ],
         "url string, etag string, last_modified string, digest string",
     )
@@ -935,6 +938,9 @@ def test_conditional_fetch_actions(spark):
             ("u/diff", 200, None, None, "d5x"),
             ("u/new", 200, 'W/"n"', "Fri", "d6"),
             ("u/bad304", 304, None, None, None),
+            ("u/moved", 302, None, None, None),
+            ("u/nobody", 204, None, None, None),
+            ("u/moved-new", 307, None, None, None),
         ],
         "url string, status int, etag string, last_modified string, "
         "digest string",
@@ -962,3 +968,14 @@ def test_conditional_fetch_actions(spark):
     assert not r["sent_if_none_match"] and not r["sent_if_modified_since"]
     assert out["u/bad304"]["action"] == "error"
     assert out["u/bad304"]["digest"] is None
+    # a redirect is NOT content: the stored entry survives untouched
+    r = out["u/moved"]
+    assert (r["action"], r["digest"], r["etag"], r["last_modified"]) == (
+        "redirect", "d7", 'W/"m"', "Sat")
+    # bodyless 2xx (204): stored entry survives, action 'skipped'
+    r = out["u/nobody"]
+    assert (r["action"], r["digest"], r["last_modified"]) == (
+        "skipped", "d8", "Sun")
+    # redirect with nothing stored: nothing to keep, still 'redirect'
+    r = out["u/moved-new"]
+    assert (r["action"], r["digest"]) == ("redirect", None)

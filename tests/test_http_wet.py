@@ -178,9 +178,10 @@ def test_extract_links_bare_host_dir(spark):
 def test_cache_freshness_precedence(spark):
     """RFC 9111 lifetime precedence with explicit heads: s-maxage beats
     max-age, no-store/private kill cacheability even with a max-age,
-    Expires−Date clamps at zero when already past, the Date−Last-Modified
-    heuristic divides by 10, Age debits fresh_until, and a malformed
-    date leaves the branch unusable (source 'none')."""
+    Expires−Date clamps at zero when already past, a PRESENT but
+    unparsable Expires means already-stale (never the heuristic), the
+    Date−Last-Modified heuristic divides by 10, Age debits fresh_until,
+    and absurd-length numerics clamp instead of ANSI-crashing."""
     from edgar_spark.sources.http import cache_freshness
 
     rows = [
@@ -196,6 +197,13 @@ def test_cache_freshness_precedence(spark):
         (7, "HTTP/1.1 200 OK\r\nDate: NOT A DATE\r\n"
             "Expires: Mon, 01 Jan 2024 00:02:00 GMT\r\n\r\n"),
         (8, "HTTP/1.1 200 OK\r\n\r\n"),
+        (9, "HTTP/1.1 200 OK\r\nExpires: 0\r\n"
+            "Date: Mon, 01 Jan 2024 01:00:00 GMT\r\n"
+            "Last-Modified: Mon, 01 Jan 2024 00:00:00 GMT\r\n\r\n"),
+        (10, "HTTP/1.1 200 OK\r\n"
+             "Cache-Control: max-age=99999999999999999999\r\n\r\n"),
+        (11, "HTTP/1.1 200 OK\r\nAge: 99999999999999999999\r\n"
+             "Cache-Control: max-age=60\r\n\r\n"),
     ]
     df = spark.createDataFrame(
         [(i, raw, 1_000_000) for i, raw in rows],
@@ -210,5 +218,16 @@ def test_cache_freshness_precedence(spark):
     r6 = out[6]
     assert (r6["lifetime_s"], r6["age_s"], r6["freshness_source"]) == (360, 30, "heuristic")
     assert r6["fresh_until"] == 1_000_000 + 360 - 30
-    assert (out[7]["lifetime_s"], out[7]["freshness_source"]) == (0, "none")
+    # Expires PRESENT but Date unusable: already stale via the expires
+    # branch — never falls through to 'none' or the heuristic
+    assert (out[7]["lifetime_s"], out[7]["freshness_source"]) == (0, "expires")
     assert (out[8]["cacheable"], out[8]["freshness_source"]) == (True, "none")
+    # 'Expires: 0' (the do-not-cache idiom) = past per RFC 9111 §5.3 —
+    # must NOT fall to the Last-Modified heuristic
+    assert (out[9]["lifetime_s"], out[9]["freshness_source"]) == (0, "expires")
+    # 20-digit max-age: no ANSI crash, clamps to the one-year cap
+    assert (out[10]["lifetime_s"], out[10]["freshness_source"]) == (
+        31_536_000, "cache-control")
+    # 20-digit Age: clamps HIGH so the entry reads long-stale
+    assert out[11]["lifetime_s"] == 60
+    assert out[11]["fresh_until"] < 0

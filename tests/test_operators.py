@@ -1736,10 +1736,13 @@ def test_warc_revisit_records_and_roundtrip(spark):
             ("u/mirror", 15, "hello"),  # cross-url identical bytes
             ("u/b", 5, "world"),
             ("u/c", 30, "unique"),
+            ("u/fail", 7, None),   # bodyless fetch failure: excluded
+            ("u/fail2", 8, None),  # must NOT become a revisit of u/fail
         ],
         "url string, ts long, payload string",
     )
     recs = revisit_records(caps)
+    assert recs.filter("url like 'u/fail%'").count() == 0
     out = {(r["url"], r["ts"]): r for r in recs.collect()}
     assert out[("u/a", 10)]["rec_type"] == "response"
     assert out[("u/a", 10)]["payload"] == "hello"
