@@ -224,6 +224,7 @@ OPERATOR_KEYS = [
     "conditional_fetch",
     "cache_freshness",
     "warc_revisit",
+    "frontier_priority",
 ]
 
 

@@ -6868,6 +6868,145 @@ _QUERIES["warc_revisit"] = q_warc_revisit
 _ORACLES["warc_revisit"] = _WARC_REVISIT_ORACLE
 
 
+_FP_HOSTS = 16
+_FP_MAPS = ((3, 1), (5, 2))  # affine host-graph out-link maps
+_FP_ITER = 3
+
+
+def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-aware wave selection — the composition that closes the
+    loop from link-graph signals back into the crawl scheduler: the
+    REAL integer ``pagerank`` operator runs over a deterministic
+    16-host graph (affine out-link maps), hosts in the top authority
+    quartile earn 4 wave slots instead of 2, and each host's pending
+    URLs (one per document, ordered shallow-first then by url — the
+    standard frontier tiebreak) fill its slots. Output: the selected
+    wave with (url, hid, rank_scaled, depth, slot).
+
+    The authority table is model-sized (16 rows — its ranking window is
+    driver-trivial at any corpus scale); the frontier side pays ONE
+    host-partitioned window, the same shuffle the politeness selector
+    already pays. Oracle: the host PageRank unrolled per round + the
+    quartile CASE + the per-host row_number, all exact integers."""
+    from pyspark.sql import Window
+
+    from edgar_spark.operators.graph import pagerank
+
+    hosts = spark.range(_FP_HOSTS).select(F.col("id").alias("hid"))
+    edges = hosts.select(
+        F.col("hid").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("hid") * k + c) % _FP_HOSTS).alias(f"_m{k}")
+                    for k, c in _FP_MAPS
+                ]
+            )
+        ).alias("dst"),
+    )
+    auth = pagerank(
+        hosts,
+        edges,
+        id_col="hid",
+        n_iter=_FP_ITER,
+        scale=_PR_SCALE,
+        damping_pct=_PR_DAMP,
+    )
+    arank = auth.withColumn(
+        "tokens",
+        F.when(
+            F.row_number().over(
+                Window.orderBy(F.col("rank_scaled").desc(), F.col("hid"))
+            )
+            <= _FP_HOSTS // 4,
+            F.lit(4),
+        ).otherwise(F.lit(2)),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            (d % _FP_HOSTS).cast("string"),
+            F.lit(".example/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        (d % _FP_HOSTS).alias("hid"),
+        (d % 7).alias("depth"),
+    )
+    joined = frontier.join(F.broadcast(arank), "hid")
+    slot = F.row_number().over(
+        Window.partitionBy("hid").orderBy("depth", "url")
+    )
+    return (
+        joined.withColumn("slot", slot)
+        .filter(F.col("slot") <= F.col("tokens"))
+        .select("url", "hid", "rank_scaled", "depth", "slot")
+    )
+
+
+def _frontier_priority_oracle_sql() -> str:
+    links = "\n            UNION ALL ".join(
+        f"SELECT hid AS src, (hid*{k}+{c}) % {_FP_HOSTS} AS dst FROM v"
+        for k, c in _FP_MAPS
+    )
+    parts = [
+        f"""
+        WITH v AS (SELECT unnest(range({_FP_HOSTS})) AS hid),
+        params AS (
+            SELECT {_PR_SCALE} // {_FP_HOSTS} AS init,
+                   ((100 - {_PR_DAMP}) * ({_PR_SCALE} // {_FP_HOSTS})) // 100
+                       AS base
+        ),
+        e0 AS (
+            {links}
+        ),
+        outdeg AS (SELECT src, count(*) AS od FROM e0 GROUP BY src),
+        e AS (SELECT e0.src, e0.dst, outdeg.od FROM e0 JOIN outdeg USING (src)),
+        r0 AS (SELECT hid, (SELECT init FROM params) AS rank FROM v)"""
+    ]
+    for i in range(_FP_ITER):
+        parts.append(f"""
+        , r{i + 1} AS (
+            SELECT v.hid,
+                   (SELECT base FROM params)
+                   + ({_PR_DAMP} * coalesce(s.m, 0)) // 100 AS rank
+            FROM v LEFT JOIN (
+                SELECT e.dst AS hid, sum(r{i}.rank // e.od) AS m
+                FROM e JOIN r{i} ON e.src = r{i}.hid
+                GROUP BY e.dst
+            ) s USING (hid)
+        )""")
+    parts.append(f"""
+        , auth AS (
+            SELECT hid, CAST(rank AS BIGINT) AS rank_scaled,
+                   CASE WHEN row_number() OVER (
+                            ORDER BY rank DESC, hid) <= {_FP_HOSTS // 4}
+                        THEN 4 ELSE 2 END AS tokens
+            FROM r{_FP_ITER}
+        ), fr AS (
+            SELECT concat('https://h', CAST(doc_id % {_FP_HOSTS} AS VARCHAR),
+                          '.example/p/', CAST(doc_id AS VARCHAR)) AS url,
+                   doc_id % {_FP_HOSTS} AS hid,
+                   doc_id % 7 AS depth
+            FROM documents
+        ), sel AS (
+            SELECT fr.url, fr.hid, a.rank_scaled, fr.depth, a.tokens,
+                   row_number() OVER (
+                       PARTITION BY fr.hid ORDER BY fr.depth, fr.url
+                   ) AS slot
+            FROM fr JOIN auth a USING (hid)
+        )
+        SELECT url, CAST(hid AS BIGINT) AS hid, rank_scaled,
+               CAST(depth AS BIGINT) AS depth, CAST(slot AS BIGINT) AS slot
+        FROM sel WHERE slot <= tokens""")
+    return "".join(parts)
+
+
+_QUERIES["frontier_priority"] = q_frontier_priority
+_ORACLES["frontier_priority"] = _frontier_priority_oracle_sql()
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -979,3 +979,29 @@ def test_conditional_fetch_actions(spark):
     # redirect with nothing stored: nothing to keep, still 'redirect'
     r = out["u/moved-new"]
     assert (r["action"], r["digest"]) == ("redirect", None)
+
+
+def test_frontier_priority_slots(spark):
+    """Authority-aware wave selection invariants at sf0.001: exactly the
+    top-quartile hosts carry 4 slots (others 2), every host's selected
+    URLs are its shallowest (depth-then-url order), and slot numbers are
+    contiguous from 1."""
+    from edgar_spark.operators.oracle_queries import (
+        _FP_HOSTS,
+        q_frontier_priority,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_frontier_priority(spark, SF_SMOKE).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["hid"], []).append(r)
+    counts = sorted(len(v) for v in by_host.values())
+    assert counts.count(4) == _FP_HOSTS // 4
+    assert set(counts) <= {2, 4}
+    for hid, rs in by_host.items():
+        rs.sort(key=lambda r: r["slot"])
+        assert [r["slot"] for r in rs] == list(range(1, len(rs) + 1))
+        # shallow-first: selected depths are a non-decreasing prefix
+        assert [r["depth"] for r in rs] == sorted(r["depth"] for r in rs)
+        assert len({r["rank_scaled"] for r in rs}) == 1

@@ -246,6 +246,13 @@ AUDITS = {
     # revisit dedup: ONE window shuffle on the payload digest (rank +
     # first_value share the partitioning), union feeds it — no join
     "warc_revisit": ["Window", "Union", "!Join"],
+    # authority-aware wave selection: the 16-row authority table
+    # broadcasts to the frontier (the forced BroadcastHashJoin below);
+    # the frontier pays one host-partitioned window (the politeness
+    # selector's shuffle). The pagerank rounds' internal joins run over
+    # the 16-row host graph — AQE converts those to broadcasts at
+    # runtime, so no !SMJ assertion on the initial plan
+    "frontier_priority": ["BroadcastHashJoin", "Window"],
 }
 
 
