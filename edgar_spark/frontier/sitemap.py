@@ -48,14 +48,37 @@ def parse_sitemap_index(
     ).filter(F.col("sitemap_url") != "")
 
 
+# sitemaps.org <changefreq> value -> revisit-interval seed (seconds);
+# 'always' = 0 (every wave), 'never' maps to NULL (archived URL — the
+# recrawl scheduler should not revisit on a timer at all)
+CHANGEFREQ_SECONDS = {
+    "always": 0,
+    "hourly": 3_600,
+    "daily": 86_400,
+    "weekly": 604_800,
+    "monthly": 2_592_000,
+    "yearly": 31_536_000,
+}
+
+
 def parse_sitemaps(
     df: DataFrame, xml_col: str = "xml", host_col: str = "host"
 ) -> DataFrame:
-    """Explode sitemap XML documents into (host, loc, lastmod) URL rows.
+    """Explode sitemap XML documents into (host, loc, lastmod, priority,
+    changefreq, changefreq_s) URL rows.
 
     ``lastmod`` is NULL when the entry omits it (it is optional in the
     protocol). Entries without a ``<loc>`` are dropped — a sitemap entry
     with no URL schedules nothing. Input rows with NULL xml yield no rows.
+
+    ``priority`` is the protocol's [0.0, 1.0] crawl-priority hint as a
+    double — present-but-invalid values (anything not matching
+    ``0.x``/``1.0``-shaped digits) become NULL rather than an ANSI cast
+    failure. ``changefreq`` is the lowercased hint token; ``changefreq_s``
+    maps it through :data:`CHANGEFREQ_SECONDS` as the revisit-interval
+    SEED the recrawl scheduler starts from before observation-driven
+    backoff (`frontier.schedule.recrawl_schedule`) takes over —
+    ``never`` and unknown tokens map to NULL (no timer).
 
     All patterns carry ``(?s)`` so ``.*?`` crosses newlines: real-world
     sitemaps are pretty-printed with line breaks between tags, and a
@@ -76,8 +99,30 @@ def parse_sitemaps(
     lastmod = F.regexp_extract(
         F.col("_entry"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
     )
+    prio_raw = F.regexp_extract(
+        F.col("_entry"), r"(?s)<priority>\s*(.*?)\s*</priority>", 1
+    )
+    # validate the numeric shape BEFORE casting: ANSI mode would fail the
+    # task on junk like <priority>high</priority>
+    priority = F.when(
+        prio_raw.rlike(r"^(0(\.[0-9]+)?|1(\.0+)?)$"), prio_raw.cast("double")
+    )
+    changefreq = F.nullif(
+        F.lower(
+            F.regexp_extract(
+                F.col("_entry"), r"(?s)<changefreq>\s*(.*?)\s*</changefreq>", 1
+            )
+        ),
+        F.lit(""),
+    )
+    freq_map = F.create_map(
+        *[F.lit(x) for kv in sorted(CHANGEFREQ_SECONDS.items()) for x in kv]
+    )
     return entries.select(
         host_col,
         loc.alias("loc"),
         F.nullif(lastmod, F.lit("")).alias("lastmod"),
+        priority.alias("priority"),
+        changefreq.alias("changefreq"),
+        freq_map[changefreq].cast("bigint").alias("changefreq_s"),
     ).filter(F.col("loc") != "")

@@ -4015,26 +4015,57 @@ _ORACLES["crawl_budget"] = _BUDGET_ORACLE
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip sitemap ingestion: one PRETTY-PRINTED sitemap XML
     document per source (entries in doc_id order, newline-separated tags
-    exactly like real-world sitemaps; every 5th doc omits <lastmod>) is
-    parsed back into (host, loc, lastmod) frontier rows by pure-JVM
-    (?s)-flagged regexp extraction (frontier/sitemap.parse_sitemaps)."""
+    exactly like real-world sitemaps; every 5th doc omits <lastmod>,
+    every third carries a <priority> — one in nine of those an INVALID
+    token that must parse to NULL, not an ANSI failure — and three of
+    four carry a <changefreq> cycling through every protocol token plus
+    a mixed-case and an unknown one) parsed back into (host, loc,
+    lastmod, priority, changefreq, changefreq_s) frontier rows by
+    pure-JVM (?s)-flagged regexp extraction
+    (frontier/sitemap.parse_sitemaps)."""
     from edgar_spark.frontier.sitemap import parse_sitemaps
 
+    d = F.col("doc_id")
     docs = _t(spark, sf_dir, "documents")
+    prio_val = (
+        F.when(d % 9 == 3, F.lit("high"))
+        .when(d % 30 == 0, F.lit("1.0"))
+        .otherwise(F.concat(F.lit("0."), (d % 10).cast("string")))
+    )
+    freq_tok = F.when(d % 8 == 5, F.lit("sometimes")).otherwise(
+        F.element_at(
+            F.array(
+                *[F.lit(t) for t in
+                  ("always", "hourly", "Daily", "weekly",
+                   "monthly", "yearly", "never")]
+            ),
+            (d % 7 + 1).cast("int"),
+        )
+    )
     entry = F.concat(
         F.lit("<url>\n  <loc>\n    https://"),
         F.col("source"),
         F.lit(".example.com/doc/"),
-        F.col("doc_id").cast("string"),
+        d.cast("string"),
         F.lit("\n  </loc>\n"),
         F.when(
-            F.col("doc_id") % 5 != 0,
+            d % 5 != 0,
             F.concat(
                 F.lit("  <lastmod>2024-"),
-                F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+                F.lpad((d % 12 + 1).cast("string"), 2, "0"),
                 F.lit("-"),
-                F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+                F.lpad((d % 28 + 1).cast("string"), 2, "0"),
                 F.lit("</lastmod>\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("  <priority>"), prio_val, F.lit("</priority>\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 != 1,
+            F.concat(
+                F.lit("  <changefreq> "), freq_tok, F.lit(" </changefreq>\n")
             ),
         ).otherwise(F.lit("")),
         F.lit("</url>\n"),
@@ -4055,7 +4086,13 @@ def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemaps(sitemaps).orderBy("host", "loc")
 
 
-_SITEMAP_ORACLE = """
+def _sitemap_oracle_sql() -> str:
+    from edgar_spark.frontier.sitemap import CHANGEFREQ_SECONDS
+
+    freq_case = " ".join(
+        f"WHEN '{t}' THEN {s}" for t, s in sorted(CHANGEFREQ_SECONDS.items())
+    )
+    return f"""
     WITH e AS (
         SELECT source AS host, doc_id,
                concat('<url>', chr(10), '  <loc>', chr(10),
@@ -4067,7 +4104,24 @@ _SITEMAP_ORACLE = """
                                  '-',
                                  lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
                                  '</lastmod>', chr(10))
-                      ELSE '' END, '</url>', chr(10)) AS entry
+                      ELSE '' END,
+                      CASE WHEN doc_id % 3 = 0 THEN
+                          concat('  <priority>',
+                                 CASE WHEN doc_id % 9 = 3 THEN 'high'
+                                      WHEN doc_id % 30 = 0 THEN '1.0'
+                                      ELSE concat('0.',
+                                          CAST(doc_id % 10 AS VARCHAR))
+                                 END, '</priority>', chr(10))
+                      ELSE '' END,
+                      CASE WHEN doc_id % 4 <> 1 THEN
+                          concat('  <changefreq> ',
+                                 CASE WHEN doc_id % 8 = 5 THEN 'sometimes'
+                                      ELSE ['always','hourly','Daily',
+                                            'weekly','monthly','yearly',
+                                            'never'][CAST(doc_id % 7 AS INT) + 1]
+                                 END, ' </changefreq>', chr(10))
+                      ELSE '' END,
+                      '</url>', chr(10)) AS entry
         FROM documents
     ), sm AS (
         SELECT host, string_agg(entry, '' ORDER BY doc_id) AS xml
@@ -4076,14 +4130,30 @@ _SITEMAP_ORACLE = """
         SELECT host, unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1))
                    AS b
         FROM sm
+    ), fields AS (
+        SELECT host,
+               regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
+               nullif(regexp_extract(b,
+                   '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod,
+               regexp_extract(b,
+                   '(?s)<priority>\\s*(.*?)\\s*</priority>', 1) AS praw,
+               nullif(lower(regexp_extract(b,
+                   '(?s)<changefreq>\\s*(.*?)\\s*</changefreq>', 1)), '')
+                   AS changefreq
+        FROM blocks
     )
-    SELECT host,
-           regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
-           nullif(regexp_extract(b, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1),
-                  '') AS lastmod
-    FROM blocks
-    WHERE regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) <> ''
+    SELECT host, loc, lastmod,
+           CASE WHEN regexp_matches(praw,
+                    '^(0(\\.[0-9]+)?|1(\\.0+)?)$')
+                THEN CAST(praw AS DOUBLE) END AS priority,
+           changefreq,
+           CAST(CASE changefreq {freq_case} END AS BIGINT) AS changefreq_s
+    FROM fields
+    WHERE loc <> ''
     ORDER BY host, loc"""
+
+
+_SITEMAP_ORACLE = _sitemap_oracle_sql()
 
 _QUERIES["sitemap_extract"] = q_sitemap_extract
 _ORACLES["sitemap_extract"] = _SITEMAP_ORACLE

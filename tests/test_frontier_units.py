@@ -696,21 +696,34 @@ def test_parse_sitemaps(spark):
 
     xml = (
         "<urlset>"
-        "<url><loc>https://a.com/1</loc><lastmod>2024-01-02</lastmod></url>"
+        "<url><loc>https://a.com/1</loc><lastmod>2024-01-02</lastmod>"
+        "<priority>0.8</priority><changefreq>Daily</changefreq></url>"
         "<url><loc>https://a.com/2</loc></url>"        # optional lastmod
         "<url><lastmod>2024-03-04</lastmod></url>"      # no loc -> dropped
+        "<url><loc>https://a.com/3</loc><priority>high</priority>"
+        "<changefreq>sometimes</changefreq></url>"      # invalid hints
+        "<url><loc>https://a.com/4</loc>"
+        "<changefreq>never</changefreq></url>"
         "</urlset>"
     )
     df = spark.createDataFrame(
         [("a.com", xml), ("b.com", "<urlset></urlset>"), ("c.com", None)],
         ["host", "xml"],
     )
-    out = [(r["host"], r["loc"], r["lastmod"])
-           for r in parse_sitemaps(df).orderBy("loc").collect()]
+    rows = parse_sitemaps(df).orderBy("loc").collect()
+    out = [(r["host"], r["loc"], r["lastmod"]) for r in rows]
     assert out == [
         ("a.com", "https://a.com/1", "2024-01-02"),
         ("a.com", "https://a.com/2", None),
+        ("a.com", "https://a.com/3", None),
+        ("a.com", "https://a.com/4", None),
     ]
+    hints = [(r["priority"], r["changefreq"], r["changefreq_s"])
+             for r in rows]
+    assert hints[0] == (0.8, "daily", 86_400)     # mixed-case token folds
+    assert hints[1] == (None, None, None)
+    assert hints[2] == (None, "sometimes", None)  # junk: NULL, no crash
+    assert hints[3] == (None, "never", None)      # never = no timer
 
 
 def test_trap_hosts(spark):
