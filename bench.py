@@ -225,6 +225,7 @@ OPERATOR_KEYS = [
     "cache_freshness",
     "warc_revisit",
     "frontier_priority",
+    "mm_mjpeg_stats",
 ]
 
 

