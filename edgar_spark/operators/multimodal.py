@@ -2,13 +2,15 @@
 columns with typed metadata.
 
 The Spark-side machinery (schemas, Arrow batch shapes, partition-friendly
-UDF signatures) is real and tested. Decode is REAL for the four formats
+UDF signatures) is real and tested. Decode is REAL for the formats
 decodable with stdlib ``struct``/``zlib`` + numpy alone — uncompressed
 24/32-bpp BMP, 8-bit gray/RGB/RGBA PNG (all five scanline filters),
 JPEG — baseline sequential AND progressive SOF2, gray/4:4:4/4:2:0
-(``operators/jpeg.py``) — and 16-bit PCM WAV. The remaining honest
-``NotImplementedError`` boundary is H.264 video; swap ``decode_image``
-for PIL/torchvision on a real cluster if that matters.
+(``operators/jpeg.py``) — 16-bit PCM WAV, and MJPEG video in RIFF/AVI
+(container walk + per-frame JPEG decode, below). The remaining honest
+``NotImplementedError`` boundary is H.264 video (an AVI carrying an
+H264 fccHandler raises it as a typed error); swap ``decode_image`` for
+PIL/torchvision on a real cluster if that matters.
 """
 
 from __future__ import annotations
