@@ -637,7 +637,8 @@ def encode_avi_mjpeg(
     frames: "list[bytes]", width: int, height: int, fps: int = 10
 ) -> bytes:
     """Minimal spec-shaped AVI container around MJPEG frames: RIFF('AVI '
-    LIST(hdrl avih LIST(strl strh strf)) LIST(movi 00dc…)). Motion JPEG
+    LIST(hdrl avih LIST(strl strh strf)) LIST(movi 00dc…) idx1), with the
+    idx1 index chunk backing the AVIF_HASINDEX flag. Motion JPEG
     is the web's lowest-common-denominator video codec (every frame is a
     standalone JFIF image — operators/jpeg.py decodes them for real),
     which makes it the one video format this environment can encode AND
@@ -671,10 +672,22 @@ def encode_avi_mjpeg(
             b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
         ),
     )
-    movi = _riff_list(
-        b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    chunks, offsets, off = [], [], 4  # offsets relative to 'movi' fourcc
+    for f in frames:
+        chunks.append(_riff_chunk(b"00dc", f))
+        offsets.append(off)
+        off += len(chunks[-1])
+    movi = _riff_list(b"movi", b"".join(chunks))
+    # idx1 backs the AVIF_HASINDEX flag set in avih: one 16-byte
+    # AVIINDEXENTRY per frame (every MJPEG frame is a keyframe, 0x10).
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, o, len(f))
+            for o, f in zip(offsets, frames)
+        ),
     )
-    body = b"AVI " + hdrl + movi
+    body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -702,15 +715,21 @@ def _riff_walk(payload: bytes, pos: int, end: int):
 
 def parse_avi_mjpeg(payload: bytes) -> "list[bytes]":
     """RIFF/AVI walk → the list of MJPEG frame payloads (each a complete
-    JFIF stream for ``jpeg.decode_jpeg``). The stream header's fccHandler
-    is checked: anything but MJPG (e.g. an H.264 AVI) raises the module's
-    declared ``NotImplementedError`` codec boundary, a typed error —
-    never silently-wrong frames. Structural damage raises ValueError."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+    JFIF stream for ``jpeg.decode_jpeg``). Streams are numbered by their
+    ``strl`` position in ``hdrl``; the FIRST ``vids`` stream whose
+    fccHandler is MJPG is decoded (so audio-first files — video chunks
+    ``01dc`` — and files with a second non-MJPG video track both work),
+    and its ``{nn}dc``/``{nn}db`` chunks are collected from ``movi``
+    including inside classic ``rec `` interleave LISTs. If video streams
+    exist but none is MJPG, the module's declared ``NotImplementedError``
+    codec boundary is raised (typed error — never silently-wrong
+    frames). Structural damage raises ValueError."""
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     end = min(8 + struct.unpack("<I", payload[4:8])[0], len(payload))
-    handler = None
-    frames: list[bytes] = []
+    vids: "list[tuple[int, bytes]]" = []  # (stream index, fccHandler)
+    movi_spans: "list[tuple[int, int]]" = []
+    stream_idx = 0
     for fourcc, ltype, start, size in _riff_walk(payload, 12, end):
         if fourcc == b"LIST" and ltype == b"hdrl":
             for f2, l2, s2, z2 in _riff_walk(payload, start, start + size):
@@ -718,19 +737,33 @@ def parse_avi_mjpeg(payload: bytes) -> "list[bytes]":
                     for f3, _l3, s3, z3 in _riff_walk(payload, s2, s2 + z2):
                         if f3 == b"strh" and z3 >= 8:
                             if payload[s3 : s3 + 4] == b"vids":
-                                handler = payload[s3 + 4 : s3 + 8]
+                                vids.append(
+                                    (stream_idx, payload[s3 + 4 : s3 + 8])
+                                )
+                    stream_idx += 1
         elif fourcc == b"LIST" and ltype == b"movi":
-            for f2, _l2, s2, z2 in _riff_walk(payload, start, start + size):
-                if f2 in (b"00dc", b"00db"):
-                    frames.append(payload[s2 : s2 + z2])
-    if handler is None:
+            movi_spans.append((start, size))
+    if not vids:
         raise ValueError("AVI: no video stream header")
-    if handler.upper() != b"MJPG":
+    mjpg = [(i, h) for i, h in vids if h.upper() == b"MJPG"]
+    if not mjpg:
         raise NotImplementedError(
             "AVI video codec %r: only MJPG decodable without codec "
             "libraries in this environment (H.264 is the declared stub)"
-            % handler
+            % vids[0][1]
         )
+    want = {b"%02ddc" % mjpg[0][0], b"%02ddb" % mjpg[0][0]}
+    frames: "list[bytes]" = []
+
+    def collect(pos: int, limit: int) -> None:
+        for f2, l2, s2, z2 in _riff_walk(payload, pos, limit):
+            if f2 == b"LIST" and l2 == b"rec ":
+                collect(s2, s2 + z2)
+            elif f2 in want:
+                frames.append(payload[s2 : s2 + z2])
+
+    for start, size in movi_spans:
+        collect(start, start + size)
     return frames
 
 

@@ -1784,11 +1784,14 @@ def test_avi_mjpeg_container_and_stats(spark):
          for v in (50, 130, 222)]
     # force an odd-length frame so the pad path really runs
     odd = next((x for x in f if len(x) % 2 == 1), None)
+    assert odd is not None, [len(x) % 2 for x in f]
     avi = encode_avi_mjpeg(f, 24, 16)
     back = parse_avi_mjpeg(avi)
-    assert back == f, (odd is not None, [len(x) % 2 for x in f])
+    assert back == f, [len(x) % 2 for x in f]
     assert [int(round(float(decode_jpeg(x).mean()))) for x in back] == [
         50, 130, 222]
+
+    import struct as _struct
 
     import pytest as _pytest
 
@@ -1797,8 +1800,63 @@ def test_avi_mjpeg_container_and_stats(spark):
     with _pytest.raises(ValueError):
         parse_avi_mjpeg(avi[: len(avi) // 2])
 
+    # the AVIF_HASINDEX flag is backed by a real idx1: one 16-byte
+    # keyframe entry per frame, offsets pointing at each 00dc fourcc
+    from edgar_spark.operators.multimodal import _riff_chunk, _riff_list
+
+    assert avi.count(b"idx1") == 1
+    i1 = avi.index(b"idx1")
+    entries = avi[i1 + 8 : i1 + 8 + _struct.unpack("<I", avi[i1 + 4 : i1 + 8])[0]]
+    assert len(entries) == 16 * 3
+    movi_at = avi.index(b"movi")
+    for k in range(3):
+        cc, flags, off, sz = _struct.unpack("<4sIII", entries[16 * k : 16 * k + 16])
+        assert (cc, flags, sz) == (b"00dc", 0x10, len(f[k]))
+        assert avi[movi_at + off : movi_at + off + 4] == b"00dc"
+
+    # audio-first layout: video is stream 1 (01dc), frames inside a
+    # classic 'rec ' interleave LIST plus one at movi top level
+    hdrl2 = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", b"\x00" * 56)
+        + _riff_list(b"strl", _riff_chunk(b"strh", b"auds" + b"\x00" * 52))
+        + _riff_list(
+            b"strl", _riff_chunk(b"strh", b"vids" + b"MJPG" + b"\x00" * 48)
+        ),
+    )
+    movi2 = _riff_list(
+        b"movi",
+        _riff_list(
+            b"rec ",
+            _riff_chunk(b"00wb", b"\x00\x00") + _riff_chunk(b"01dc", f[0]),
+        )
+        + _riff_chunk(b"01dc", f[1]),
+    )
+    body2 = b"AVI " + hdrl2 + movi2
+    avi2 = b"RIFF" + _struct.pack("<I", len(body2)) + body2
+    assert parse_avi_mjpeg(avi2) == [f[0], f[1]]
+
+    # MJPG stream 0 + a second non-MJPG video track: stream 0 decodes,
+    # the foreign track's chunks are ignored (no NotImplementedError)
+    hdrl3 = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", b"\x00" * 56)
+        + _riff_list(
+            b"strl", _riff_chunk(b"strh", b"vids" + b"MJPG" + b"\x00" * 48)
+        )
+        + _riff_list(
+            b"strl", _riff_chunk(b"strh", b"vids" + b"H264" + b"\x00" * 48)
+        ),
+    )
+    movi3 = _riff_list(
+        b"movi", _riff_chunk(b"00dc", f[2]) + _riff_chunk(b"01dc", b"xx")
+    )
+    body3 = b"AVI " + hdrl3 + movi3
+    avi3 = b"RIFF" + _struct.pack("<I", len(body3)) + body3
+    assert parse_avi_mjpeg(avi3) == [f[2]]
+
     df = spark.createDataFrame(
-        [(1, bytearray(avi)), (2, bytearray(b"RIFFjunk"))],
+        [(1, bytearray(avi)), (2, bytearray(b"RIFFjunk")), (3, None)],
         "media_id long, payload binary",
     )
     rows = {r["media_id"]: r for r in
@@ -1807,3 +1865,4 @@ def test_avi_mjpeg_container_and_stats(spark):
     assert (r["n_frames"], r["width"], r["height"]) == (3, 24, 16)
     assert abs(r["mean_all"] - (50 + 130 + 222) / 3) < 1e-6
     assert rows[2]["n_frames"] is None
+    assert rows[3]["n_frames"] is None  # NULL payload = poisoned, not fatal
