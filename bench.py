@@ -226,6 +226,9 @@ OPERATOR_KEYS = [
     "warc_revisit",
     "frontier_priority",
     "mm_mjpeg_stats",
+    "charset_decode",
+    "registered_domain",
+    "nfc_normalize",
 ]
 
 

@@ -87,6 +87,53 @@ def fold_host(host: Column, aliases: "dict[str, str] | None" = None) -> Column:
     return h
 
 
+# Embedded public-suffix subset (seeded from the public PSL,
+# publicsuffix.org — the canonical public dataset every crawler ships a
+# snapshot of). Deliberately small and documented: common gTLDs/ccTLDs,
+# the frequent 2-label registry suffixes, and a few 3-label private
+# registries; everything else is covered by the PSL's implicit ``*``
+# rule (an unknown last label acts as the public suffix).
+_PSL_2 = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "ltd.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au",
+    "com.br", "net.br", "com.cn", "net.cn", "gov.cn", "com.mx",
+    "co.in", "co.kr", "co.za", "com.sg", "com.tw",
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "appspot.com", "cloudfront.net",
+)
+_PSL_3 = ("s3.amazonaws.com", "compute.amazonaws.com", "k12.ma.us")
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 (registered domain) under the embedded public-suffix
+    subset — the site-level politeness identity real crawlers budget
+    by. ``fold_host`` collapses EXPLICIT aliases of one origin;
+    ``registered_domain`` collapses sibling subdomains of one SITE
+    (``a.example.co.uk`` and ``b.example.co.uk`` → ``example.co.uk``),
+    the right key when per-site (not per-origin) crawl budgets, host
+    graphs, or dedup scopes are wanted.
+
+    Longest-match PSL semantics: the longest trailing label group in
+    the suffix set is the public suffix; the registered domain is that
+    suffix plus one preceding label. A host that IS a public suffix
+    yields NULL (nothing is registered under it yet). Unknown TLDs use
+    the PSL's implicit ``*`` rule — the last label acts as the suffix,
+    so ``x.unknowntld`` → ``x.unknowntld``. Everything is anchored
+    ``regexp_extract`` + literal ``IN`` over the lowered host — pure
+    codegen projections, shuffle-free, replayed verbatim in DuckDB by
+    the ``registered_domain`` driver key."""
+    h = F.regexp_extract(F.lower(host), r"^([^:]*)", 1)  # strip :port
+    t2 = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    t3 = F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    t4 = F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$", 1)
+    return (
+        F.when(t3.isin(*_PSL_3), F.nullif(t4, F.lit("")))
+        .when(t2.isin(*_PSL_2), F.nullif(t3, F.lit("")))
+        .otherwise(F.nullif(t2, F.lit("")))
+    )
+
+
 def politeness_bucket(
     url: Column, n_buckets: int, hash_fn: str = "xxhash64"
 ) -> Column:

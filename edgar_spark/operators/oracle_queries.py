@@ -7146,6 +7146,190 @@ _QUERIES["mm_mjpeg_stats"] = q_mm_mjpeg_stats
 _ORACLES["mm_mjpeg_stats"] = _MM_MJPEG_STATS_ORACLE
 
 
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte→text charset decoding (parse/charset.decode_html) over a
+    deterministic mixed-encoding page corpus: each document's html bytes
+    are encoded per doc_id%5 as (0) UTF-8 with a <meta charset>, (1)
+    cp1252 with an http-equiv meta and a '€' that latin-1 cannot
+    represent, (2) UTF-16LE with BOM plus a CONFLICTING transport header
+    the BOM must override, (3) UTF-8 with BOM, (4) latin-1 labeled only
+    by the transport header. The oracle reconstructs the exact expected
+    text and codec label analytically — a precedence bug (transport over
+    BOM, meta missed, wrong codec alias) or any byte-level decode drift
+    hash-fails."""
+    from edgar_spark.parse.charset import decode_html
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads, trs = [], [], []
+            for t in pdf.itertuples(index=False):
+                prefix = (t.text or "")[:40]
+                m = int(t.doc_id) % 5
+                if m == 0:
+                    body = (
+                        '<html><head><meta charset="utf-8"></head><body>'
+                        + prefix + " é № ✓</body></html>"
+                    )
+                    p, tr = body.encode("utf-8"), None
+                elif m == 1:
+                    body = (
+                        '<html><head><meta http-equiv="Content-Type" '
+                        'content="text/html; charset=windows-1252">'
+                        "</head><body>" + prefix + " € é Æ</body></html>"
+                    )
+                    p, tr = body.encode("cp1252"), None
+                elif m == 2:
+                    body = "<html><body>" + prefix + " é № ✓</body></html>"
+                    p = b"\xff\xfe" + body.encode("utf-16-le")
+                    tr = "windows-1252"  # BOM must win over transport
+                elif m == 3:
+                    body = "<html><body>" + prefix + " é № ✓</body></html>"
+                    p, tr = b"\xef\xbb\xbf" + body.encode("utf-8"), None
+                else:
+                    body = "<html><body>" + prefix + " é ± Æ</body></html>"
+                    p, tr = body.encode("latin-1"), "ISO-8859-1"
+                ids.append(t.doc_id)
+                payloads.append(p)
+                trs.append(tr)
+            yield pd.DataFrame(
+                {"doc_id": ids, "html": payloads, "transport": trs}
+            )
+
+    pages = docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, html binary, transport string"
+    )
+    return decode_html(pages, transport_col="transport")
+
+
+_CHARSET_DECODE_ORACLE = """
+    SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'utf-8'
+               WHEN 1 THEN 'cp1252'
+               WHEN 2 THEN 'utf-16'
+               WHEN 3 THEN 'utf-8-sig'
+               ELSE 'latin-1'
+           END AS charset_used,
+           CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN '<html><head><meta charset="utf-8"></head><body>'
+                           || left(text, 40) || ' é № ✓</body></html>'
+               WHEN 1 THEN '<html><head><meta http-equiv="Content-Type" '
+                           || 'content="text/html; charset=windows-1252">'
+                           || '</head><body>' || left(text, 40)
+                           || ' € é Æ</body></html>'
+               WHEN 2 THEN '<html><body>' || left(text, 40)
+                           || ' é № ✓</body></html>'
+               WHEN 3 THEN '<html><body>' || left(text, 40)
+                           || ' é № ✓</body></html>'
+               ELSE '<html><body>' || left(text, 40)
+                    || ' é ± Æ</body></html>'
+           END AS text
+    FROM documents"""
+
+
+_QUERIES["charset_decode"] = q_charset_decode
+_ORACLES["charset_decode"] = _CHARSET_DECODE_ORACLE
+
+
+def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction (frontier/canonical.registered_domain) over
+    deterministic hosts covering every PSL rule class: a 2-label
+    registry suffix under a www subdomain (and mixed case), a plain
+    gTLD with two subdomain levels, a private-registry suffix
+    (github.io), an unknown TLD (the PSL implicit '*' rule), a host
+    that IS a public suffix (NULL), and a 3-label suffix with a :port
+    to strip. The oracle derives the expected registered domain
+    analytically — independent of the regexp chain, so a longest-match
+    or label-boundary bug hash-fails."""
+    from edgar_spark.frontier.canonical import registered_domain
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = (
+        F.when(d % 6 == 0, F.concat(F.lit("WWW.site"), ds, F.lit(".co.uk")))
+        .when(d % 6 == 1, F.concat(F.lit("a.b.site"), ds, F.lit(".com")))
+        .when(d % 6 == 2, F.concat(F.lit("host"), ds, F.lit(".github.io")))
+        .when(d % 6 == 3, F.concat(F.lit("sub.x"), ds, F.lit(".unknowntld")))
+        .when(d % 6 == 4, F.lit("co.uk"))
+        .otherwise(
+            F.concat(F.lit("b"), ds, F.lit(".s3.amazonaws.com:8080"))
+        )
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", host.alias("host"))
+        .withColumn("reg_domain", registered_domain(F.col("host")))
+    )
+
+
+_REGISTERED_DOMAIN_ORACLE = """
+    SELECT doc_id,
+           CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'WWW.site' || CAST(doc_id AS VARCHAR) || '.co.uk'
+               WHEN 1 THEN 'a.b.site' || CAST(doc_id AS VARCHAR) || '.com'
+               WHEN 2 THEN 'host' || CAST(doc_id AS VARCHAR) || '.github.io'
+               WHEN 3 THEN 'sub.x' || CAST(doc_id AS VARCHAR)
+                           || '.unknowntld'
+               WHEN 4 THEN 'co.uk'
+               ELSE 'b' || CAST(doc_id AS VARCHAR) || '.s3.amazonaws.com:8080'
+           END AS host,
+           CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'site' || CAST(doc_id AS VARCHAR) || '.co.uk'
+               WHEN 1 THEN 'site' || CAST(doc_id AS VARCHAR) || '.com'
+               WHEN 2 THEN 'host' || CAST(doc_id AS VARCHAR) || '.github.io'
+               WHEN 3 THEN 'x' || CAST(doc_id AS VARCHAR) || '.unknowntld'
+               WHEN 4 THEN NULL
+               ELSE 'b' || CAST(doc_id AS VARCHAR) || '.s3.amazonaws.com'
+           END AS reg_domain
+    FROM documents"""
+
+
+_QUERIES["registered_domain"] = q_registered_domain
+_ORACLES["registered_domain"] = _REGISTERED_DOMAIN_ORACLE
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (parse/charset.nfc_normalize): input
+    text salted with decomposed combining sequences ('e'+U+0301,
+    'A'+U+030A) that NFC must compose to 'é'/'Å'. The oracle rebuilds
+    the identical decomposed input with chr() and replays DuckDB's own
+    nfc_normalize — two independent UAX #15 implementations (Python
+    unicodedata vs utf8proc) must agree codepoint-for-codepoint."""
+    from edgar_spark.parse.charset import nfc_normalize
+
+    raw = F.concat(
+        F.lit("Cafe"),
+        F.lit("́"),  # combining acute (chr(769) in the oracle)
+        F.lit(" "),
+        F.substring("text", 1, 40),
+        F.lit(" A"),
+        F.lit("̊"),  # combining ring (chr(778) in the oracle)
+    )
+    return nfc_normalize(
+        _t(spark, sf_dir, "documents").select("doc_id", raw.alias("text"))
+    )
+
+
+_NFC_NORMALIZE_ORACLE = """
+    WITH raw AS (
+        SELECT doc_id,
+               'Cafe' || chr(769) || ' ' || left(text, 40) || ' A'
+                      || chr(778) AS text
+        FROM documents
+    )
+    SELECT doc_id, text, nfc_normalize(text) AS norm_text,
+           nfc_normalize(text) <> text AS changed
+    FROM raw"""
+
+
+_QUERIES["nfc_normalize"] = q_nfc_normalize
+_ORACLES["nfc_normalize"] = _NFC_NORMALIZE_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -137,3 +137,110 @@ def test_extract_meta_fields(spark):
     assert (r2["noindex"], r2["nofollow"]) == (False, False)
 
     assert (rows[3]["noindex"], rows[3]["nofollow"]) == (False, False)
+
+
+def test_sniff_charset_precedence():
+    """BOM > transport > meta > utf-8, unknown labels fall through, the
+    meta prescan stops at 1024 bytes."""
+    from edgar_spark.parse.charset import decode_bytes, sniff_charset
+
+    # BOMs are authoritative — even over a conflicting transport label
+    assert sniff_charset(b"\xef\xbb\xbfhi", "windows-1252") == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfeh\x00", "windows-1252") == "utf-16"
+    assert sniff_charset(b"\xfe\xff\x00h", None) == "utf-16"
+    # transport beats meta
+    assert (
+        sniff_charset(b'<meta charset="utf-8">', "ISO-8859-1") == "latin-1"
+    )
+    # quoted / spaced / http-equiv meta forms all hit
+    assert sniff_charset(b"<meta charset = 'Windows-1252'>") == "cp1252"
+    assert (
+        sniff_charset(
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=UTF-16LE">'
+        )
+        == "utf-16-le"
+    )
+    # unknown labels fall through: bogus transport -> meta; bogus meta
+    # -> utf-8 default
+    assert sniff_charset(b'<meta charset="utf-8">', "klingon-8") == "utf-8"
+    assert sniff_charset(b'<meta charset="klingon-8">x') == "utf-8"
+    assert sniff_charset(b"plain bytes") == "utf-8"
+    # prescan window: a meta past byte 1024 is not seen
+    late = b" " * 1025 + b'<meta charset="windows-1252">'
+    assert sniff_charset(late) == "utf-8"
+    # decode posture: mojibake replaces, NULL passes through
+    codec, text = decode_bytes(b"ok \xff\xfe\xfa garbage")  # invalid utf-8
+    assert codec == "utf-8" and "�" in text and text.startswith("ok ")
+    assert decode_bytes(None) == (None, None)
+    # utf-16 BOM is consumed, not leaked into the text
+    codec, text = decode_bytes(b"\xff\xfe" + "héllo".encode("utf-16-le"))
+    assert (codec, text) == ("utf-16", "héllo")
+
+
+def test_decode_html_mixed_corpus(spark):
+    from edgar_spark.parse.charset import decode_html
+
+    rows_in = [
+        (1, bytearray("père €".encode("cp1252")), "windows-1252"),
+        (2, bytearray(b"\xef\xbb\xbf" + "№✓".encode("utf-8")), None),
+        (3, None, "utf-8"),  # NULL payload -> NULL row, not a task kill
+    ]
+    df = spark.createDataFrame(
+        rows_in, "doc_id long, html binary, transport string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decode_html(df, transport_col="transport").collect()
+    }
+    assert (got[1]["charset_used"], got[1]["text"]) == ("cp1252", "père €")
+    assert (got[2]["charset_used"], got[2]["text"]) == ("utf-8-sig", "№✓")
+    assert (got[3]["charset_used"], got[3]["text"]) == (None, None)
+
+
+def test_registered_domain_psl_rules(spark):
+    from edgar_spark.frontier.canonical import registered_domain
+
+    hosts = [
+        "WWW.Example.CO.UK",          # case + www are just labels
+        "a.b.deep.example.com",       # gTLD, multiple subdomains
+        "user-site.github.io",        # private registry suffix
+        "sub.host.unknowntld",        # implicit '*' rule
+        "co.uk",                      # IS a public suffix -> NULL
+        "github.io",                  # private suffix itself -> NULL
+        "bucket.s3.amazonaws.com:443",  # 3-label suffix + port strip
+        "com",                        # bare TLD -> NULL
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"host": hosts}))
+    got = [
+        r["d"]
+        for r in df.select(
+            registered_domain(F.col("host")).alias("d")
+        ).collect()
+    ]
+    assert got == [
+        "example.co.uk",
+        "example.com",
+        "user-site.github.io",
+        "host.unknowntld",
+        None,
+        None,
+        "bucket.s3.amazonaws.com",
+        None,
+    ]
+
+
+def test_nfc_normalize_composes(spark):
+    from edgar_spark.parse.charset import nfc_normalize
+
+    # unambiguous escapes: decomposed combining marks in, NFC-composed out
+    decomposed = "Cafe\u0301 A\u030a"
+    composed = "Caf\u00e9 \u00c5"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, "plain ascii"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in nfc_normalize(df).collect()}
+    assert got[1]["norm_text"] == composed and got[1]["changed"]
+    assert got[2]["norm_text"] == "plain ascii" and not got[2]["changed"]
+    assert got[3]["norm_text"] is None and got[3]["changed"] is None
