@@ -256,6 +256,13 @@ AUDITS = {
     # MJPEG video: container walk + per-frame JPEG decode in one Arrow
     # pass — no shuffle, no join
     "mm_mjpeg_stats": ["MapInPandas", "!Join", "!HashAggregate"],
+    # charset decode: synth-page gen + sniff/decode are two fused Arrow
+    # passes over the scan — zero shuffle end to end
+    "charset_decode": ["MapInPandas", "!Exchange", "!Join", "!HashAggregate"],
+    # eTLD+1: pure codegen projection (regexp + literal IN), no PSL join
+    "registered_domain": ["Project", "Scan parquet", "!Exchange", "!Join"],
+    # NFC: one Arrow-batched pandas UDF eval, map-only
+    "nfc_normalize": ["ArrowEvalPython", "!Exchange", "!Join"],
 }
 
 
