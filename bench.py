@@ -229,6 +229,8 @@ OPERATOR_KEYS = [
     "charset_decode",
     "registered_domain",
     "nfc_normalize",
+    "follow_links",
+    "soft404_detect",
 ]
 
 

@@ -7330,6 +7330,190 @@ _QUERIES["nfc_normalize"] = q_nfc_normalize
 _ORACLES["nfc_normalize"] = _NFC_NORMALIZE_ORACLE
 
 
+def q_follow_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REP-aware outlink extraction (parse/wet.extract_links with
+    nofollow_aware=True): every page carries four anchors — a clean
+    absolute link, a double-quoted rel="nofollow" link, a single-quoted
+    rel='external nofollow' directory-relative link, and a
+    rel="nofollower" word-boundary trap that must NOT gate — and pages
+    with doc_id%4==0 additionally carry a robots-meta nofollow that
+    must flag ALL their links. The oracle derives (dst, anchor,
+    nofollow) analytically per anchor class — the rel regex, the
+    word-boundary, the meta propagation, and the resolution chain are
+    all independently checked."""
+    from edgar_spark.parse.wet import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/a/b/page"),
+        did, F.lit(".html"),
+    )
+    meta = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit('<meta name="robots" content="noindex,nofollow">'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>"),
+        F.lit('<a href="https://ok.example.com/a?id='), did,
+        F.lit('">good</a>'),
+        F.lit('<a rel="nofollow" href="/blocked/'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">sponsored</a>'),
+        F.lit("<a href='rel"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".html' rel='external nofollow'>ugc</a>"),
+        F.lit('<a rel="nofollower" href="/notblocked/'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('">near miss</a>'),
+        F.lit("</body></html>"),
+    )
+    return extract_links(
+        docs.select(url.alias("url"), html.alias("html")),
+        nofollow_aware=True,
+    ).orderBy("src", "dst_url")
+
+
+_FOLLOW_LINKS_ORACLE = """
+    WITH p AS (
+        SELECT doc_id, source, (doc_id % 4 = 0) AS pnf,
+               'https://' || source || '.example.com/a/b/page'
+                   || CAST(doc_id AS VARCHAR) || '.html' AS src,
+               'https://' || source || '.example.com' AS hostbase,
+               'https://' || source || '.example.com/a/b/' AS dirbase
+        FROM documents
+    )
+    SELECT src,
+           'https://ok.example.com/a?id=' || CAST(doc_id AS VARCHAR)
+               AS dst_url,
+           'good' AS anchor, pnf AS nofollow
+    FROM p
+    UNION ALL
+    SELECT src, hostbase || '/blocked/' || CAST(doc_id % 7 AS VARCHAR),
+           'sponsored', TRUE
+    FROM p
+    UNION ALL
+    SELECT src, dirbase || 'rel' || CAST(doc_id % 3 AS VARCHAR) || '.html',
+           'ugc', TRUE
+    FROM p
+    UNION ALL
+    SELECT src, hostbase || '/notblocked/' || CAST(doc_id % 5 AS VARCHAR),
+           'near miss', pnf
+    FROM p
+    ORDER BY src, dst_url"""
+
+
+_QUERIES["follow_links"] = q_follow_links
+_ORACLES["follow_links"] = _FOLLOW_LINKS_ORACLE
+
+
+def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (sources/http.soft404) over a synthetic fetch
+    wave exercising every branch: a clean long 200 page, a 200 with a
+    '404 Not Found' title, a 200 whose body says 'Page not found'
+    inside the scan window, a 200 stub under the tiny threshold, and a
+    HARD 404 (status routing, never flagged). The oracle replays the
+    identical RE2-safe regex/CASE chain in DuckDB."""
+    from edgar_spark.sources.http import soft404
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    did = d.cast("string")
+    pad = F.repeat(F.lit("lorem ipsum dolor "), 20)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p"), did
+    )
+    status = F.when(d % 5 == 4, F.lit(404)).otherwise(F.lit(200))
+    html = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("<html><head><title>Document "), did,
+                F.lit("</title></head><body>"), F.col("text"), pad,
+                F.lit("</body></html>"),
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("<html><head><title>404 Not Found</title></head>"
+                      "<body>"),
+                pad, F.lit("</body></html>"),
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit("<html><head><title>Document "), did,
+                F.lit("</title></head><body>Sorry, Page not found. "),
+                pad, F.lit("</body></html>"),
+            ),
+        )
+        .when(d % 5 == 3, F.lit("<html><body>gone</body></html>"))
+        .otherwise(
+            F.concat(
+                F.lit("<html><head><title>404 Not Found</title></head>"
+                      "<body>hard 404</body></html>"),
+            )
+        )
+    )
+    return soft404(
+        docs.select(
+            "doc_id", url.alias("url"), status.alias("status"),
+            html.alias("html"),
+        )
+    ).select("doc_id", "url", "status", "soft404", "soft404_reason")
+
+
+_SOFT404_ORACLE = """
+    WITH w AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/p'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 5 = 4 THEN 404 ELSE 200 END AS status,
+               CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN '<html><head><title>Document '
+                        || CAST(doc_id AS VARCHAR)
+                        || '</title></head><body>' || text
+                        || repeat('lorem ipsum dolor ', 20)
+                        || '</body></html>'
+                   WHEN 1 THEN '<html><head><title>404 Not Found</title>'
+                        || '</head><body>'
+                        || repeat('lorem ipsum dolor ', 20)
+                        || '</body></html>'
+                   WHEN 2 THEN '<html><head><title>Document '
+                        || CAST(doc_id AS VARCHAR)
+                        || '</title></head><body>Sorry, Page not found. '
+                        || repeat('lorem ipsum dolor ', 20)
+                        || '</body></html>'
+                   WHEN 3 THEN '<html><body>gone</body></html>'
+                   ELSE '<html><head><title>404 Not Found</title></head>'
+                        || '<body>hard 404</body></html>'
+               END AS html
+        FROM documents
+    ), r AS (
+        SELECT doc_id, url, status,
+               CASE
+                   WHEN status <> 200 THEN NULL
+                   WHEN regexp_matches(html,
+                       '(?is)<title>[^<]*(?:404|not\\s+found|no\\s+longer\\s+available)[^<]*</title>')
+                       THEN 'title'
+                   WHEN regexp_matches(left(html, 2048),
+                       '(?is)page\\s+not\\s+found|error\\s+404|404\\s+error|does\\s+not\\s+exist|no\\s+longer\\s+available')
+                       THEN 'body'
+                   WHEN length(html) < 256 THEN 'tiny'
+                   ELSE NULL
+               END AS soft404_reason
+        FROM w
+    )
+    SELECT doc_id, url, status,
+           soft404_reason IS NOT NULL AS soft404, soft404_reason
+    FROM r"""
+
+
+_QUERIES["soft404_detect"] = q_soft404_detect
+_ORACLES["soft404_detect"] = _SOFT404_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

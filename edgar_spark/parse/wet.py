@@ -72,7 +72,10 @@ _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 
 
 def extract_links(
-    df: DataFrame, url_col: str = "url", html_col: str = "html"
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    nofollow_aware: bool = False,
 ) -> DataFrame:
     """Outlinks with anchor text — the WAT derivation that feeds
     `operators.graph.pagerank` / `anchor_text_topk` and frontier
@@ -92,6 +95,18 @@ def extract_links(
     Plan: one `regexp_extract_all` + explode per page — Generate over
     the scan, no shuffle; dedup/aggregation is the caller's choice
     downstream.
+
+    With ``nofollow_aware=True`` a ``nofollow`` boolean column is added:
+    true when the anchor carries a ``rel`` containing the ``nofollow``
+    token (either quote style, word-boundary — ``rel="external
+    nofollow"`` gates, ``rel="nofollowed"`` does not) OR the page
+    carries a robots-meta ``nofollow`` (`parse/headmeta.extract_meta`'s
+    directive — REP's per-page layer: a nofollow page vouches for none
+    of its outlinks, the rule real frontiers apply before enqueueing
+    discovered URLs). The ``X-Robots-Tag`` response header is the third
+    REP layer and lives with the header parser (`sources/http.py`);
+    callers OR it in when headers are available. Still a pure Generate
+    over the scan — the flags are two more codegen regex columns.
     """
     src = F.col(url_col)
     scheme = F.lower(F.regexp_extract(src, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -102,7 +117,7 @@ def extract_links(
         F.regexp_replace(path, r"[^/]*$", "")
     )
 
-    elems = df.select(
+    base_cols = [
         src.alias("src"),
         scheme.alias("_scheme"),
         host.alias("_host"),
@@ -110,7 +125,13 @@ def extract_links(
         F.explode(
             F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), F.lit(0))
         ).alias("_a"),
-    )
+    ]
+    if nofollow_aware:
+        from edgar_spark.parse.headmeta import extract_meta
+
+        df = extract_meta(df, html_col=html_col)
+        base_cols.append(F.col("nofollow").alias("_page_nf"))
+    elems = df.select(*base_cols)
     href_d = F.regexp_extract(F.col("_a"), r'(?is)href\s*=\s*"([^"]*)"', 1)
     href_s = F.regexp_extract(F.col("_a"), r"(?is)href\s*=\s*'([^']*)'", 1)
     href = F.regexp_replace(
@@ -143,10 +164,13 @@ def extract_links(
             )
         )
     )
-    return (
-        elems.select("src", dst.alias("dst_url"), anchor.alias("anchor"))
-        .filter(F.col("dst_url").isNotNull())
-    )
+    out_cols = ["src", dst.alias("dst_url"), anchor.alias("anchor")]
+    if nofollow_aware:
+        rel_nf = F.col("_a").rlike(
+            r'(?is)rel\s*=\s*"[^"]*\bnofollow\b[^"]*"'
+        ) | F.col("_a").rlike(r"(?is)rel\s*=\s*'[^']*\bnofollow\b[^']*'")
+        out_cols.append((F.col("_page_nf") | rel_nf).alias("nofollow"))
+    return elems.select(*out_cols).filter(F.col("dst_url").isNotNull())
 
 
 # block-level boundary: any open or close of a structural element.

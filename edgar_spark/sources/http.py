@@ -279,3 +279,55 @@ def cache_freshness(
         )
         .withColumn("freshness_source", source)
     )
+
+
+# soft-404 pattern tables — deliberately small, documented, and kept
+# RE2-safe (no lookaround) so the DuckDB oracle replays them verbatim.
+SOFT404_TITLE_RE = (
+    r"(?is)<title>[^<]*(?:404|not\s+found|no\s+longer\s+available)"
+    r"[^<]*</title>"
+)
+SOFT404_BODY_RE = (
+    r"(?is)page\s+not\s+found|error\s+404|404\s+error|"
+    r"does\s+not\s+exist|no\s+longer\s+available"
+)
+SOFT404_BODY_WINDOW = 2048
+
+
+def soft404(
+    df: DataFrame,
+    status_col: str = "status",
+    html_col: str = "html",
+    min_html_len: int = 256,
+) -> DataFrame:
+    """Soft-404 detection: pages served with HTTP 200 whose CONTENT says
+    "not found" — the classic crawl-quality trap (misconfigured servers
+    answer every path with a 200 error page, and without this check the
+    frontier archives an unbounded family of identical junk pages and
+    the dedup stage pays for it downstream; hard 404s are already
+    routed by the status code and are NOT flagged here).
+
+    A 200 page is flagged when its ``<title>`` matches a not-found
+    pattern, else when the first ``SOFT404_BODY_WINDOW`` chars of the
+    body do, else when the whole document is shorter than
+    ``min_html_len`` chars (stub pages). Adds ``soft404_reason``
+    (``'title'``/``'body'``/``'tiny'``, first match wins, NULL when
+    clean or non-200) and ``soft404``. Pure codegen regex/CASE over the
+    scan — zero shuffle, zero Python, replayed verbatim in the
+    ``soft404_detect`` driver oracle."""
+    h = F.col(html_col)
+    reason = (
+        F.when(
+            F.col(status_col) != 200, F.lit(None).cast("string")
+        )
+        .when(h.rlike(SOFT404_TITLE_RE), F.lit("title"))
+        .when(
+            F.substring(h, 1, SOFT404_BODY_WINDOW).rlike(SOFT404_BODY_RE),
+            F.lit("body"),
+        )
+        .when(F.length(h) < min_html_len, F.lit("tiny"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.withColumn("soft404_reason", reason).withColumn(
+        "soft404", F.col("soft404_reason").isNotNull()
+    )

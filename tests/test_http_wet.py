@@ -231,3 +231,68 @@ def test_cache_freshness_precedence(spark):
     # 20-digit Age: clamps HIGH so the entry reads long-stale
     assert out[11]["lifetime_s"] == 60
     assert out[11]["fresh_until"] < 0
+
+
+def test_extract_links_nofollow_aware(spark):
+    from edgar_spark.parse.wet import extract_links
+
+    html = (
+        '<html><head><meta name="robots" content="noindex"></head><body>'
+        '<a href="/a">plain</a>'
+        '<a rel="nofollow" href="/b">sponsored</a>'
+        "<a href='/c' rel='ugc nofollow'>ugc</a>"
+        '<a rel="nofollower" href="/d">trap</a>'
+        "</body></html>"
+    )
+    html_page_nf = html.replace('content="noindex"',
+                                'content="noindex, NOFOLLOW"')
+    df = spark.createDataFrame(
+        [("https://h.example.com/x", html),
+         ("https://h2.example.com/x", html_page_nf)],
+        "url string, html string",
+    )
+    got = {
+        (r["src"], r["dst_url"]): r["nofollow"]
+        for r in extract_links(df, nofollow_aware=True).collect()
+    }
+    assert len(got) == 8
+    # per-anchor rel (word boundary: 'nofollower' must NOT gate)
+    assert got[("https://h.example.com/x", "https://h.example.com/a")] is False
+    assert got[("https://h.example.com/x", "https://h.example.com/b")] is True
+    assert got[("https://h.example.com/x", "https://h.example.com/c")] is True
+    assert got[("https://h.example.com/x", "https://h.example.com/d")] is False
+    # page-level robots-meta nofollow flags every link (case-folded)
+    for path in "abcd":
+        assert got[("https://h2.example.com/x",
+                    f"https://h2.example.com/{path}")] is True
+
+
+def test_soft404_branches(spark):
+    from edgar_spark.sources.http import soft404
+
+    long_pad = "lorem ipsum dolor " * 20
+    rows = [
+        (1, 200, "<html><title>Fine</title><body>" + long_pad + "</body>"),
+        (2, 200, "<html><title>404 Not Found</title><body>"
+         + long_pad + "</body>"),
+        (3, 200, "<html><title>ok</title><body>Page not found. "
+         + long_pad + "</body>"),
+        (4, 200, "<html><body>gone</body></html>"),           # tiny
+        (5, 404, "<html><title>404 Not Found</title></html>"),  # hard 404
+        # title wins over body when both match (first-match reason)
+        (6, 200, "<html><title>404</title><body>error 404 "
+         + long_pad + "</body>"),
+        # body phrase PAST the 2048-char window does not flag
+        (7, 200, "<html><title>ok</title><body>" + "x" * 2100
+         + " page not found</body>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, status int, html string")
+    got = {r["doc_id"]: (r["soft404"], r["soft404_reason"])
+           for r in soft404(df).collect()}
+    assert got[1] == (False, None)
+    assert got[2] == (True, "title")
+    assert got[3] == (True, "body")
+    assert got[4] == (True, "tiny")
+    assert got[5] == (False, None)
+    assert got[6] == (True, "title")
+    assert got[7] == (False, None)

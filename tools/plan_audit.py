@@ -263,6 +263,11 @@ AUDITS = {
     "registered_domain": ["Project", "Scan parquet", "!Exchange", "!Join"],
     # NFC: one Arrow-batched pandas UDF eval, map-only
     "nfc_normalize": ["ArrowEvalPython", "!Exchange", "!Join"],
+    # REP-aware outlinks: still one Generate over the scan (the sort is
+    # the query key's display determinism, not the operator)
+    "follow_links": ["Generate", "!Join", "!HashAggregate"],
+    # soft-404: pure codegen regex/CASE projection, shuffle-free
+    "soft404_detect": ["Project", "Scan parquet", "!Exchange", "!Join"],
 }
 
 
