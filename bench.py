@@ -231,6 +231,7 @@ OPERATOR_KEYS = [
     "nfc_normalize",
     "follow_links",
     "soft404_detect",
+    "strip_tracking",
 ]
 
 

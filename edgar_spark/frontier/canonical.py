@@ -87,6 +87,49 @@ def fold_host(host: Column, aliases: "dict[str, str] | None" = None) -> Column:
     return h
 
 
+# Session/click-tracking query params that never change the response —
+# utm_* (analytics), the ad-click ids, and the server-session ids. The
+# name list is deliberately small and documented; matching is on the
+# full param NAME (anchored through '='), never a substring.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|fbclid|gclid|dclid|msclkid|yclid|igshid|mc_eid|"
+    r"mkt_tok|sessionid|phpsessid|jsessionid|sid)="
+)
+
+
+def strip_tracking_params(url: Column) -> Column:
+    """URL minus tracking/session params — applied BEFORE URL-seen dedup
+    so one page shared through N campaign links costs one fetch instead
+    of N (and the dedup bloom holds one key instead of N; at 10^10 URLs
+    the utm explosion is a real multiplier). Also strips the classic
+    ``;jsessionid=…`` path suffix. Non-tracking params keep their order
+    and spelling; a query that strips to nothing loses its ``?``; the
+    fragment (kept by this op — `canonicalize` owns fragment policy)
+    survives. Pure codegen: regexp extracts + a HOF filter over the
+    split query — no UDF, no shuffle, replayed verbatim in the
+    ``strip_tracking`` driver oracle."""
+    u = F.regexp_replace(url, r"(?i);jsessionid=[^?#]*", "")
+    base = F.regexp_extract(u, r"^([^?#]*)", 1)
+    query = F.regexp_extract(u, r"^[^?#]*\?([^#]*)", 1)
+    frag = F.regexp_extract(u, r"(#.*)$", 1)
+    kept = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: ~F.lower(x).rlike(TRACKING_PARAM_RE),
+        ),
+        "&",
+    )
+    return F.when(query == "", u).otherwise(
+        F.concat(
+            base,
+            F.when(kept == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), kept)
+            ),
+            frag,
+        )
+    )
+
+
 # Embedded public-suffix subset (seeded from the public PSL,
 # publicsuffix.org — the canonical public dataset every crawler ships a
 # snapshot of). Deliberately small and documented: common gTLDs/ccTLDs,

@@ -7514,6 +7514,99 @@ _QUERIES["soft404_detect"] = q_soft404_detect
 _ORACLES["soft404_detect"] = _SOFT404_ORACLE
 
 
+def q_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-param stripping (frontier/canonical.strip_tracking_params)
+    over URLs exercising each rule: utm params sandwiching a real id
+    param (order + spelling of survivors preserved), a ;jsessionid path
+    suffix, a query that strips to nothing (loses its '?'), a clean
+    query with a fragment (untouched, fragment survives), and a
+    query-less URL. The oracle replays the identical extract + HOF
+    filter chain in DuckDB."""
+    from edgar_spark.frontier.canonical import strip_tracking_params
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("https://h.example.com/p?utm_source=tw&id="), ds,
+                F.lit("&UTM_Campaign=x"),
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("https://h.example.com/a;jsessionid=ABC"), ds,
+                F.lit("?x=1"),
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("https://h.example.com/p?fbclid=abc"), ds),
+        )
+        .when(
+            d % 5 == 3,
+            F.concat(
+                F.lit("https://h.example.com/p?id="), ds, F.lit("#sec")
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://h.example.com/plain/"), ds))
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", url.alias("url"))
+        .withColumn("stripped", strip_tracking_params(F.col("url")))
+    )
+
+
+_STRIP_TRACKING_ORACLE = r"""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN 'https://h.example.com/p?utm_source=tw&id='
+                        || CAST(doc_id AS VARCHAR) || '&UTM_Campaign=x'
+                   WHEN 1 THEN 'https://h.example.com/a;jsessionid=ABC'
+                        || CAST(doc_id AS VARCHAR) || '?x=1'
+                   WHEN 2 THEN 'https://h.example.com/p?fbclid=abc'
+                        || CAST(doc_id AS VARCHAR)
+                   WHEN 3 THEN 'https://h.example.com/p?id='
+                        || CAST(doc_id AS VARCHAR) || '#sec'
+                   ELSE 'https://h.example.com/plain/'
+                        || CAST(doc_id AS VARCHAR)
+               END AS url
+        FROM documents
+    ), s AS (
+        SELECT doc_id, url,
+               regexp_replace(url, '(?i);jsessionid=[^?#]*', '', 'g') AS u
+        FROM raw
+    ), p AS (
+        SELECT doc_id, url, u,
+               regexp_extract(u, '^([^?#]*)', 1) AS base,
+               regexp_extract(u, '^[^?#]*\?([^#]*)', 1) AS query,
+               regexp_extract(u, '(#.*)$', 1) AS frag
+        FROM s
+    ), k AS (
+        SELECT doc_id, url, u, base, query, frag,
+               coalesce(array_to_string(list_filter(string_split(query, '&'),
+                   x -> NOT regexp_matches(lower(x),
+                       '^(utm_[a-z0-9_]*|fbclid|gclid|dclid|msclkid|yclid|igshid|mc_eid|mkt_tok|sessionid|phpsessid|jsessionid|sid)=')),
+                   '&'), '') AS kept
+        FROM p
+    )
+    SELECT doc_id, url,
+           CASE WHEN query = '' THEN u
+                ELSE base
+                     || CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+                     || frag
+           END AS stripped
+    FROM k"""
+
+
+_QUERIES["strip_tracking"] = q_strip_tracking
+_ORACLES["strip_tracking"] = _STRIP_TRACKING_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

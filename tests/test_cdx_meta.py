@@ -244,3 +244,34 @@ def test_nfc_normalize_composes(spark):
     assert got[1]["norm_text"] == composed and got[1]["changed"]
     assert got[2]["norm_text"] == "plain ascii" and not got[2]["changed"]
     assert got[3]["norm_text"] is None and got[3]["changed"] is None
+
+
+def test_strip_tracking_params(spark):
+    from edgar_spark.frontier.canonical import strip_tracking_params
+
+    urls = [
+        # survivors keep order/spelling; utm stripped case-insensitively
+        "https://h/p?utm_source=tw&id=9&UTM_Campaign=x&b=2",
+        "https://h/a;JSESSIONID=deadbeef?x=1",
+        "https://h/p?fbclid=abc",            # all stripped -> no '?'
+        "https://h/p?id=1#frag",             # clean query + fragment kept
+        "https://h/plain",                   # no query at all
+        "https://h/p?sidebar=1&sid=9",       # 'sidebar' is NOT 'sid'
+        "https://h/p?a=utm_source%3D1",      # tracking NAME only, not value
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["s"]
+        for r in df.select(
+            strip_tracking_params(F.col("url")).alias("s")
+        ).collect()
+    ]
+    assert got == [
+        "https://h/p?id=9&b=2",
+        "https://h/a?x=1",
+        "https://h/p",
+        "https://h/p?id=1#frag",
+        "https://h/plain",
+        "https://h/p?sidebar=1",
+        "https://h/p?a=utm_source%3D1",
+    ]

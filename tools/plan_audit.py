@@ -268,6 +268,8 @@ AUDITS = {
     "follow_links": ["Generate", "!Join", "!HashAggregate"],
     # soft-404: pure codegen regex/CASE projection, shuffle-free
     "soft404_detect": ["Project", "Scan parquet", "!Exchange", "!Join"],
+    # tracking strip: regexp + HOF filter projection, shuffle-free
+    "strip_tracking": ["Project", "Scan parquet", "!Exchange", "!Join"],
 }
 
 
