@@ -232,6 +232,7 @@ OPERATOR_KEYS = [
     "follow_links",
     "soft404_detect",
     "strip_tracking",
+    "url_discovery",
 ]
 
 

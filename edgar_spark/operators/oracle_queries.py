@@ -7607,6 +7607,103 @@ _QUERIES["strip_tracking"] = q_strip_tracking
 _ORACLES["strip_tracking"] = _STRIP_TRACKING_ORACLE
 
 
+def q_url_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier's URL-discovery pipeline END-TO-END in one plan:
+    REP-aware outlink extraction (pages with doc_id%4==0 carry a
+    robots-meta nofollow that drops ALL their links; one anchor carries
+    rel=nofollow) → canonicalize (mixed-case host, fragment, duplicate
+    path slashes) → tracking-param strip → exact dedup of the canonical
+    URL with reference count + deterministic first source → site
+    identity (registered domain). Three anchor classes land three
+    dedup regimes: a per-page-unique URL (n_refs=1), a shared
+    directory-relative target (group size = pages per (source,
+    doc_id%3) bucket), and one global CDN asset every page links
+    (n_refs = all follow-allowed pages). The whole chain is one scan →
+    one Generate → one groupBy shuffle — the shape a 10^10-URL
+    discovery wave needs. The oracle derives every stage analytically."""
+    from edgar_spark.frontier.canonical import (
+        canonicalize,
+        host_of,
+        registered_domain,
+        strip_tracking_params,
+    )
+    from edgar_spark.parse.wet import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/a/b/page"),
+        did, F.lit(".html"),
+    )
+    meta = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit('<meta name="robots" content="nofollow">'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>"),
+        F.lit('<a href="https://Track.example.com/page?utm_source=x'
+              "&amp;id="), did, F.lit('#top">good</a>'),
+        F.lit('<a rel="nofollow" href="/ad/'), did, F.lit('">ad</a>'),
+        F.lit('<a href="item/'), (F.col("doc_id") % 3).cast("string"),
+        F.lit('.html">item</a>'),
+        F.lit('<a href="//cdn.example.com//lib//x.js">cdn</a>'),
+        F.lit("</body></html>"),
+    )
+    links = extract_links(
+        docs.select(url.alias("url"), html.alias("html")),
+        nofollow_aware=True,
+    ).filter(~F.col("nofollow"))
+    # two separate projections, NOT strip(canonicalize(col)) composed as
+    # one Column: composing in Python splices the full canonicalize tree
+    # into every one of strip's ~15 references to its input (a plan-size
+    # blowup Catalyst won't undo); as staged Projects each stage
+    # references plain attributes and CollapseProject keeps non-cheap
+    # producers separate.
+    canon = links.select(
+        "src", canonicalize(F.col("dst_url")).alias("_canon")
+    )
+    return (
+        canon.select(
+            "src", strip_tracking_params(F.col("_canon")).alias("url")
+        )
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.min("src").alias("first_src"),
+        )
+        .withColumn("reg_domain", registered_domain(host_of(F.col("url"))))
+    )
+
+
+_URL_DISCOVERY_ORACLE = """
+    WITH p AS (
+        SELECT doc_id, source,
+               'https://' || source || '.example.com/a/b/page'
+                   || CAST(doc_id AS VARCHAR) || '.html' AS src
+        FROM documents
+        WHERE doc_id % 4 <> 0  -- robots-meta nofollow pages vouch for nothing
+    ), links AS (
+        SELECT src,
+               'https://track.example.com/page?id='
+                   || CAST(doc_id AS VARCHAR) AS url
+        FROM p
+        UNION ALL
+        SELECT src,
+               'https://' || source || '.example.com/a/b/item/'
+                   || CAST(doc_id % 3 AS VARCHAR) || '.html'
+        FROM p
+        UNION ALL
+        SELECT src, 'https://cdn.example.com/lib/x.js' FROM p
+    )
+    SELECT url, CAST(count(*) AS BIGINT) AS n_refs, min(src) AS first_src,
+           'example.com' AS reg_domain
+    FROM links GROUP BY url"""
+
+
+_QUERIES["url_discovery"] = q_url_discovery
+_ORACLES["url_discovery"] = _URL_DISCOVERY_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -270,6 +270,10 @@ AUDITS = {
     "soft404_detect": ["Project", "Scan parquet", "!Exchange", "!Join"],
     # tracking strip: regexp + HOF filter projection, shuffle-free
     "strip_tracking": ["Project", "Scan parquet", "!Exchange", "!Join"],
+    # composed discovery pipeline: anchor Generate + ONE dedup shuffle
+    # (SortAggregate: min(string) has no fixed-width hash buffer), every
+    # per-URL transform staged as projections — no join anywhere
+    "url_discovery": ["Generate", "Aggregate", "!Join"],
 }
 
 
