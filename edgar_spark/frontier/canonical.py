@@ -107,8 +107,12 @@ def strip_tracking_params(url: Column) -> Column:
     fragment (kept by this op — `canonicalize` owns fragment policy)
     survives. Pure codegen: regexp extracts + a HOF filter over the
     split query — no UDF, no shuffle, replayed verbatim in the
-    ``strip_tracking`` driver oracle."""
-    u = F.regexp_replace(url, r"(?i);jsessionid=[^?#]*", "")
+    ``strip_tracking`` driver oracle.
+
+    The ``;jsessionid`` value match stops at ``&`` as well as ``?``/``#``
+    so a marker appearing inside a query VALUE (``?next=/a;jsessionid=X
+    &b=1``) cannot swallow the following parameters."""
+    u = F.regexp_replace(url, r"(?i);jsessionid=[^?#&]*", "")
     base = F.regexp_extract(u, r"^([^?#]*)", 1)
     query = F.regexp_extract(u, r"^[^?#]*\?([^#]*)", 1)
     frag = F.regexp_extract(u, r"(#.*)$", 1)

@@ -7578,7 +7578,7 @@ _STRIP_TRACKING_ORACLE = r"""
         FROM documents
     ), s AS (
         SELECT doc_id, url,
-               regexp_replace(url, '(?i);jsessionid=[^?#]*', '', 'g') AS u
+               regexp_replace(url, '(?i);jsessionid=[^?#&]*', '', 'g') AS u
         FROM raw
     ), p AS (
         SELECT doc_id, url, u,

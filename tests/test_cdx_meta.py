@@ -258,6 +258,8 @@ def test_strip_tracking_params(spark):
         "https://h/plain",                   # no query at all
         "https://h/p?sidebar=1&sid=9",       # 'sidebar' is NOT 'sid'
         "https://h/p?a=utm_source%3D1",      # tracking NAME only, not value
+        # jsessionid inside a query VALUE must not swallow '&b=1'
+        "https://h/p?next=/a;jsessionid=X&b=1",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [
@@ -274,4 +276,5 @@ def test_strip_tracking_params(spark):
         "https://h/plain",
         "https://h/p?sidebar=1",
         "https://h/p?a=utm_source%3D1",
+        "https://h/p?next=/a&b=1",
     ]
