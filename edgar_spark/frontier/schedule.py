@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["recrawl_schedule", "failure_backoff", "conditional_fetch"]
+__all__ = [
+    "recrawl_schedule",
+    "failure_backoff",
+    "conditional_fetch",
+    "change_rate",
+]
 
 
 def failure_backoff(
@@ -165,6 +170,105 @@ def recrawl_schedule(
         unchanged_run.alias("unchanged_run"),
         interval.alias("interval_waves"),
         (F.col("wave") + interval).alias("next_due_wave"),
+    )
+
+
+def change_rate(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    fp_col: str = "fp",
+    min_interval_sec: int = 3600,
+    max_interval_sec: int = 30 * 86400,
+) -> DataFrame:
+    """Per-URL Poisson change-rate estimate from an irregular fetch
+    history — the model-based counterpart to `recrawl_schedule`'s
+    geometric backoff (Cho & Garcia-Molina, "Estimating Frequency of
+    Change": pages change as a Poisson process with rate λ; from n
+    re-observations of which X showed a changed fingerprint, the
+    bias-reduced survival estimate is r̂ = (n−X+0.5)/(n+0.5) and
+    λ̂ = −ln(r̂)/Δ̄ for mean inter-fetch gap Δ̄). The reference never
+    revisits — its corpus is immutable filings (folder.go:42-65); a
+    mutable-web frontier budgets refetches by λ̂.
+
+    Like the rest of this module (and `retrieval`'s quantized idf), the
+    output is **exact BIGINT arithmetic, no floats**: a float −ln(r̂)
+    summed/compared across engines is not reproducible, so no exact
+    oracle could exist. Instead:
+
+    * ``survival_permille`` = ``(2·(n−X)+1)·1000 div (2·n+1)`` — r̂ in
+      exact permille;
+    * ``est_interval_sec`` = ``Δ̄ · r̂/(1−r̂)`` in permille integers,
+      clamped to [min, max] — the odds form is the first-order stand-in
+      for 1/λ̂ = Δ̄/(−ln r̂) (exact as r̂→1, the stable-page regime that
+      dominates a real crawl; monotone in r̂ everywhere, which is all a
+      scheduler ranks on);
+    * ``next_due_ts`` = last fetch + interval.
+
+    ``fetches`` rows are (url, ts, fp): ts integer epoch seconds, unique
+    per url (observation order must be well-defined); fp the content
+    fingerprint observed. URLs with a single observation carry no rate
+    information and are dropped (seed them via `recrawl_schedule`).
+
+    Returns one row per url: (url, n_obs, n_changes, span_sec,
+    avg_gap_sec, survival_permille, est_interval_sec, next_due_ts).
+
+    Plan: ONE shuffle on the url key — the lag window and the groupBy
+    share the same hash partitioning, so Catalyst reuses the exchange;
+    everything downstream is codegen integer expressions. At 10^10 URLs
+    the history shuffles once and each executor estimates its own url
+    range; products are bounded (gap ≤ ~2^31 s times permille ≤ 2^10
+    fits BIGINT with 20+ bits to spare).
+    """
+    if not 0 < min_interval_sec <= max_interval_sec:
+        raise ValueError(
+            f"need 0 < min ({min_interval_sec}) <= max ({max_interval_sec})"
+        )
+    w = Window.partitionBy(url_col).orderBy("_ts")
+    prev_fp = F.lag("_fp").over(w)
+    obs = fetches.select(
+        url_col,
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.col(fp_col).alias("_fp"),
+    ).withColumn(
+        "_chg",
+        F.when(prev_fp.isNull(), F.lit(None).cast("long")).otherwise(
+            (F.col("_fp") != prev_fp).cast("long")
+        ),
+    )
+    agg = (
+        obs.groupBy(url_col)
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.coalesce(F.sum("_chg"), F.lit(0).cast("long")).alias("n_changes"),
+            F.min("_ts").alias("_first_ts"),
+            F.max("_ts").alias("_last_ts"),
+        )
+        .filter(F.col("n_obs") >= 2)
+    )
+    span = F.col("_last_ts") - F.col("_first_ts")
+    avg_gap = F.expr("(_last_ts - _first_ts) div (n_obs - 1)")
+    survival = F.expr(
+        "((2 * (n_obs - 1 - n_changes) + 1) * 1000) div (2 * (n_obs - 1) + 1)"
+    )
+    raw_interval = F.expr(
+        "(((_last_ts - _first_ts) div (n_obs - 1)) * _surv)"
+        " div greatest(1L, 1000 - _surv)"
+    )
+    with_surv = agg.withColumn("_surv", survival)
+    interval = F.least(
+        F.lit(max_interval_sec).cast("long"),
+        F.greatest(F.lit(min_interval_sec).cast("long"), raw_interval),
+    )
+    return with_surv.select(
+        url_col,
+        "n_obs",
+        "n_changes",
+        span.alias("span_sec"),
+        avg_gap.alias("avg_gap_sec"),
+        F.col("_surv").alias("survival_permille"),
+        interval.alias("est_interval_sec"),
+        (F.col("_last_ts") + interval).alias("next_due_ts"),
     )
 
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "mirror_hosts"]
 
 
 def pagerank(
@@ -98,6 +98,98 @@ def pagerank(
 
     return ranks.select(
         F.col("_id").alias(id_col), F.col("_rank").alias("rank_scaled")
+    )
+
+
+def mirror_hosts(
+    docs: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "fp",
+    max_hosts_per_fp: int = 64,
+    min_shared: int = 2,
+    mirror_threshold_permille: int = 800,
+) -> DataFrame:
+    """Detect mirrored hosts by content-set overlap — host pairs serving
+    (near-)identical page sets. Real crawls are full of mirrors (apex vs
+    www beyond the static alias map, CDN vanity hosts, ftp-style mirror
+    networks); fetching both wastes the politeness budget twice on one
+    origin, so crawlers fold mirrors into ONE identity (cf. Bharat &
+    Broder, "Mirror, mirror on the Web"). The output's ``host_b →
+    host_a`` pairs feed `frontier.canonical.fold_host`'s alias map, the
+    same way the reference keys its cache by one canonical URL form
+    (folder.go:42-65). Input: one row per captured page with its host
+    and content fingerprint (e.g. md5 of the extracted text — exact
+    dedup's key, dedup.py:92).
+
+    One row per candidate pair (``host_a < host_b``, at least
+    ``min_shared`` shared fingerprints): (host_a, host_b, shared_fps,
+    n_fps_a, n_fps_b, containment_permille, is_mirror) where
+    ``containment_permille = shared·1000 div min(|A|,|B|)`` — exact
+    integer containment of the smaller host in the larger, ≥ threshold
+    ⇒ ``is_mirror`` (containment, not Jaccard: a partial mirror that
+    carries a subset of the origin is still the same origin).
+
+    Scale/skew design (the LSH-banding argument, dedup.py:202): pairs
+    are generated per-fingerprint via a self-join on fp, so the blowup
+    is bounded by ``max_hosts_per_fp²`` per fp — and fingerprints shared
+    by MORE than ``max_hosts_per_fp`` hosts are dropped outright, which
+    is also the right semantics: a fp on hundreds of hosts is template
+    boilerplate or an empty page, not mirror evidence (its pairs would
+    assert every host mirrors every other). Host sizes still count ALL
+    fingerprints — dropped fps can't contribute shared evidence but do
+    stay in the denominator, so containment is a conservative lower
+    bound for boilerplate-heavy hosts. Plan: one (host, fp)
+    distinct shuffle; one fp-keyed window for the eligibility count
+    whose exchange the self-join then reuses; one pair-keyed groupBy;
+    host sizes are O(#hosts) rows and broadcast onto the pairs — the
+    page-scale table never joins itself on anything unbounded.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    hf = docs.select(
+        F.col(host_col).alias("_host"), F.col(fp_col).alias("_fp")
+    ).distinct()
+    sizes = hf.groupBy("_host").agg(F.count("*").alias("_n_fps"))
+    elig = (
+        hf.withColumn(
+            "_nh", F.count("*").over(Window.partitionBy("_fp"))
+        )
+        .filter(F.col("_nh") <= max_hosts_per_fp)
+        .drop("_nh")
+    )
+    a = elig.select(F.col("_host").alias("host_a"), "_fp")
+    b = elig.select(F.col("_host").alias("host_b"), "_fp")
+    pairs = (
+        a.join(b, "_fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    sized = (
+        pairs.join(
+            broadcast(sizes.select(F.col("_host").alias("host_a"),
+                                   F.col("_n_fps").alias("n_fps_a"))),
+            "host_a",
+        )
+        .join(
+            broadcast(sizes.select(F.col("_host").alias("host_b"),
+                                   F.col("_n_fps").alias("n_fps_b"))),
+            "host_b",
+        )
+    )
+    containment = F.expr(
+        "(shared_fps * 1000) div least(n_fps_a, n_fps_b)"
+    )
+    return sized.select(
+        "host_a",
+        "host_b",
+        "shared_fps",
+        "n_fps_a",
+        "n_fps_b",
+        containment.alias("containment_permille"),
+        (containment >= mirror_threshold_permille).alias("is_mirror"),
     )
 
 

@@ -7704,6 +7704,161 @@ _QUERIES["url_discovery"] = q_url_discovery
 _ORACLES["url_discovery"] = _URL_DISCOVERY_ORACLE
 
 
+def q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson change-rate recrawl estimation (frontier/schedule.
+    change_rate): a synthetic fetch history — 40 URLs, one observation
+    per (url, fetch_idx), per-URL gap 1-5 h — where each URL's content
+    fingerprint rolls every (1 + url%4) fetches and every 10th URL
+    never changes (exercises the max-interval clamp via the odds form's
+    zero denominator). Exact integer permille arithmetic, lag-window +
+    groupBy SQL replay."""
+    from edgar_spark.frontier.schedule import change_rate
+
+    d = F.col("doc_id")
+    url_id = d % 40
+    fetches = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (url_id % 7).cast("string"),
+            F.lit(".example.com/p/"), url_id.cast("string"),
+        ).alias("url"),
+        F.expr(
+            "cast(1000000 + (doc_id div 40) * (3600 * (1 + doc_id % 40 % 5))"
+            " as bigint)"
+        ).alias("ts"),
+        F.expr(
+            "case when doc_id % 40 % 10 = 9 then 'const'"
+            " else concat('v', cast((doc_id div 40) div (1 + doc_id % 40 % 4)"
+            " as string)) end"
+        ).alias("fp"),
+    )
+    return change_rate(fetches).orderBy("url")
+
+
+_CHANGE_RATE_ORACLE = """
+    WITH f AS (
+        SELECT concat('https://h', CAST(doc_id % 40 % 7 AS VARCHAR),
+                      '.example.com/p/', CAST(doc_id % 40 AS VARCHAR)) AS url,
+               CAST(1000000 + (doc_id // 40) * (3600 * (1 + doc_id % 40 % 5))
+                    AS BIGINT) AS ts,
+               CASE WHEN doc_id % 40 % 10 = 9 THEN 'const'
+                    ELSE 'v' || CAST((doc_id // 40) // (1 + doc_id % 40 % 4)
+                                     AS VARCHAR)
+               END AS fp
+        FROM documents
+    ), lagged AS (
+        SELECT url, ts, fp,
+               lag(fp) OVER (PARTITION BY url ORDER BY ts) AS prev_fp
+        FROM f
+    ), agg AS (
+        SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(coalesce(sum(CASE WHEN prev_fp IS NOT NULL
+                                       AND fp <> prev_fp THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_changes,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM lagged GROUP BY url HAVING count(*) >= 2
+    ), est AS (
+        SELECT url, n_obs, n_changes,
+               last_ts - first_ts AS span_sec,
+               (last_ts - first_ts) // (n_obs - 1) AS avg_gap_sec,
+               ((2 * (n_obs - 1 - n_changes) + 1) * 1000)
+                   // (2 * (n_obs - 1) + 1) AS survival_permille,
+               last_ts
+        FROM agg
+    ), clamped AS (
+        SELECT *, least(CAST(2592000 AS BIGINT), greatest(CAST(3600 AS BIGINT),
+                   (avg_gap_sec * survival_permille)
+                       // greatest(1, 1000 - survival_permille)))
+                   AS est_interval_sec
+        FROM est
+    )
+    SELECT url, n_obs, n_changes, span_sec, avg_gap_sec, survival_permille,
+           est_interval_sec, last_ts + est_interval_sec AS next_due_ts
+    FROM clamped ORDER BY url"""
+
+
+_QUERIES["change_rate"] = q_change_rate
+_ORACLES["change_rate"] = _CHANGE_RATE_ORACLE
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection by content-set containment (operators/graph.
+    mirror_hosts): 10 synthetic hosts — hosts 0,1 full mirrors (same fp
+    per page), hosts 2,3 half-mirrors (even pages only, below the 800‰
+    threshold), hosts 4,5 share exactly one fp (below min_shared), page 0
+    is all-host boilerplate (dropped by the max_hosts_per_fp=4
+    eligibility cut while still counting in the denominators). Exact
+    integer permille, distinct + window + self-join SQL replay."""
+    from edgar_spark.operators.graph import mirror_hosts
+
+    d = F.col("doc_id")
+    host_id = d % 10
+    page = F.expr("doc_id div 10")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("h"), host_id.cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.when(page == 0, F.lit("boiler"))
+        .when(host_id <= 1, F.concat(F.lit("g0-"), page.cast("string")))
+        .when(
+            host_id.isin(2, 3) & (page % 2 == 0),
+            F.concat(F.lit("g1-"), page.cast("string")),
+        )
+        .when(host_id.isin(4, 5) & (page == 1), F.lit("s45"))
+        .otherwise(
+            F.concat(
+                F.lit("h"), host_id.cast("string"), F.lit("-"),
+                page.cast("string"),
+            )
+        )
+        .alias("fp"),
+    )
+    return mirror_hosts(docs, max_hosts_per_fp=4).orderBy("host_a", "host_b")
+
+
+_MIRROR_HOSTS_ORACLE = """
+    WITH d AS (
+        SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS host,
+               CASE WHEN doc_id // 10 = 0 THEN 'boiler'
+                    WHEN doc_id % 10 <= 1
+                         THEN 'g0-' || CAST(doc_id // 10 AS VARCHAR)
+                    WHEN doc_id % 10 IN (2, 3) AND (doc_id // 10) % 2 = 0
+                         THEN 'g1-' || CAST(doc_id // 10 AS VARCHAR)
+                    WHEN doc_id % 10 IN (4, 5) AND doc_id // 10 = 1
+                         THEN 's45'
+                    ELSE 'h' || CAST(doc_id % 10 AS VARCHAR) || '-'
+                             || CAST(doc_id // 10 AS VARCHAR)
+               END AS fp
+        FROM documents
+    ), hf AS (SELECT DISTINCT host, fp FROM d),
+    sizes AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS n_fps FROM hf GROUP BY host
+    ),
+    elig AS (
+        SELECT host, fp FROM (
+            SELECT host, fp, count(*) OVER (PARTITION BY fp) AS nh FROM hf
+        ) WHERE nh <= 4
+    ),
+    pairs AS (
+        SELECT a.host AS host_a, b.host AS host_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM elig a JOIN elig b ON a.fp = b.fp AND a.host < b.host
+        GROUP BY a.host, b.host HAVING count(*) >= 2
+    )
+    SELECT host_a, host_b, shared_fps, sa.n_fps AS n_fps_a,
+           sb.n_fps AS n_fps_b,
+           (shared_fps * 1000) // least(sa.n_fps, sb.n_fps)
+               AS containment_permille,
+           (shared_fps * 1000) // least(sa.n_fps, sb.n_fps) >= 800
+               AS is_mirror
+    FROM pairs JOIN sizes sa ON pairs.host_a = sa.host
+               JOIN sizes sb ON pairs.host_b = sb.host
+    ORDER BY host_a, host_b"""
+
+
+_QUERIES["mirror_hosts"] = q_mirror_hosts
+_ORACLES["mirror_hosts"] = _MIRROR_HOSTS_ORACLE
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -650,6 +650,51 @@ def test_recrawl_schedule_backoff(spark):
         recrawl_schedule(df, max_interval=48)
 
 
+def test_change_rate_estimator(spark):
+    import pytest
+
+    from edgar_spark.frontier.schedule import change_rate
+
+    rows = [
+        # S: stable over 5 fetches -> survival 1000, interval capped at max
+        *[("S", t, "x") for t in (0, 100, 200, 300, 400)],
+        # V: changes every fetch -> survival (2*0+1)*1000 div 5 = 200,
+        #    interval = 50*200 div 800 = 12
+        ("V", 0, "a"), ("V", 50, "b"), ("V", 100, "c"),
+        # M: one change in three comparisons, irregular gaps ->
+        #    survival 5000 div 7 = 714, interval = 20*714 div 286 = 49
+        ("M", 0, "x"), ("M", 10, "x"), ("M", 30, "y"), ("M", 60, "y"),
+        # W: volatile with tiny gaps -> raw 0, floored to min
+        ("W", 0, "a"), ("W", 1, "b"), ("W", 2, "c"),
+        # One: single observation -> no rate, dropped
+        ("One", 7, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "ts", "fp"])
+    out = {
+        r["url"]: r
+        for r in change_rate(
+            df, min_interval_sec=10, max_interval_sec=5000
+        ).collect()
+    }
+    assert set(out) == {"S", "V", "M", "W"}
+    s = out["S"]
+    assert (s["n_obs"], s["n_changes"], s["avg_gap_sec"]) == (5, 0, 100)
+    assert (s["survival_permille"], s["est_interval_sec"]) == (1000, 5000)
+    assert s["next_due_ts"] == 5400
+    v = out["V"]
+    assert (v["survival_permille"], v["est_interval_sec"]) == (200, 12)
+    assert v["next_due_ts"] == 112
+    m = out["M"]
+    assert (m["n_changes"], m["span_sec"], m["avg_gap_sec"]) == (1, 60, 20)
+    assert (m["survival_permille"], m["est_interval_sec"]) == (714, 49)
+    w = out["W"]
+    assert (w["survival_permille"], w["est_interval_sec"]) == (200, 10)
+    assert w["next_due_ts"] == 12
+
+    with pytest.raises(ValueError):
+        change_rate(df, min_interval_sec=100, max_interval_sec=10)
+
+
 def test_crawl_budget_scarcity(spark):
     from edgar_spark.frontier.schedule import crawl_budget
 

@@ -115,3 +115,50 @@ def test_snapshot_diff_null_digest_is_presence_not_absence(spark):
     assert rows["u1"]["status"] == "changed"
     # NULL == NULL null-safely -> unchanged, NOT added/gone
     assert rows["u2"]["status"] == "unchanged"
+
+
+def test_mirror_hosts_containment_and_cap(spark):
+    from edgar_spark.operators.graph import mirror_hosts
+
+    # h1 ≡ h2 (full mirror, 4 fps), h3 ⊂ h1 (2 of 4: containment 1000
+    # of the smaller side), h4 disjoint; 'boiler' sits on ALL hosts and
+    # must be excluded by max_hosts_per_fp=3 (it would otherwise assert
+    # every host mirrors every other)
+    rows = []
+    for k in range(4):
+        rows.append(("h1", f"fp{k}"))
+        rows.append(("h2", f"fp{k}"))
+    rows += [("h3", "fp0"), ("h3", "fp1")]
+    rows += [("h4", "zz0"), ("h4", "zz1")]
+    rows += [(h, "boiler") for h in ["h1", "h2", "h3", "h4"]]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["host", "fp"]))
+
+    got = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_hosts(docs, max_hosts_per_fp=3).collect()
+    }
+    assert set(got) == {("h1", "h2"), ("h1", "h3"), ("h2", "h3")}
+    full = got[("h1", "h2")]
+    assert full["shared_fps"] == 4
+    # boiler excluded from sizes too? NO — sizes count ALL fps a host
+    # serves (5 incl. boiler); containment = 4*1000 div 5 = 800
+    assert (full["n_fps_a"], full["n_fps_b"]) == (5, 5)
+    assert full["containment_permille"] == 800 and full["is_mirror"]
+    sub = got[("h1", "h3")]
+    assert sub["shared_fps"] == 2 and sub["n_fps_b"] == 3
+    assert sub["containment_permille"] == 2000 // 3  # 666, below 800
+    assert not sub["is_mirror"]
+
+
+def test_mirror_hosts_min_shared_filters_singletons(spark):
+    from edgar_spark.operators.graph import mirror_hosts
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "x"), ("a", "y"), ("b", "x"), ("b", "z")],
+            columns=["host", "fp"],
+        )
+    )
+    assert mirror_hosts(docs, min_shared=2).count() == 0
+    one = mirror_hosts(docs, min_shared=1).collect()
+    assert len(one) == 1 and one[0]["shared_fps"] == 1
