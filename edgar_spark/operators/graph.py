@@ -138,51 +138,51 @@ def mirror_hosts(
     assert every host mirrors every other). Host sizes still count ALL
     fingerprints — dropped fps can't contribute shared evidence but do
     stay in the denominator, so containment is a conservative lower
-    bound for boilerplate-heavy hosts. Plan: one (host, fp)
-    distinct shuffle; one fp-keyed window for the eligibility count
-    whose exchange the self-join then reuses; one pair-keyed groupBy;
-    host sizes are O(#hosts) rows and broadcast onto the pairs — the
-    page-scale table never joins itself on anything unbounded.
+    bound for boilerplate-heavy hosts.
+
+    Plan: the page-scale input is read ONCE per join side — sizes are a
+    host-partitioned window over the SAME distinct (host, fp) relation
+    (not a separate aggregate branch that would re-scan the input), and
+    ride the fp-keyed shuffle into the pair groupBy as extra grouping
+    keys (functionally dependent on the host keys, so the group is
+    unchanged). Both self-join sides are byte-identical subtrees, which
+    is exactly what AQE exchange reuse collapses at runtime: one scan,
+    then (host,fp)-distinct → host-window → fp-window exchanges each
+    computed once, the SMJ reusing the fp partitioning, one pair-keyed
+    groupBy on top.
     """
     from pyspark.sql import Window
-    from pyspark.sql.functions import broadcast
 
     hf = docs.select(
         F.col(host_col).alias("_host"), F.col(fp_col).alias("_fp")
     ).distinct()
-    sizes = hf.groupBy("_host").agg(F.count("*").alias("_n_fps"))
     elig = (
         hf.withColumn(
-            "_nh", F.count("*").over(Window.partitionBy("_fp"))
+            "_n_fps", F.count("*").over(Window.partitionBy("_host"))
         )
+        .withColumn("_nh", F.count("*").over(Window.partitionBy("_fp")))
         .filter(F.col("_nh") <= max_hosts_per_fp)
         .drop("_nh")
     )
-    a = elig.select(F.col("_host").alias("host_a"), "_fp")
-    b = elig.select(F.col("_host").alias("host_b"), "_fp")
+    a = elig.select(
+        F.col("_host").alias("host_a"), "_fp",
+        F.col("_n_fps").alias("n_fps_a"),
+    )
+    b = elig.select(
+        F.col("_host").alias("host_b"), "_fp",
+        F.col("_n_fps").alias("n_fps_b"),
+    )
     pairs = (
         a.join(b, "_fp")
         .filter(F.col("host_a") < F.col("host_b"))
-        .groupBy("host_a", "host_b")
+        .groupBy("host_a", "host_b", "n_fps_a", "n_fps_b")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
-    )
-    sized = (
-        pairs.join(
-            broadcast(sizes.select(F.col("_host").alias("host_a"),
-                                   F.col("_n_fps").alias("n_fps_a"))),
-            "host_a",
-        )
-        .join(
-            broadcast(sizes.select(F.col("_host").alias("host_b"),
-                                   F.col("_n_fps").alias("n_fps_b"))),
-            "host_b",
-        )
     )
     containment = F.expr(
         "(shared_fps * 1000) div least(n_fps_a, n_fps_b)"
     )
-    return sized.select(
+    return pairs.select(
         "host_a",
         "host_b",
         "shared_fps",
