@@ -202,6 +202,45 @@ def politeness_bucket(
     return F.pmod(F.xxhash64(url), F.lit(n_buckets)).cast("int")
 
 
+def shard_assign(url: Column, n_shards: int) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment: the URL goes
+    to the shard with the largest ``hash60(url + '#s' + shard)`` weight
+    (Thaler & Ravishankar, "Using name-based mappings to increase hit
+    rates"). Unlike ``pmod(hash, n)`` — which remaps ~half the keyspace
+    when the fleet resizes — growing or shrinking the fleet by its
+    top shard id only moves the URLs owned by the added/removed shard
+    (each shard's weight is independent of ``n_shards``), so a
+    fetcher-fleet resize doesn't invalidate every node's politeness
+    state, DNS cache, and robots cache at once.
+
+    Pure column expression: ``n_shards`` md5 weights per row folded with
+    ``array_max`` over (weight, shard) structs — codegen, NO shuffle and
+    no explode; ties (a 60-bit collision) break to the larger shard id,
+    the struct comparator's order, replayed identically in the oracle.
+    Linear in ``n_shards`` per row: right for fleets up to ~10^3; a
+    10^4+ fleet wants two rendezvous levels (rack, then node).
+
+    ``hash60`` (md5-prefix, sketches.py) rather than ``xxhash64`` so a
+    second engine can replay assignments exactly — this column decides
+    WHERE work goes, and a resharding run driven by a different engine
+    must agree byte-for-byte or the handoff double-fetches.
+    """
+    from edgar_spark.operators.sketches import hash60
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    weights = F.array(
+        *[
+            F.struct(
+                hash60(F.concat(url, F.lit(f"#s{i}"))).alias("w"),
+                F.lit(i).alias("s"),
+            )
+            for i in range(n_shards)
+        ]
+    )
+    return F.array_max(weights)["s"].cast("int")
+
+
 def url_pattern(url: Column) -> Column:
     """Generalized URL shape: lowercased host + path with every digit run
     collapsed to ``N`` (query/fragment dropped). Calendar pages, paginated

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "mirror_hosts"]
+__all__ = ["pagerank", "hits", "mirror_hosts"]
 
 
 def pagerank(
@@ -98,6 +98,111 @@ def pagerank(
 
     return ranks.select(
         F.col("_id").alias(id_col), F.col("_rank").alias("rank_scaled")
+    )
+
+
+def hits(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    scale: int = 10**9,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg, "Authoritative sources in a
+    hyperlinked environment") over (vertices, edges) — the
+    mutual-reinforcement counterpart to `pagerank`: a page is a good
+    *authority* if good *hubs* link to it, a good hub if it links to
+    good authorities. A crawl frontier wants both: pagerank finds
+    globally endorsed hosts, HITS surfaces the directory/link-list hubs
+    whose outlink sets are the cheapest route to fresh authorities
+    (`frontier.crawler`'s authority-aware wave selection can seed from
+    either).
+
+    Returns (``id_col``, hub_scaled, auth_scaled) after ``n_iter``
+    synchronous rounds, each value a BIGINT in units of ``1/scale``.
+    Like `pagerank`, everything is **exact integer arithmetic** so a
+    DuckDB unrolled-CTE oracle agrees bit-for-bit: the usual L2
+    normalization is float, so each half-round instead L1-normalizes by
+    the current total (``x·scale div total``, floor). Multi-edges
+    contribute once each (same convention as `pagerank`); isolated
+    vertices go to zero after one round.
+
+    Bounds: after any normalization the total mass is ≤ ``scale``, so
+    every raw sum is ≤ ``scale`` and the next rescale's product is
+    ≤ ``scale²`` — the default ``scale=10^9`` keeps that under 2^63
+    with 3 bits to spare. The initial hub mass is ``scale div n``
+    (n = vertex count, ONE bounded driver scalar), which also requires
+    ``n ≤ scale`` — HITS at web scale runs on the host graph or a root
+    set's neighborhood, not 10^10 raw URLs.
+
+    Plan shape per half-round: edges join the current score on one
+    endpoint, groupBy the other, then a 1-row total broadcast-joined
+    back — at scale the edge table buckets once on each endpoint; the
+    only driver-side value is the vertex count. Because the raw sums
+    feed TWO consumers (the global normalizer and the rescale), the
+    logical plan would double every half-round left unchecked — so each
+    half-round's per-vertex aggregate is lineage-truncated with a lazy
+    localCheckpoint at that branch point (the standard iterative-graph
+    pattern; it materializes one ≤|V|-row table per half-round on
+    executor storage and keeps the plan depth constant).
+    ``checkpoint_every`` is accepted for API symmetry with `pagerank`
+    but redundant here — truncation is structural.
+    """
+    if scale * scale >= 2**63:
+        raise ValueError(f"scale² must fit BIGINT, got scale={scale}")
+    n = vertices.count()
+    ids = vertices.select(F.col(id_col).alias("_id"))
+    if n == 0:
+        return ids.select(
+            F.col("_id").alias(id_col),
+            F.lit(0).cast("long").alias("hub_scaled"),
+            F.lit(0).cast("long").alias("auth_scaled"),
+        )
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    init = max(1, scale // n)
+    hub = ids.select("_id", F.lit(init).cast("long").alias("_s"))
+
+    def _half(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        raw = (
+            e.join(scores, e[key_in] == scores["_id"])
+            .groupBy(key_out)
+            .agg(F.sum("_s").alias("_raw"))
+        ).localCheckpoint(eager=False)
+        total = raw.agg(
+            F.greatest(F.lit(1).cast("long"), F.sum("_raw")).alias("_total")
+        )
+        return (
+            ids.join(raw, ids["_id"] == raw[key_out], "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "_id",
+                F.expr(
+                    f"(coalesce(_raw, 0L) * {scale}) div _total"
+                ).alias("_s"),
+            )
+        )
+
+    auth = None
+    for i in range(n_iter):
+        auth = _half(hub, "_src", "_dst")
+        hub = _half(auth, "_dst", "_src")
+
+    return (
+        hub.withColumnRenamed("_s", "hub_scaled")
+        .join(
+            auth.select(
+                F.col("_id").alias("_id2"), F.col("_s").alias("auth_scaled")
+            ),
+            F.col("_id") == F.col("_id2"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "hub_scaled", "auth_scaled"
+        )
     )
 
 

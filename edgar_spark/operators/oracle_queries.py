@@ -7858,6 +7858,137 @@ _MIRROR_HOSTS_ORACLE = """
 _QUERIES["mirror_hosts"] = q_mirror_hosts
 _ORACLES["mirror_hosts"] = _MIRROR_HOSTS_ORACLE
 
+_HITS_ITER = 2
+_HITS_SCALE = 10**9
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point HITS hubs/authorities over the same deterministic doc
+    link graph as ``pagerank`` (operators/graph.hits): exact integer
+    L1-normalized half-rounds, so the unrolled-CTE DuckDB oracle agrees
+    bit-for-bit."""
+    from edgar_spark.operators.graph import hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    total = docs.agg(F.count("*").alias("_n"))
+    edges = docs.crossJoin(F.broadcast(total)).select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[F.expr(f"(doc_id*{k}+{c}) % _n") for k, c in _PR_MAPS]
+            )
+        ).alias("dst"),
+    )
+    return hits(
+        docs,
+        edges,
+        id_col="doc_id",
+        n_iter=_HITS_ITER,
+        scale=_HITS_SCALE,
+    ).orderBy("doc_id")
+
+
+def _hits_oracle_sql() -> str:
+    """Unrolled exact-integer HITS recurrence (graph.py half-rounds)."""
+    links = "\n            UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{k}+{c}) % (SELECT c FROM n) AS dst FROM v"
+        for k, c in _PR_MAPS
+    )
+    parts = [
+        f"""
+        WITH v AS (SELECT doc_id FROM documents),
+        n AS (SELECT count(*) AS c FROM v),
+        e0 AS (
+            {links}
+        ),
+        h0 AS (
+            SELECT doc_id AS id,
+                   greatest(1, {_HITS_SCALE} // (SELECT c FROM n)) AS s
+            FROM v
+        )"""
+    ]
+    for i in range(_HITS_ITER):
+        parts.append(f"""
+        , a{i + 1}r AS (
+            SELECT e0.dst AS id, sum(h{i}.s) AS raw
+            FROM e0 JOIN h{i} ON e0.src = h{i}.id GROUP BY e0.dst
+        ), a{i + 1} AS (
+            SELECT v.doc_id AS id,
+                   (coalesce(r.raw, 0) * {_HITS_SCALE})
+                       // (SELECT greatest(1, sum(raw)) FROM a{i + 1}r) AS s
+            FROM v LEFT JOIN a{i + 1}r r ON v.doc_id = r.id
+        ), h{i + 1}r AS (
+            SELECT e0.src AS id, sum(a{i + 1}.s) AS raw
+            FROM e0 JOIN a{i + 1} ON e0.dst = a{i + 1}.id GROUP BY e0.src
+        ), h{i + 1} AS (
+            SELECT v.doc_id AS id,
+                   (coalesce(r.raw, 0) * {_HITS_SCALE})
+                       // (SELECT greatest(1, sum(raw)) FROM h{i + 1}r) AS s
+            FROM v LEFT JOIN h{i + 1}r r ON v.doc_id = r.id
+        )""")
+    parts.append(f"""
+        SELECT h{_HITS_ITER}.id AS doc_id,
+               CAST(h{_HITS_ITER}.s AS BIGINT) AS hub_scaled,
+               CAST(a{_HITS_ITER}.s AS BIGINT) AS auth_scaled
+        FROM h{_HITS_ITER} JOIN a{_HITS_ITER} ON h{_HITS_ITER}.id = a{_HITS_ITER}.id
+        ORDER BY doc_id""")
+    return "".join(parts)
+
+
+_QUERIES["hits_scores"] = q_hits_scores
+_ORACLES["hits_scores"] = _hits_oracle_sql()
+
+_SHARDS = 5
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash fetcher-shard assignment (frontier/canonical.
+    shard_assign): each synthetic URL goes to the shard with the largest
+    md5-derived weight — per-row argmax over per-shard hash60 weights,
+    replayed in SQL as greatest() + a largest-id-first CASE (the struct
+    comparator's tie order)."""
+    from edgar_spark.frontier.canonical import shard_assign
+
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 9).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return urls.select(
+        "url", shard_assign(F.col("url"), _SHARDS).alias("shard")
+    ).orderBy("url")
+
+
+def _shard_assign_oracle_sql() -> str:
+    ws = ",\n               ".join(
+        f"CAST(concat('0x', substr(md5(url || '#s{i}'), 1, 15)) AS BIGINT)"
+        f" AS w{i}"
+        for i in range(_SHARDS)
+    )
+    gmax = ", ".join(f"w{i}" for i in range(_SHARDS))
+    case = " ".join(
+        f"WHEN w{i} = g THEN {i}" for i in range(_SHARDS - 1, 0, -1)
+    )
+    return f"""
+    WITH u AS (
+        SELECT 'https://h' || CAST(doc_id % 9 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ), w AS (
+        SELECT url,
+               {ws}
+        FROM u
+    )
+    SELECT url,
+           CAST(CASE {case} ELSE 0 END AS INT) AS shard
+    FROM (SELECT url, {gmax}, greatest({gmax}) AS g FROM w)
+    ORDER BY url"""
+
+
+_QUERIES["shard_assign"] = q_shard_assign
+_ORACLES["shard_assign"] = _shard_assign_oracle_sql()
+
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)

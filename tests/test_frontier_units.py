@@ -695,6 +695,54 @@ def test_change_rate_estimator(spark):
         change_rate(df, min_interval_sec=100, max_interval_sec=10)
 
 
+def test_shard_assign_rendezvous(spark):
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from edgar_spark.frontier.canonical import shard_assign
+
+    urls = [f"https://h{i % 9}.example.com/p/{i}" for i in range(300)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+
+    def ref(u, n):
+        # python replay of hash60(url + '#s' + i) argmax, ties to larger i
+        ws = [
+            (int(hashlib.md5(f"{u}#s{i}".encode()).hexdigest()[:15], 16), i)
+            for i in range(n)
+        ]
+        return max(ws)[1]
+
+    got5 = {
+        r["url"]: r["shard"]
+        for r in df.select(
+            "url", shard_assign(F.col("url"), 5).alias("shard")
+        ).collect()
+    }
+    assert got5 == {u: ref(u, 5) for u in urls}
+    # balanced-ish: every shard owns some URLs
+    from collections import Counter
+
+    counts = Counter(got5.values())
+    assert set(counts) == set(range(5)) and min(counts.values()) >= 20
+
+    # minimal disruption: dropping the top shard only moves ITS urls
+    got4 = {
+        r["url"]: r["shard"]
+        for r in df.select(
+            "url", shard_assign(F.col("url"), 4).alias("shard")
+        ).collect()
+    }
+    for u in urls:
+        if got5[u] != 4:
+            assert got4[u] == got5[u]
+    assert any(got5[u] == 4 for u in urls)
+
+    with pytest.raises(ValueError):
+        shard_assign(F.col("url"), 0)
+
+
 def test_crawl_budget_scarcity(spark):
     from edgar_spark.frontier.schedule import crawl_budget
 

@@ -85,6 +85,83 @@ def test_pagerank_empty_graph(spark):
     assert pagerank(v, e).count() == 0
 
 
+# ----------------------------------------------------------------- hits
+
+
+def _hits_ref(ids, edges, n_iter, scale):
+    """Driver-side reference of the exact integer L1-normalized HITS."""
+    init = max(1, scale // len(ids))
+    hub = {i: init for i in ids}
+    auth = {i: 0 for i in ids}
+
+    def half(scores, flip):
+        raw = {}
+        for s, d in edges:
+            k_in, k_out = (s, d) if not flip else (d, s)
+            raw[k_out] = raw.get(k_out, 0) + scores[k_in]
+        total = max(1, sum(raw.values()))
+        return {i: (raw.get(i, 0) * scale) // total for i in ids}
+
+    for _ in range(n_iter):
+        auth = half(hub, flip=False)
+        hub = half(auth, flip=True)
+    return hub, auth
+
+
+def test_hits_matches_integer_reference(spark):
+    from edgar_spark.operators.graph import hits
+
+    ids = [1, 2, 3, 4]
+    edges = [(1, 3), (2, 3), (3, 4)]
+    v = _pdf(spark, pd.DataFrame({"id": ids}))
+    e = _pdf(spark, pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {
+        r["id"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(v, e, n_iter=2, scale=1000).collect()
+    }
+    # hand-computed: round 1 hubs (400,400,200,0); round 2 auths
+    # 3←800,4←200 (total exactly 1000), hubs 444/444/111/0
+    assert got == {1: (444, 0), 2: (444, 0), 3: (111, 800), 4: (0, 200)}
+    ref_hub, ref_auth = _hits_ref(ids, edges, n_iter=2, scale=1000)
+    assert got == {i: (ref_hub[i], ref_auth[i]) for i in ids}
+
+
+def test_hits_reference_parity_and_checkpoint(spark):
+    from edgar_spark.operators.graph import hits
+
+    ids = list(range(9))
+    edges = [(i, (i * 5 + 2) % 9) for i in ids] + [
+        (i, (i + 3) % 9) for i in ids
+    ]
+    v = _pdf(spark, pd.DataFrame({"id": ids}))
+    e = _pdf(spark, pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {
+        r["id"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(v, e, n_iter=3).collect()
+    }
+    ref_hub, ref_auth = _hits_ref(ids, edges, n_iter=3, scale=10**9)
+    assert got == {i: (ref_hub[i], ref_auth[i]) for i in ids}
+    ck = {
+        r["id"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(v, e, n_iter=3, checkpoint_every=1).collect()
+    }
+    assert ck == got
+
+
+def test_hits_guards(spark):
+    from edgar_spark.operators.graph import hits
+
+    v = spark.range(0).select(F.col("id"))
+    e = v.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    assert hits(v, e).count() == 0
+    with pytest.raises(ValueError):
+        hits(v, e, scale=10**10)
+    # edge-free graph: every score collapses to zero after one round
+    v2 = _pdf(spark, pd.DataFrame({"id": [1, 2]}))
+    rows = hits(v2, e, n_iter=1).collect()
+    assert {tuple(r) for r in rows} == {(1, 0, 0), (2, 0, 0)}
+
+
 # -------------------------------------------------------------- sketches
 
 
