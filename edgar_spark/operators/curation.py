@@ -554,3 +554,138 @@ def corpus_shuffle(
         .withColumn("pos", F.row_number().over(w) - 1)
         .select(id_col, "shard", "pos")
     )
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ps1",
+) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield, Lund & Thorup 2007): each row gets priority
+    ``q = w / u`` with ``u`` uniform on (0, 1], and the sample is the
+    top-k rows by priority — inclusion probability rises with weight,
+    and the scheme is the optimal subset-sum estimator for its size.
+
+    Engine-exact integer form: ``u`` is derived from the first 5 hex
+    chars of ``md5(salt || ':' || id)`` — ``h ∈ [0, 2^20)``, replayed in
+    SQL by DuckDB's ``CAST('0x'||substr(md5(..),1,5) AS BIGINT)`` — and
+    ``priority = (w * 2^20) div (h + 1)`` (BIGINT-safe for weights up to
+    2^43). Ties break on id, so the selected set is deterministic.
+
+    Plan shape: the priority is a map-side projection; ``orderBy(...)
+    .limit(k)`` compiles to TakeOrderedAndProject — every partition
+    keeps its local top-k and only k rows ever move, no corpus sort, no
+    shuffle. That is the 100 TB path: one scan, k rows to the driver
+    side of the exchange. Rows with non-positive weight are
+    unsampleable and excluded, as in the continuous formulation.
+    """
+    hx = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    h = F.conv(F.substring(hx, 1, 5), 16, 10).cast("long")
+    w = F.col(weight_col).cast("long")
+    out = (
+        df.filter(w > 0)
+        .withColumn("_h", h)
+        .withColumn(
+            "priority",
+            F.expr(
+                f"(CAST({weight_col} AS BIGINT) * 1048576) div (_h + 1)"
+            ),
+        )
+        .drop("_h")
+    )
+    return out.orderBy(F.desc("priority"), F.col(id_col)).limit(k)
+
+
+def domain_quality(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_avg_milli: int = 450,
+) -> DataFrame:
+    """Domain-level quality gating (the RefinedWeb/C4 move): score every
+    document, aggregate to the *registered domain* (eTLD+1, so
+    ``www.x.com`` and ``cdn.x.com`` pool), and keep documents only from
+    domains with enough volume and a high enough mean score — a spammy
+    domain's occasional good page is dropped with its domain, and a
+    single-page domain carries too little evidence to keep.
+
+    The per-doc score is an integer restatement of
+    :func:`edgar_spark.operators.text.quality_score` (same features,
+    milli-scaled, exact on both engines): ``least(3·n_tok, 300) +
+    least(1200·n_stop div n_tok, 400) + 200·[3·n_tok ≤ n_chars−n_tok+1 ≤
+    10·n_tok] + 100·[10·n_punct ≤ n_chars]``. The domain mean is the
+    exact BIGINT ``sum div count``.
+
+    Plan shape: one groupBy(reg_domain) over (domain, q_milli) — a
+    map-side partial aggregate to ~one row per domain — then the
+    domain verdict broadcast-joins back onto the corpus (the domain
+    table is O(10^7) rows at web scale, far under the corpus; spill to
+    a shuffle join only if a broadcast cap forces it). Docs whose host
+    yields no registered domain (the host IS a public suffix) are
+    gated out — a crawler shouldn't be keeping them anyway.
+
+    Returns (id, reg_domain, q_milli, domain_docs, domain_avg_q_milli,
+    keep).
+    """
+    from edgar_spark.frontier.canonical import registered_domain
+
+    from edgar_spark.operators.text import EN_STOPWORDS, _count_matches, tokens
+
+    c = F.col(text_col)
+    toks = tokens(c)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    counted = df.select(
+        F.col(id_col),
+        registered_domain(F.col(host_col)).alias("reg_domain"),
+        F.size(toks).cast("long").alias("_ntok"),
+        F.size(
+            F.filter(
+                F.transform(toks, lambda w: F.lower(w)),
+                lambda w: F.array_contains(stop_arr, w),
+            )
+        )
+        .cast("long")
+        .alias("_nstop"),
+        _count_matches(c, r"[\.,;:!\?]").cast("long").alias("_npunct"),
+        F.length(c).cast("long").alias("_nchars"),
+    )
+    n_tok, n_chars = F.col("_ntok"), F.col("_nchars")
+    n_punct = F.col("_npunct")  # _nstop is consumed inside the div expr
+    mwl_num = n_chars - n_tok + 1  # mean word length × n_tok, exactly
+    q_milli = (
+        F.least(n_tok * 3, F.lit(300))
+        + F.when(
+            n_tok > 0, F.least(F.expr("_nstop * 1200 div _ntok"), F.lit(400))
+        ).otherwise(F.lit(0))
+        + F.when(
+            (n_tok > 0)
+            & (mwl_num >= n_tok * 3)
+            & (mwl_num <= n_tok * 10),
+            F.lit(200),
+        ).otherwise(F.lit(0))
+        + F.when(n_punct * 10 <= n_chars, F.lit(100)).otherwise(F.lit(0))
+    )
+    scored = counted.select(id_col, "reg_domain", q_milli.alias("q_milli"))
+    dom = scored.groupBy("reg_domain").agg(
+        F.count("*").alias("domain_docs"),
+        F.expr("sum(q_milli) div count(*)").alias("domain_avg_q_milli"),
+    )
+    return (
+        scored.filter(F.col("reg_domain").isNotNull())
+        .join(F.broadcast(dom), "reg_domain")
+        .select(
+            id_col,
+            "reg_domain",
+            "q_milli",
+            "domain_docs",
+            "domain_avg_q_milli",
+            (
+                (F.col("domain_docs") >= min_docs)
+                & (F.col("domain_avg_q_milli") >= min_avg_milli)
+            ).alias("keep"),
+        )
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "trigram_counts",
     "lm_surprisal",
     "contrastive_weights",
+    "ccnet_buckets",
 ]
 
 
@@ -196,3 +197,72 @@ def contrastive_weights(
             "keep"
         ),
     )
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int = 256,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): per *language*, rank documents by LM perplexity and cut the
+    corpus into thirds — ``head`` (lowest perplexity, most fluent),
+    ``middle``, ``tail``. Language comes from the stopword-marker
+    classifier (:func:`edgar_spark.operators.text.lang_id`), perplexity
+    from the integer trigram model (:func:`lm_surprisal`), so the whole
+    decision is engine-exact.
+
+    The tertile cut is computed on a **score histogram**, not on raw
+    rows: ``groupBy(pred_lang, avg_surprisal_milli)`` collapses the
+    corpus to ≤ langs × ~20k distinct milli-scores (partial-aggregated
+    map-side), the cumulative window runs over that tiny table, and the
+    resulting (lang, score) → bucket map broadcast-joins back. At 100 TB
+    this is the only correct shape — a window over raw documents would
+    sort whole per-language corpora; the histogram window sorts a few
+    thousand rows. Ties (equal milli-score) share a bucket by
+    construction, so the cut is deterministic without per-doc tiebreaks:
+    a score value ``s`` lands in ``head`` when strictly fewer than n/3
+    of the language's docs score below ``s``, in ``middle`` below 2n/3,
+    else ``tail`` (exact integer cross-multiplication, no division).
+
+    Returns (id, pred_lang, avg_surprisal_milli, ppl_bucket). Docs
+    shorter than 3 chars emit no trigrams and are absent, as in
+    :func:`lm_surprisal`.
+    """
+    from pyspark.sql import Window
+
+    from edgar_spark.operators.text import lang_id
+
+    scored = lm_surprisal(df, id_col, text_col, prefix_chars).select(
+        id_col, "avg_surprisal_milli"
+    )
+    langs = lang_id(df.select(id_col, text_col), text_col).select(
+        id_col, "pred_lang"
+    )
+    j = scored.join(langs, id_col)
+    hist = j.groupBy("pred_lang", "avg_surprisal_milli").agg(
+        F.count("*").alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy("pred_lang")
+        .orderBy("avg_surprisal_milli")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("pred_lang")
+    cuts = hist.select(
+        "pred_lang",
+        "avg_surprisal_milli",
+        (F.sum("_c").over(w_cum) - F.col("_c")).alias("_below"),
+        F.sum("_c").over(w_all).alias("_n"),
+    ).select(
+        "pred_lang",
+        "avg_surprisal_milli",
+        F.when(F.col("_below") * 3 < F.col("_n"), F.lit("head"))
+        .when(F.col("_below") * 3 < F.col("_n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+    return j.join(
+        F.broadcast(cuts), ["pred_lang", "avg_surprisal_milli"]
+    ).select(id_col, "pred_lang", "avg_surprisal_milli", "ppl_bucket")

@@ -7990,6 +7990,234 @@ _QUERIES["shard_assign"] = q_shard_assign
 _ORACLES["shard_assign"] = _shard_assign_oracle_sql()
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (lm.ccnet_buckets): per predicted
+    language, documents are cut into perplexity tertiles on the integer
+    trigram-surprisal score. The cut runs over the (lang, milli-score)
+    histogram — not raw docs — and broadcast-joins back, so the oracle
+    replays the identical integer rule: a score is 'head' when strictly
+    fewer than n/3 of its language's docs score below it."""
+    from edgar_spark.operators.lm import ccnet_buckets
+
+    return ccnet_buckets(
+        _t(spark, sf_dir, "documents"), prefix_chars=_LM_PREFIX
+    ).orderBy("doc_id")
+
+
+def _ccnet_buckets_oracle_sql() -> str:
+    lang_sql = _ORACLES["lang_id"]
+    return f"""
+        WITH p AS (
+            SELECT doc_id, lower(substr(text, 1, {_LM_PREFIX})) AS s
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id, substr(s, CAST(i AS INT), 3) AS trigram
+            FROM p CROSS JOIN unnest(generate_series(1, length(s) - 2)) AS t(i)
+            WHERE length(s) >= 3
+        ),
+        counts AS (SELECT trigram, count(*) AS cnt FROM tri GROUP BY trigram),
+        total AS (SELECT sum(cnt) AS tot FROM counts),
+        model AS (
+            SELECT trigram,
+                   CAST(length(bin(tot // cnt)) - 1 AS BIGINT) AS surprisal
+            FROM counts, total
+        ),
+        scored AS (
+            SELECT doc_id,
+                   (sum(surprisal) * 1000) // count(*) AS avg_surprisal_milli
+            FROM tri JOIN model USING (trigram) GROUP BY doc_id
+        ),
+        lang AS ({lang_sql}),
+        j AS (
+            SELECT s.doc_id, l.pred_lang, s.avg_surprisal_milli
+            FROM scored s JOIN lang l ON s.doc_id = l.doc_id
+        ),
+        hist AS (
+            SELECT pred_lang, avg_surprisal_milli, count(*) AS c
+            FROM j GROUP BY 1, 2
+        ),
+        cuts AS (
+            SELECT pred_lang, avg_surprisal_milli,
+                   sum(c) OVER (PARTITION BY pred_lang
+                                ORDER BY avg_surprisal_milli
+                                ROWS UNBOUNDED PRECEDING) - c AS below,
+                   sum(c) OVER (PARTITION BY pred_lang) AS n
+            FROM hist
+        )
+        SELECT j.doc_id, j.pred_lang,
+               CAST(j.avg_surprisal_milli AS BIGINT) AS avg_surprisal_milli,
+               CASE WHEN cuts.below * 3 < cuts.n THEN 'head'
+                    WHEN cuts.below * 3 < cuts.n * 2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM j JOIN cuts
+          ON j.pred_lang = cuts.pred_lang
+         AND j.avg_surprisal_milli = cuts.avg_surprisal_milli
+        ORDER BY j.doc_id"""
+
+
+_QUERIES["ccnet_buckets"] = q_ccnet_buckets
+_ORACLES["ccnet_buckets"] = _ccnet_buckets_oracle_sql()
+
+
+_PRIORITY_SAMPLE_K = 64
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (curation.priority_sample): priority = (w · 2^20) div (u + 1) with u
+    the first 5 md5 hex chars of the salted id — replayed in SQL with
+    DuckDB's hex cast. Weight = whitespace token count; top-64 by
+    (priority DESC, doc_id) is a deterministic set in both engines."""
+    from edgar_spark.operators.curation import priority_sample
+    from edgar_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("weight")
+    )
+    return priority_sample(docs, "weight", _PRIORITY_SAMPLE_K).select(
+        "doc_id", "weight", F.col("priority").cast("long").alias("priority")
+    )
+
+
+def _priority_sample_oracle_sql() -> str:
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS weight
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+                   (CAST(weight AS BIGINT) * 1048576) // (
+                       CAST(concat('0x',
+                            substr(md5('ps1:' || CAST(doc_id AS VARCHAR)),
+                                   1, 5)) AS BIGINT) + 1
+                   ) AS priority
+            FROM w WHERE weight > 0
+        )
+        SELECT doc_id, weight, CAST(priority AS BIGINT) AS priority
+        FROM p ORDER BY priority DESC, doc_id LIMIT {_PRIORITY_SAMPLE_K}"""
+
+
+_QUERIES["priority_sample"] = q_priority_sample
+_ORACLES["priority_sample"] = _priority_sample_oracle_sql()
+
+
+_DQ_MIN_DOCS = 2
+_DQ_MIN_AVG_MILLI = 540
+
+
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality gate (curation.domain_quality): synthetic
+    hosts put ~37 registered domains under two PSL suffix classes
+    (www.siteN.com / cdn.siteN.co.uk — subdomains must pool to eTLD+1),
+    per-doc integer quality aggregates to an exact per-domain mean, and
+    docs keep only when the domain has >= _DQ_MIN_DOCS docs averaging
+    >= _DQ_MIN_AVG_MILLI. The oracle derives the registered domain
+    analytically, so an eTLD+1 folding bug hash-fails."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = (
+        F.when(
+            d % 251 == 0,
+            F.concat(F.lit("solo"), d.cast("string"), F.lit(".com")),
+        )
+        .when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("www.site"), (d % 37).cast("string"), F.lit(".com")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("cdn.site"), (d % 37).cast("string"), F.lit(".co.uk")
+            )
+        )
+    )
+    from edgar_spark.operators.curation import domain_quality
+
+    return (
+        domain_quality(
+            docs.select("doc_id", "text", host.alias("host")),
+            min_docs=_DQ_MIN_DOCS,
+            min_avg_milli=_DQ_MIN_AVG_MILLI,
+        )
+        .select(
+            "doc_id",
+            "reg_domain",
+            F.col("q_milli").cast("long").alias("q_milli"),
+            "domain_docs",
+            F.col("domain_avg_q_milli")
+            .cast("long")
+            .alias("domain_avg_q_milli"),
+            "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _domain_quality_oracle_sql() -> str:
+    return f"""
+        WITH f AS (
+            SELECT doc_id,
+                   CASE WHEN CAST(doc_id % 251 AS INT) = 0
+                        THEN 'solo' || CAST(doc_id AS VARCHAR) || '.com'
+                        WHEN CAST(doc_id % 2 AS INT) = 0
+                        THEN 'site' || CAST(doc_id % 37 AS VARCHAR) || '.com'
+                        ELSE 'site' || CAST(doc_id % 37 AS VARCHAR) || '.co.uk'
+                   END AS reg_domain,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS BIGINT) AS n_tok,
+                   CAST(len(list_filter(
+                       list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      w -> lower(w)),
+                       w -> list_contains(
+                           ['the','and','of','to','a','in','is','it','that','for',
+                            'on','with','as','was','at','by','an','be','this','are'],
+                           w)
+                   )) AS BIGINT) AS n_stop,
+                   CAST(len(regexp_split_to_array(text, '[\\.,;:!\\?]')) - 1
+                        AS BIGINT) AS n_punct
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, reg_domain,
+                   least(n_tok * 3, 300)
+                   + CASE WHEN n_tok > 0
+                          THEN least((n_stop * 1200) // n_tok, 400)
+                          ELSE 0 END
+                   + CASE WHEN n_tok > 0
+                           AND n_chars - n_tok + 1 >= n_tok * 3
+                           AND n_chars - n_tok + 1 <= n_tok * 10
+                          THEN 200 ELSE 0 END
+                   + CASE WHEN n_punct * 10 <= n_chars THEN 100 ELSE 0 END
+                       AS q_milli
+            FROM f
+        ),
+        dom AS (
+            SELECT reg_domain, count(*) AS domain_docs,
+                   sum(q_milli) // count(*) AS domain_avg_q_milli
+            FROM q GROUP BY reg_domain
+        )
+        SELECT q.doc_id, q.reg_domain,
+               CAST(q.q_milli AS BIGINT) AS q_milli,
+               dom.domain_docs,
+               CAST(dom.domain_avg_q_milli AS BIGINT) AS domain_avg_q_milli,
+               dom.domain_docs >= {_DQ_MIN_DOCS}
+                   AND dom.domain_avg_q_milli >= {_DQ_MIN_AVG_MILLI} AS keep
+        FROM q JOIN dom USING (reg_domain)
+        ORDER BY q.doc_id"""
+
+
+_QUERIES["domain_quality"] = q_domain_quality
+_ORACLES["domain_quality"] = _domain_quality_oracle_sql()
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -1,0 +1,179 @@
+"""Tests for ccnet_buckets (per-language perplexity tertiles),
+priority_sample (weighted sampling without replacement), and
+domain_quality (registered-domain quality gating)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+# ---------------------------------------------------------------- ccnet
+
+
+def test_ccnet_buckets_tertiles_follow_score_order(spark):
+    from edgar_spark.operators.lm import ccnet_buckets
+
+    # 6 docs of one language family: typicality decreases with doc_id
+    # (later docs mix in rarer trigrams), so head must hold the lowest
+    # milli-scores and tail the highest.
+    base = "the cat sat on the mat and the dog ran to the log "
+    rows = [
+        (0, base * 4),
+        (1, base * 3 + "the end is near "),
+        (2, base * 3 + "quiet zephyrs vex "),
+        (3, base * 2 + "jqx zvq wkj pfy bdg "),
+        (4, base + "xylophone quartz jackdaw vow "),
+        (5, "the zzq jxw vkp qqj the zzx wqj kkv jjz the " * 3),
+    ]
+    out = ccnet_buckets(_docs(spark, rows)).toPandas()
+    assert len(out) == 6
+    assert set(out["pred_lang"]) == {"en"}  # one language, one cut
+    by_bucket = {
+        b: sorted(g["avg_surprisal_milli"])
+        for b, g in out.groupby("ppl_bucket")
+    }
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert len(by_bucket["head"]) == 2
+    assert len(by_bucket["middle"]) == 2
+    assert len(by_bucket["tail"]) == 2
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_ccnet_buckets_cut_is_per_language_and_short_docs_absent(spark):
+    from edgar_spark.operators.lm import ccnet_buckets
+
+    en = "the cat and the dog is on the mat to nap "
+    de = "der hund und die katze ist nicht hier oben "
+    rows = (
+        [(i, en * (i + 1)) for i in range(3)]
+        + [(10 + i, de * (i + 1)) for i in range(3)]
+        + [(99, "ab")]  # <3 chars: no trigrams, absent from output
+    )
+    out = ccnet_buckets(_docs(spark, rows)).toPandas()
+    assert 99 not in set(out["doc_id"])
+    # each language is cut independently: both have a head
+    heads = out[out["ppl_bucket"] == "head"]
+    assert set(heads["pred_lang"]) == {"en", "de"}
+
+
+# ------------------------------------------------------- priority sample
+
+
+def _py_priority(doc_id: int, weight: int, salt: str = "ps1") -> int:
+    h = int(
+        hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:5], 16
+    )
+    return (weight * 1048576) // (h + 1)
+
+
+def test_priority_sample_matches_python_reference(spark):
+    from edgar_spark.operators.curation import priority_sample
+
+    rows = [(i, i + 1) for i in range(50)]  # weight = doc_id + 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "weight"])
+    )
+    got = priority_sample(df, "weight", 10).toPandas()
+    ref = sorted(
+        ((_py_priority(i, w), -i, i, w) for i, w in rows), reverse=True
+    )[:10]
+    assert sorted(zip(got["doc_id"], got["priority"])) == sorted(
+        (i, p) for p, _, i, w in ref
+    )
+
+
+def test_priority_sample_is_deterministic_and_weight_sensitive(spark):
+    from edgar_spark.operators.curation import priority_sample
+
+    rows = [(i, 1 if i < 90 else 1000) for i in range(100)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "weight"])
+    )
+    a = set(priority_sample(df, "weight", 20).toPandas()["doc_id"])
+    b = set(
+        priority_sample(df.repartition(7), "weight", 20).toPandas()[
+            "doc_id"
+        ]
+    )
+    assert a == b  # partition-layout invariant
+    # all 10 heavy rows (1000× weight) must be selected
+    assert set(range(90, 100)) <= a
+
+
+def test_priority_sample_excludes_nonpositive_weights(spark):
+    from edgar_spark.operators.curation import priority_sample
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 0), (2, -5), (3, 7)], columns=["doc_id", "weight"]
+        )
+    )
+    got = priority_sample(df, "weight", 10).toPandas()
+    assert list(got["doc_id"]) == [3]
+
+
+# --------------------------------------------------------- domain gate
+
+
+def test_domain_quality_pools_subdomains_and_gates(spark):
+    from edgar_spark.operators.curation import domain_quality
+
+    good = (
+        "the cat and the dog is on the mat with a nap for it "
+        "that was at an end by this are the best of days truly "
+    )
+    bad = "x" * 300  # no stopwords, 1 huge token: low quality
+    rows = [
+        (0, good, "www.good.com"),
+        (1, good, "cdn.good.com"),  # pools with doc 0 under good.com
+        (2, bad, "www.spam.com"),
+        (3, bad, "a.spam.com"),
+        (4, good, "only.lonely.com"),  # singleton domain: dropped
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "host"])
+    )
+    out = (
+        domain_quality(df, min_docs=2, min_avg_milli=540)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "reg_domain"] == "good.com"
+    assert out.loc[1, "reg_domain"] == "good.com"
+    assert int(out.loc[0, "domain_docs"]) == 2
+    assert bool(out.loc[0, "keep"]) and bool(out.loc[1, "keep"])
+    assert not bool(out.loc[2, "keep"]) and not bool(out.loc[3, "keep"])
+    assert not bool(out.loc[4, "keep"])  # volume gate, not quality
+
+
+def test_domain_quality_integer_score_reference(spark):
+    from edgar_spark.operators.curation import domain_quality
+
+    text = "the cat sat. on a mat!"
+    # n_tok=6, n_chars=22, stopwords: the,on,a -> 3, punct: . and ! -> 2
+    n_tok, n_chars, n_stop, n_punct = 6, 22, 3, 2
+    expect = (
+        min(n_tok * 3, 300)
+        + min(n_stop * 1200 // n_tok, 400)
+        + (200 if n_tok * 3 <= n_chars - n_tok + 1 <= n_tok * 10 else 0)
+        + (100 if n_punct * 10 <= n_chars else 0)
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, text, "www.x.com"), (2, text, "cdn.x.com")],
+            columns=["doc_id", "text", "host"],
+        )
+    )
+    out = domain_quality(df).toPandas()
+    assert set(out["q_milli"]) == {expect}
+    assert set(out["domain_avg_q_milli"]) == {expect}

@@ -274,6 +274,24 @@ AUDITS = {
     # (SortAggregate: min(string) has no fixed-width hash buffer), every
     # per-URL transform staged as projections — no join anywhere
     "url_discovery": ["Generate", "Aggregate", "!Join"],
+    # CCNet tertiles: the cumulative window runs over the (lang, score)
+    # HISTOGRAM (an aggregate feeds the window input), and both the
+    # trigram model and the score→bucket map come back as broadcasts —
+    # no sort-merge join of the corpus anywhere
+    "ccnet_buckets": ["Window", "BroadcastHashJoin", "!SortMergeJoin"],
+    # priority sampling: per-partition top-k only (TakeOrderedAndProject)
+    # — no global sort, no shuffle, no join; k rows leave the executors
+    "priority_sample": [
+        "TakeOrderedAndProject",
+        "!Exchange",
+        "!Join",
+    ],
+    # domain gate: ONE aggregate to domain grain, verdicts broadcast back
+    "domain_quality": [
+        "HashAggregate",
+        "BroadcastHashJoin",
+        "!SortMergeJoin",
+    ],
 }
 
 
