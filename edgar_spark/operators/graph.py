@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "hits", "mirror_hosts"]
+__all__ = ["pagerank", "hits", "mirror_hosts", "link_farm"]
 
 
 def pagerank(
@@ -426,4 +426,78 @@ def host_graph(
             F.count_distinct("_src").alias("n_src_pages"),
         )
         .withColumn("internal", F.col("src_host") == F.col("dst_host"))
+    )
+
+def link_farm(
+    host_edges: DataFrame,
+    min_out: int = 20,
+    conc_min: int = 5,
+    recip_min_permille: int = 500,
+) -> DataFrame:
+    """Link-farm / reciprocal-link-scheme detection over the HOST graph
+    (input = :func:`host_graph` output, or any (src_host, dst_host,
+    n_links) edge list). Two classic spam signatures, both integer:
+
+    - **concentration**: many outlinks funneled at few hosts —
+      ``out_links div out_hosts >= conc_min`` (a host emitting 1000
+      links to 3 targets is selling links; a newspaper emitting 1000
+      links to 400 targets is a newspaper);
+    - **reciprocity**: link-exchange rings — the fraction of outlinked
+      hosts that link straight back, ``recip_hosts * 1000 div
+      out_hosts >= recip_min_permille`` (organic link graphs are
+      heavily asymmetric; >50% reciprocation at volume is a scheme).
+
+    A host is flagged only above the ``min_out`` evidence floor, so
+    small blogs trading links with two friends stay unflagged.
+
+    Plan: self-loops drop first; the back-edge check is a LEFT SEMI
+    self-join of the host graph on the reversed pair — host-pair scale
+    (~10^8 rows where the page graph has 10^10), hash-partitioned on
+    the join key; then ONE groupBy(src_host) with purely additive
+    aggregates (map-side partials). Nothing touches page-level data.
+
+    Returns (src_host, out_links, out_hosts, recip_hosts,
+    concentration, recip_permille, is_farm).
+    """
+    ext = host_edges.filter(F.col("src_host") != F.col("dst_host")).select(
+        "src_host", "dst_host", "n_links"
+    )
+    back = ext.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+    )
+    flagged = ext.join(
+        back, ["src_host", "dst_host"], "left_semi"
+    ).select("src_host", "dst_host")
+    per_host = (
+        ext.groupBy("src_host")
+        .agg(
+            F.sum("n_links").alias("out_links"),
+            F.count("*").alias("out_hosts"),
+        )
+        .join(
+            flagged.groupBy("src_host").agg(
+                F.count("*").alias("recip_hosts")
+            ),
+            "src_host",
+            "left",
+        )
+        .withColumn("recip_hosts", F.coalesce("recip_hosts", F.lit(0)))
+    )
+    conc = F.expr("out_links div out_hosts")
+    recip = F.expr("recip_hosts * 1000 div out_hosts")
+    return per_host.select(
+        "src_host",
+        "out_links",
+        "out_hosts",
+        "recip_hosts",
+        conc.alias("concentration"),
+        recip.alias("recip_permille"),
+        (
+            (F.col("out_links") >= min_out)
+            & (
+                (conc >= conc_min)
+                | (recip >= recip_min_permille)
+            )
+        ).alias("is_farm"),
     )

@@ -8218,6 +8218,210 @@ _QUERIES["domain_quality"] = q_domain_quality
 _ORACLES["domain_quality"] = _domain_quality_oracle_sql()
 
 
+def q_link_farm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm detection (graph.link_farm) composed over host_graph:
+    the synthetic page graph mixes (a) normal hosts n0..n19 whose pages
+    link to one rotating n-host and one of ~97 v-hosts (high spread —
+    must NOT flag), (b) a fully-reciprocal 4-host farm ring on
+    *.spam.net (reciprocity signature), and (c) funnel.biz pouring
+    every link at one target host (concentration signature). The
+    oracle replays host extraction, the reversed-pair EXISTS, and the
+    integer thresholds in SQL."""
+    from edgar_spark.operators.graph import host_graph, link_farm
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    normal = docs.select(
+        F.concat(
+            F.lit("https://n"), (d % 20).cast("string"),
+            F.lit(".example.com/p/"), ds,
+        ).alias("src"),
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("https://n"), ((d * 7 + 1) % 20).cast("string"),
+                    F.lit(".example.com/q/"), ds,
+                ),
+                F.concat(
+                    F.lit("https://v"), (d % 97).cast("string"),
+                    F.lit(".example.org/"),
+                ),
+            )
+        ).alias("dst_url"),
+    )
+    farm_pages = docs.filter(d % 5 == 0)
+    fh = (d % 4).cast("string")
+    farm = farm_pages.select(
+        F.concat(
+            F.lit("https://farm"), fh, F.lit(".spam.net/p/"), ds
+        ).alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit("https://farm"),
+                        ((d + i) % 4).cast("string"),
+                        F.lit(".spam.net/"),
+                    )
+                    for i in (1, 2, 3)
+                ]
+            )
+        ).alias("dst_url"),
+    )
+    funnel = docs.filter(d % 7 == 0).select(
+        F.concat(F.lit("https://funnel.biz/p/"), ds).alias("src"),
+        F.concat(F.lit("https://target.com/x/"), ds).alias("dst_url"),
+    )
+    edges = normal.unionByName(farm).unionByName(funnel)
+    return link_farm(host_graph(edges)).orderBy("src_host")
+
+
+def _link_farm_oracle_sql() -> str:
+    return """
+        WITH e0 AS (
+            SELECT 'n' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+                       AS src_host,
+                   unnest([
+                       'n' || CAST((doc_id * 7 + 1) % 20 AS VARCHAR)
+                           || '.example.com',
+                       'v' || CAST(doc_id % 97 AS VARCHAR) || '.example.org'
+                   ]) AS dst_host
+            FROM documents
+            UNION ALL
+            SELECT 'farm' || CAST(doc_id % 4 AS VARCHAR) || '.spam.net',
+                   unnest([
+                       'farm' || CAST((doc_id + 1) % 4 AS VARCHAR)
+                           || '.spam.net',
+                       'farm' || CAST((doc_id + 2) % 4 AS VARCHAR)
+                           || '.spam.net',
+                       'farm' || CAST((doc_id + 3) % 4 AS VARCHAR)
+                           || '.spam.net'
+                   ])
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT 'funnel.biz', 'target.com'
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        hg AS (
+            SELECT src_host, dst_host, count(*) AS n_links
+            FROM e0 GROUP BY 1, 2
+        ),
+        ext AS (SELECT * FROM hg WHERE src_host != dst_host),
+        per AS (
+            SELECT e.src_host,
+                   sum(e.n_links) AS out_links,
+                   count(*) AS out_hosts,
+                   count(*) FILTER (WHERE EXISTS (
+                       SELECT 1 FROM ext b
+                       WHERE b.src_host = e.dst_host
+                         AND b.dst_host = e.src_host
+                   )) AS recip_hosts
+            FROM ext e GROUP BY e.src_host
+        )
+        SELECT src_host,
+               CAST(out_links AS BIGINT) AS out_links,
+               CAST(out_hosts AS BIGINT) AS out_hosts,
+               CAST(recip_hosts AS BIGINT) AS recip_hosts,
+               CAST(out_links // out_hosts AS BIGINT) AS concentration,
+               CAST(recip_hosts * 1000 // out_hosts AS BIGINT)
+                   AS recip_permille,
+               out_links >= 20 AND (
+                   out_links // out_hosts >= 5
+                   OR recip_hosts * 1000 // out_hosts >= 500
+               ) AS is_farm
+        FROM per ORDER BY src_host"""
+
+
+_QUERIES["link_farm"] = q_link_farm
+_ORACLES["link_farm"] = _link_farm_oracle_sql()
+
+
+def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-canonical consolidation (headmeta.canonical_collapse):
+    synthetic pages form 3-page alias groups whose first member is
+    explicitly self-canonical (even ids) or implicitly so (no link,
+    odd ids), a reversed-attribute `<link href=.. rel=canonical>`
+    variant exercises the second regex, and every 31st page points at
+    an off-corpus canonical so a group with NO self-canonical member
+    falls back to the lexicographically-first URL. The oracle derives
+    the canonical target analytically from doc_id — an extraction or
+    rep-selection bug hash-fails."""
+    from edgar_spark.parse.headmeta import canonical_collapse
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://ex.com/a/"), d.cast("string"))
+    canon_of = lambda expr: F.concat(
+        F.lit("https://ex.com/a/"), expr.cast("string")
+    )
+    link_fwd = F.concat(
+        F.lit('<link rel="canonical" href="'), canon_of(d - 1), F.lit('"/>')
+    )
+    link_rev = F.concat(
+        F.lit('<link href="'), canon_of(d - 2), F.lit('" rel="canonical"/>')
+    )
+    link_m = F.concat(
+        F.lit('<link rel="canonical" href="https://ex.com/m/'),
+        (d % 7).cast("string"),
+        F.lit('"/>'),
+    )
+    link_self = F.concat(
+        F.lit('<link rel="canonical" href="'), canon_of(d), F.lit('"/>')
+    )
+    head = (
+        F.when(d % 31 == 5, link_m)
+        .when(d % 3 == 1, link_fwd)
+        .when(d % 3 == 2, link_rev)
+        .when(d % 2 == 0, link_self)
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"), head, F.lit("</head></html>")
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return (
+        canonical_collapse(pages)
+        .select("url", "canonical_target", "group_size", "is_rep")
+        .orderBy("url")
+    )
+
+
+def _canonical_collapse_oracle_sql() -> str:
+    return """
+        WITH p AS (
+            SELECT 'https://ex.com/a/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE
+                       WHEN doc_id % 31 = 5 THEN
+                           'https://ex.com/m/' || CAST(doc_id % 7 AS VARCHAR)
+                       WHEN doc_id % 3 = 1 THEN
+                           'https://ex.com/a/' || CAST(doc_id - 1 AS VARCHAR)
+                       WHEN doc_id % 3 = 2 THEN
+                           'https://ex.com/a/' || CAST(doc_id - 2 AS VARCHAR)
+                       ELSE 'https://ex.com/a/' || CAST(doc_id AS VARCHAR)
+                   END AS canonical_target
+            FROM documents
+        ),
+        g AS (
+            SELECT url, canonical_target,
+                   count(*) OVER (PARTITION BY canonical_target)
+                       AS group_size,
+                   min(CASE WHEN url = canonical_target THEN '0' || url
+                            ELSE '1' || url END)
+                       OVER (PARTITION BY canonical_target) AS rep_tag
+            FROM p
+        )
+        SELECT url, canonical_target,
+               CAST(group_size AS BIGINT) AS group_size,
+               (CASE WHEN url = canonical_target THEN '0' || url
+                     ELSE '1' || url END) = rep_tag AS is_rep
+        FROM g ORDER BY url"""
+
+
+_QUERIES["canonical_collapse"] = q_canonical_collapse
+_ORACLES["canonical_collapse"] = _canonical_collapse_oracle_sql()
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_meta"]
+__all__ = ["extract_meta", "canonical_collapse"]
 
 
 def _ws_collapse(c: Column) -> Column:
@@ -91,4 +91,47 @@ def extract_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
         )
         .withColumn("noindex", robots.rlike(r"\bnoindex\b"))
         .withColumn("nofollow", robots.rlike(r"\bnofollow\b"))
+    )
+
+def canonical_collapse(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Collapse fetched pages by their DECLARED canonical target — the
+    ``<link rel=canonical>`` consolidation step search engines and
+    crawl pipelines run after fetch (print/mobile/tracking variants of
+    one article all declare the same canonical, and only one copy
+    should survive into the corpus).
+
+    Per page: ``canonical_target`` = the declared canonical href, or
+    the page's own URL when none is declared (self-canonical is the
+    spec default). Within each target group the representative is the
+    SELF-canonical page when present (the copy the site says is real),
+    else the lexicographically-first URL — a deterministic rule both
+    engines replay. Returns every input row with ``canonical_target``,
+    ``group_size``, and ``is_rep``; downstream keeps ``is_rep`` rows.
+
+    Run URL canonicalization (`frontier.canonical.canonicalize_url`)
+    upstream so target strings compare equal — this operator collapses
+    by string identity, by design (declared-canonical semantics are a
+    statement about the EXACT target URL).
+
+    Plan: the extract is the same codegen regex chain as
+    :func:`extract_meta`; grouping is ONE window shuffle on the target
+    (alias groups are small — a handful of variants per article — so
+    per-partition window state stays bounded; no join, no second
+    shuffle for the group size)."""
+    meta = extract_meta(df, html_col)
+    tgt = F.coalesce(F.col("canonical_url"), F.col(url_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canonical_target")
+    self_rank = F.when(F.col(url_col) == F.col("canonical_target"), 0).otherwise(1)
+    rep = F.min(F.struct(self_rank.alias("r"), F.col(url_col).alias("u"))).over(w)
+    return (
+        meta.withColumn("canonical_target", tgt)
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_rep", F.col(url_col) == rep["u"])
+        .drop(
+            "title", "meta_description", "charset", "noindex", "nofollow"
+        )
     )

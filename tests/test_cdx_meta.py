@@ -278,3 +278,46 @@ def test_strip_tracking_params(spark):
         "https://h/p?a=utm_source%3D1",
         "https://h/p?next=/a&b=1",
     ]
+
+
+def test_canonical_collapse_rep_selection(spark):
+    import pandas as pd
+
+    def page(url, canonical=None, rev=False):
+        if canonical is None:
+            link = ""
+        elif rev:
+            link = f'<link href="{canonical}" rel="canonical"/>'
+        else:
+            link = f'<link rel="canonical" href="{canonical}"/>'
+        return (url, f"<html><head>{link}</head><body/></html>")
+
+    rows = [
+        # group 1: self-canonical rep exists but sorts LAST — must win
+        page("https://e.com/z-main", "https://e.com/z-main"),
+        page("https://e.com/a-amp", "https://e.com/z-main"),
+        page("https://e.com/b-print", "https://e.com/z-main", rev=True),
+        # group 2: no self-canonical member -> lexicographic first
+        page("https://e.com/v2", "https://e.com/gone"),
+        page("https://e.com/v1", "https://e.com/gone"),
+        # implicit self-canonical: no link at all -> own group, rep
+        page("https://e.com/solo"),
+    ]
+    from edgar_spark.parse.headmeta import canonical_collapse
+
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "html"]))
+    out = canonical_collapse(df).toPandas().set_index("url")
+    g1 = out[out["canonical_target"] == "https://e.com/z-main"]
+    assert len(g1) == 3 and int(g1["group_size"].iloc[0]) == 3
+    assert bool(out.loc["https://e.com/z-main", "is_rep"])
+    assert not bool(out.loc["https://e.com/a-amp", "is_rep"])
+    assert not bool(out.loc["https://e.com/b-print", "is_rep"])
+    # reversed-attribute extraction produced the same target
+    assert (
+        out.loc["https://e.com/b-print", "canonical_target"]
+        == "https://e.com/z-main"
+    )
+    assert bool(out.loc["https://e.com/v1", "is_rep"])
+    assert not bool(out.loc["https://e.com/v2", "is_rep"])
+    assert bool(out.loc["https://e.com/solo", "is_rep"])
+    assert int(out.loc["https://e.com/solo", "group_size"]) == 1

@@ -162,3 +162,40 @@ def test_mirror_hosts_min_shared_filters_singletons(spark):
     assert mirror_hosts(docs, min_shared=2).count() == 0
     one = mirror_hosts(docs, min_shared=1).collect()
     assert len(one) == 1 and one[0]["shared_fps"] == 1
+
+
+def test_link_farm_signatures(spark):
+    import pandas as pd
+
+    from edgar_spark.operators.graph import link_farm
+
+    edges = [
+        # reciprocal ring a<->b, heavy: reciprocity + concentration
+        ("a.spam", "b.spam", 30),
+        ("b.spam", "a.spam", 30),
+        # funnel: everything at one host
+        ("funnel.biz", "target.com", 25),
+        # normal: volume spread over many hosts, no back-links
+        *[("news.com", f"h{i}.org", 2) for i in range(15)],
+        # tiny reciprocal pair under the evidence floor: unflagged
+        ("blog1.net", "blog2.net", 3),
+        ("blog2.net", "blog1.net", 3),
+        # self-loop must be ignored entirely
+        ("news.com", "news.com", 999),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src_host", "dst_host", "n_links"])
+    )
+    out = (
+        link_farm(df, min_out=20, conc_min=5, recip_min_permille=500)
+        .toPandas()
+        .set_index("src_host")
+    )
+    assert bool(out.loc["a.spam", "is_farm"])
+    assert int(out.loc["a.spam", "recip_permille"]) == 1000
+    assert bool(out.loc["funnel.biz", "is_farm"])
+    assert int(out.loc["funnel.biz", "concentration"]) == 25
+    assert not bool(out.loc["news.com", "is_farm"])
+    assert int(out.loc["news.com", "out_links"]) == 30  # self-loop dropped
+    assert not bool(out.loc["blog1.net", "is_farm"])  # floor
+    assert "target.com" not in out.index  # no outlinks, no row

@@ -292,6 +292,12 @@ AUDITS = {
         "BroadcastHashJoin",
         "!SortMergeJoin",
     ],
+    # link-farm: host-graph contraction (aggregate) + reversed-pair
+    # LeftSemi self-join at HOST-pair scale — page rows never join
+    "link_farm": ["HashAggregate", "LeftSemi"],
+    # canonical consolidation: regex extract in codegen + ONE window
+    # shuffle on the target (group size + rep ride the same window)
+    "canonical_collapse": ["Window", "!Join"],
 }
 
 
