@@ -8422,6 +8422,105 @@ _QUERIES["canonical_collapse"] = q_canonical_collapse
 _ORACLES["canonical_collapse"] = _canonical_collapse_oracle_sql()
 
 
+def q_markup_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-markup page gate over three synthesized page families —
+    a script-shell SPA (doc_id%3==0: one big raw-text script body, near
+    zero visible text), a prose page (%3==1: the document text in a
+    paragraph), and a nav-only tag-soup page (%3==2: 40 repeated anchor
+    list items) — so both permille thresholds and every census column
+    are exercised in both directions. The oracle replays the tag-event
+    census, the raw-text extract_all sum, the WET_RULES visible-text
+    chain, and the cross-multiplied integer gates (parse/wet.
+    markup_density)."""
+    from edgar_spark.parse.wet import markup_density
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    body = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<script type="text/javascript">var state = "'),
+                F.repeat(F.lit("x"), 800),
+                F.lit('";</script><div>app</div>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<nav><ul>"),
+                F.repeat(F.lit('<li><a href="/p">go</a></li>'), 40),
+                F.lit("</ul></nav>"),
+            )
+        )
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>D"),
+        did,
+        F.lit("</title><style>p { margin: 0; }</style></head><body>"),
+        body,
+        F.lit("</body></html>"),
+    )
+    return (
+        markup_density(
+            docs.select("doc_id", html.alias("html")), id_col="doc_id"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _markup_density_oracle_sql() -> str:
+    from edgar_spark.parse.wet import _RAWTEXT_RE, _TAG_START_RE
+
+    raw = _RAWTEXT_RE.replace("'", "''")
+    html = (
+        "concat('<!DOCTYPE html><html><head><title>D',"
+        " CAST(doc_id AS VARCHAR),"
+        " '</title><style>p { margin: 0; }</style></head><body>',"
+        " CASE WHEN doc_id % 3 = 0 THEN"
+        "   concat('<script type=\"text/javascript\">var state = \"',"
+        "          repeat('x', 800), '\";</script><div>app</div>')"
+        " WHEN doc_id % 3 = 1 THEN concat('<p>', text, '</p>')"
+        " ELSE concat('<nav><ul>',"
+        "             repeat('<li><a href=\"/p\">go</a></li>', 40),"
+        "             '</ul></nav>') END,"
+        " '</body></html>')"
+    )
+    wet = _wet_chain_sql("html")
+    return f"""
+    WITH h AS (SELECT doc_id, {html} AS html FROM documents),
+    c AS (
+        SELECT doc_id,
+               CAST(length(html) AS INT) AS total_chars,
+               CAST(len(regexp_extract_all(html, '{_TAG_START_RE}')) AS INT)
+                   AS tag_count,
+               CAST(coalesce(list_sum(list_transform(
+                   regexp_extract_all(html, '{raw}'),
+                   x -> length(x))), 0) AS INT) AS script_chars,
+               CAST(length(trim({wet})) AS INT) AS text_chars
+        FROM h
+    )
+    SELECT doc_id, total_chars, tag_count, script_chars, text_chars,
+           CAST(text_chars AS BIGINT) * 1000 // greatest(total_chars, 1)
+               AS text_permille,
+           CAST(script_chars AS BIGINT) * 1000 // greatest(total_chars, 1)
+               AS script_permille,
+           (CAST(text_chars AS BIGINT) * 1000
+                >= 250 * CAST(greatest(total_chars, 1) AS BIGINT))
+           AND (CAST(script_chars AS BIGINT) * 1000
+                <= 500 * CAST(greatest(total_chars, 1) AS BIGINT))
+               AS is_contentful
+    FROM c ORDER BY doc_id"""
+
+
+_QUERIES["markup_density"] = q_markup_density
+_ORACLES["markup_density"] = _markup_density_oracle_sql()
+
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

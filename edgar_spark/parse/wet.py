@@ -249,3 +249,85 @@ def block_density(
     return exploded.filter(F.col("n_chars") > 0).withColumn(
         "is_boilerplate", boiler
     )
+
+
+# any tag/comment/doctype open — the markup-event census used by the
+# density gate ('<' followed by a letter, '/', or '!'); bare '<' in
+# prose (e.g. "1 < 2") is not a markup event
+_TAG_START_RE = r"<[A-Za-z!/]"
+# raw-text element bodies (script/style) — bytes a browser never renders;
+# the same two patterns WET_RULES drops, combined so one extract_all pass
+# measures them
+_RAWTEXT_RE = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>"
+)
+
+
+def markup_density(
+    df: DataFrame,
+    id_col: str = "url",
+    html_col: str = "html",
+    min_text_permille: int = 250,
+    max_script_permille: int = 500,
+) -> DataFrame:
+    """Text-to-markup density — the page-level quality gate crawl
+    pipelines apply before spending WET/parse effort: link farms, tag
+    soup, and script-shell SPA pages carry almost no visible text per
+    raw byte, while prose pages are mostly text (the page-grain
+    counterpart of `block_density`'s block-grain link test; C4/
+    RefinedWeb apply both). The reference never needs this — it fetches
+    a curated archive where every page is worth parsing; an open-web
+    frontier that skips the gate decodes gigabytes of junk.
+
+    Per page: ``total_chars`` (raw html length), ``tag_count`` (markup
+    events: ``<`` + letter//!), ``script_chars`` (script/style body
+    chars, the never-rendered share), ``text_chars`` (visible text via
+    the `WET_RULES` chain), the two integer permille ratios, and
+    ``is_contentful`` — true when visible text ≥ ``min_text_permille``‰
+    of the raw bytes AND script/style ≤ ``max_script_permille``‰. Both
+    ratio tests are cross-multiplied integers: engine-exact, no float.
+
+    Plan: every column is a regex census over the one bound html value —
+    the whole gate fuses into the scan projection (zero shuffles, zero
+    Python); at 100 TB it costs the WET pass it was already going to
+    ride.
+    """
+    from edgar_spark.operators.text import bind
+
+    def feats(h: Column) -> Column:
+        total = F.length(h)
+        tag_count = F.size(
+            F.regexp_extract_all(h, F.lit(_TAG_START_RE), F.lit(0))
+        )
+        script_chars = F.aggregate(
+            F.regexp_extract_all(h, F.lit(_RAWTEXT_RE), F.lit(0)),
+            F.lit(0),
+            lambda acc, x: acc + F.length(x),
+        )
+        text_chars = F.length(html_to_text_col(h))
+        return F.struct(
+            total.alias("total_chars"),
+            tag_count.alias("tag_count"),
+            script_chars.alias("script_chars"),
+            text_chars.alias("text_chars"),
+        )
+
+    out = df.withColumn("_md", bind(F.col(html_col), feats)).select(
+        id_col,
+        F.col("_md.total_chars").alias("total_chars"),
+        F.col("_md.tag_count").alias("tag_count"),
+        F.col("_md.script_chars").alias("script_chars"),
+        F.col("_md.text_chars").alias("text_chars"),
+    )
+    nz = F.greatest(F.col("total_chars"), F.lit(1)).cast("bigint")  # empty -> 0‰
+    return out.selectExpr(
+        "*",
+        "CAST(text_chars AS BIGINT) * 1000 div greatest(total_chars, 1)"
+        " AS text_permille",
+        "CAST(script_chars AS BIGINT) * 1000 div greatest(total_chars, 1)"
+        " AS script_permille",
+    ).withColumn(
+        "is_contentful",
+        (F.col("text_chars").cast("bigint") * 1000 >= F.lit(min_text_permille) * nz)
+        & (F.col("script_chars").cast("bigint") * 1000 <= F.lit(max_script_permille) * nz),
+    )

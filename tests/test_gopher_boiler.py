@@ -74,3 +74,39 @@ def test_block_density_classification(spark):
     assert para["is_boilerplate"] is False
     assert tiny["is_boilerplate"] is True and tiny["n_chars"] < 20
     assert kinds  # silence lint
+
+
+def test_markup_density_gates(spark):
+    from edgar_spark.parse.wet import markup_density
+
+    prose = (
+        "<html><head><title>T</title></head><body><p>"
+        + "plain readable prose text " * 20
+        + "</p></body></html>"
+    )
+    shell = (
+        '<html><head><script>var s = "' + "x" * 500 + '";</script>'
+        "</head><body><div>app</div></body></html>"
+    )
+    soup = "<div>" + '<a href="/p">g</a>' * 50 + "</div>"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["prose", "shell", "soup", "empty"],
+             "html": [prose, shell, soup, ""]}
+        )
+    )
+    rows = {r["url"]: r for r in markup_density(df).collect()}
+    assert rows["prose"]["is_contentful"] is True
+    assert rows["prose"]["text_permille"] >= 250
+    # script shell: body chars counted, visible text near zero
+    assert rows["shell"]["is_contentful"] is False
+    assert rows["shell"]["script_chars"] >= 500
+    assert rows["shell"]["script_permille"] > 500
+    # tag soup: 50 anchors + div = 102 markup events, ~9%% visible text
+    assert rows["soup"]["is_contentful"] is False
+    assert rows["soup"]["tag_count"] == 102
+    assert rows["soup"]["text_permille"] < 250
+    # empty page: guarded division, not contentful
+    assert rows["empty"]["total_chars"] == 0
+    assert rows["empty"]["text_permille"] == 0
+    assert rows["empty"]["is_contentful"] is False

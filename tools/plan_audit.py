@@ -298,6 +298,9 @@ AUDITS = {
     # canonical consolidation: regex extract in codegen + ONE window
     # shuffle on the target (group size + rep ride the same window)
     "canonical_collapse": ["Window", "!Join"],
+    # markup-density page gate: pure regex census fused into the scan
+    # projection — no join, no aggregate, no shuffle of any kind
+    "markup_density": ["Scan parquet", "!Join", "!HashAggregate"],
 }
 
 
