@@ -8521,6 +8521,92 @@ _ORACLES["markup_density"] = _markup_density_oracle_sql()
 
 
 
+def q_line_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet mixed-language line filter over four synthesized doc
+    families: pure-English (doc_id%4==0, mix 0), one German line in
+    three (%4==1, 333permille > the 300 gate -> drop), half French (%4==2 —
+    also exercises the doc-grain marker TIE, en wins by fixed order),
+    and one unclassifiable 'und' line in four (%4==3, 250permille -> keep).
+    The oracle replays the marker argmax at BOTH grains, the line
+    split/trim filter, and the cross-multiplied permille gate
+    (operators/text.line_lang_mix)."""
+    from edgar_spark.operators.text import line_lang_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(F.lit("the and of to is doc "), F.col("doc_id").cast("string"))
+    de = F.lit("der und die nicht ist")
+    fr = F.lit("le la les et est")
+    und = F.lit("zzz qqq www")
+    text = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat_ws("\n", base, base, base))
+        .when(F.col("doc_id") % 4 == 1, F.concat_ws("\n", base, de, base))
+        .when(F.col("doc_id") % 4 == 2, F.concat_ws("\n", base, fr, fr, base))
+        .otherwise(F.concat_ws("\n", base, und, base, base))
+    )
+    return line_lang_mix(docs.select("doc_id", text.alias("text"))).orderBy(
+        "doc_id"
+    )
+
+
+def _lang_case_sql(expr: str) -> str:
+    """DuckDB marker-argmax CASE over a text expression, generated from
+    text.LANG_MARKERS so the oracle's classifier is the Spark classifier
+    by construction (same fixed tie order en, de, fr, es)."""
+    from edgar_spark.operators.text import LANG_MARKERS
+
+    toks = (
+        f"list_transform(regexp_split_to_array(trim({expr}), '\\s+'),"
+        " w -> lower(w))"
+    )
+    scores = {
+        lang: (
+            f"len(list_filter({toks}, w -> list_contains("
+            f"[{', '.join(chr(39) + m + chr(39) for m in markers)}], w)))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    case = f"CASE WHEN {best} = 0 THEN 'und'"
+    for lang in LANG_MARKERS:
+        case += f" WHEN {scores[lang]} = {best} THEN '{lang}'"
+    return case + " ELSE 'und' END"
+
+
+def _line_lang_mix_oracle_sql() -> str:
+    base = "'the and of to is doc ' || CAST(doc_id AS VARCHAR)"
+    text = f"""CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN concat_ws(chr(10), {base}, {base}, {base})
+        WHEN 1 THEN concat_ws(chr(10), {base}, 'der und die nicht ist', {base})
+        WHEN 2 THEN concat_ws(chr(10), {base}, 'le la les et est',
+                              'le la les et est', {base})
+        ELSE concat_ws(chr(10), {base}, 'zzz qqq www', {base}, {base})
+        END"""
+    return f"""
+    WITH d AS (SELECT doc_id, {text} AS text FROM documents),
+    dd AS (SELECT doc_id, text, {_lang_case_sql('text')} AS doc_lang FROM d),
+    l AS (
+        SELECT doc_id, doc_lang,
+               unnest(list_filter(regexp_split_to_array(text, chr(10)),
+                                  x -> trim(x) != '')) AS line
+        FROM dd
+    ),
+    s AS (SELECT doc_id, doc_lang, {_lang_case_sql('line')} AS line_lang
+          FROM l)
+    SELECT doc_id, doc_lang,
+           count(*) AS n_lines,
+           count(*) FILTER (WHERE line_lang = doc_lang) AS n_lines_doclang,
+           (count(*) - count(*) FILTER (WHERE line_lang = doc_lang)) * 1000
+               // count(*) AS mix_permille,
+           (count(*) - count(*) FILTER (WHERE line_lang = doc_lang)) * 1000
+               <= 300 * count(*) AS keep
+    FROM s GROUP BY doc_id, doc_lang ORDER BY doc_id"""
+
+
+_QUERIES["line_lang_mix"] = q_line_lang_mix
+_ORACLES["line_lang_mix"] = _line_lang_mix_oracle_sql()
+
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

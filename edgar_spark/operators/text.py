@@ -791,3 +791,54 @@ def gopher_rules(
         .withColumn("keep", keep)
         .drop("_toks", "_lines")
     )
+
+
+def line_lang_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_mix_permille: int = 300,
+) -> DataFrame:
+    """Per-line language consistency — CCNet's mixed-language filter
+    (Wenzek et al. 2020 drop pages whose lines disagree with the page
+    language; scraped boilerplate, embedded widgets, and wrong-language
+    quotes all surface as stray lines). The document language and every
+    line language use the SAME `lang_id` marker argmax, so a line is
+    "stray" exactly when the doc-grain and line-grain classifiers
+    disagree — including lines too short to classify ('und'), which is
+    the conservative CCNet reading.
+
+    Output per doc with ≥1 non-empty line: (id, doc_lang, n_lines,
+    n_lines_doclang, mix_permille, keep) where ``mix_permille`` is the
+    stray-line share in integer permille and ``keep`` is the
+    cross-multiplied ``mix_permille <= max_mix_permille`` test —
+    engine-exact, no float. Docs with no non-empty line drop (nothing
+    to classify; the length gates own that case).
+
+    Plan: doc-grain lang_id fuses into the scan, lines explode as a
+    Generate, line-grain lang_id is more codegen over the lambda-bound
+    line, then ONE partial-agged groupBy on (id, doc_lang) — a single
+    shuffle whose width is docs, not lines.
+    """
+    doc = lang_id(df, text_col).withColumnRenamed("pred_lang", "doc_lang")
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != ""
+    )
+    exploded = doc.select(
+        id_col, "doc_lang", F.explode(lines).alias("_line")
+    )
+    scored = lang_id(exploded, "_line")
+    agg = scored.groupBy(id_col, "doc_lang").agg(
+        F.count("*").alias("n_lines"),
+        F.count_if(F.col("pred_lang") == F.col("doc_lang")).alias(
+            "n_lines_doclang"
+        ),
+    )
+    return agg.selectExpr(
+        "*",
+        "(n_lines - n_lines_doclang) * 1000 div n_lines AS mix_permille",
+    ).withColumn(
+        "keep",
+        (F.col("n_lines") - F.col("n_lines_doclang")) * 1000
+        <= F.lit(max_mix_permille) * F.col("n_lines"),
+    )

@@ -1866,3 +1866,31 @@ def test_avi_mjpeg_container_and_stats(spark):
     assert abs(r["mean_all"] - (50 + 130 + 222) / 3) < 1e-6
     assert rows[2]["n_frames"] is None
     assert rows[3]["n_frames"] is None  # NULL payload = poisoned, not fatal
+
+
+def test_line_lang_mix(spark):
+    import pandas as pd
+    from edgar_spark.operators.text import line_lang_mix
+
+    en = "the and of to is here"
+    de = "der und die nicht ist"
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{en}\n{en}\n{en}",          # pure en -> 0‰, keep
+                f"{en}\n{de}\n{en}",          # 1/3 stray -> 333‰, drop
+                f"{en}\n\n  \n{en}",          # blank lines don't count
+                "zz qq",                       # und doc, its one line agrees
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_lang_mix(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1]["mix_permille"] == 0 and out[1]["keep"] is True
+    assert out[2]["n_lines"] == 3 and out[2]["mix_permille"] == 333
+    assert out[2]["keep"] is False
+    assert out[3]["n_lines"] == 2 and out[3]["n_lines_doclang"] == 2
+    assert out[4]["doc_lang"] == "und" and out[4]["keep"] is True

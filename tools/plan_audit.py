@@ -301,6 +301,9 @@ AUDITS = {
     # markup-density page gate: pure regex census fused into the scan
     # projection — no join, no aggregate, no shuffle of any kind
     "markup_density": ["Scan parquet", "!Join", "!HashAggregate"],
+    # per-line language mix: line Generate + ONE doc-keyed partial-agged
+    # groupBy — the single shuffle is doc-grain, lines never shuffle
+    "line_lang_mix": ["Generate", "HashAggregate", "!Join"],
 }
 
 
