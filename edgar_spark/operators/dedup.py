@@ -972,3 +972,130 @@ def suffix_dup_spans(
         )
         .drop("_rk")
     )
+
+
+# content-defined chunking parameters — LBFS-style (Muthitacharoen et al.
+# 2001): a position ends a chunk when the rolling hash of the trailing
+# window satisfies the divisor test. Polynomial-mod hash: small enough
+# that (mod-1)*base + max-codepoint stays far inside int64 in both
+# engines, large enough that the divisor test is unbiased.
+CDC_WINDOW = 8
+CDC_BASE = 31
+CDC_MOD = 1048573  # largest prime < 2^20
+CDC_DIVISOR = 64  # expected chunk length ~= divisor
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking — the storage/dedup cut primitive (LBFS,
+    FastCDC lineage; crawl archives and CAS stores dedup at the chunk
+    grain because byte-identical regions survive edits that shift their
+    offsets). Position ``i`` (1-based, ``window <= i < n``) ends a chunk
+    when ``poly_hash(chars[i-window+1 .. i]) % divisor == divisor-1``;
+    the last chunk always ends at ``n``. Because the cut test reads ONLY
+    the trailing window, an insertion near the start shifts at most the
+    chunks it touches — boundaries re-synchronize within one window, so
+    shared suffixes chunk identically across documents (tested). Plain
+    LBFS, no min/max clamp: a clamp makes each cut depend on the
+    previous one (sequential state), which would break both the
+    parallel per-position form and the SQL oracle.
+
+    One row per chunk: (id, chunk_idx, chunk_len, chunk_hash) with
+    ``chunk_hash = md5(chunk text)``. Empty documents yield no rows.
+
+    Plan: codepoints, rolling hashes, and cut positions are nested HOFs
+    over the ONE bound text value — the whole chunker fuses into the
+    scan projection (O(window) work per char, window=8 constant), then
+    chunks Generate out. Zero Python, zero shuffle; downstream census
+    (`cdc_dup_stats`) owns the keyed aggregation.
+    """
+    from edgar_spark.operators.text import bind
+
+    def chunk_structs(t):
+        n = F.length(t)
+        # rolling hash of the window ending at i, as a fold over its
+        # positions; cuts = every qualifying i, always closed by n
+        def win_hash(i):
+            return F.aggregate(
+                F.sequence(i - window + 1, i),
+                F.lit(0).cast("bigint"),
+                lambda acc, j: (
+                    acc * CDC_BASE + F.ascii(F.substring(t, j, 1))
+                ) % CDC_MOD,
+            )
+
+        # n <= window: no interior position has a full trailing window —
+        # and Spark's sequence(window, n-1) would run DESCENDING there
+        cuts = F.when(n <= window, F.array(n)).otherwise(
+            F.concat(
+                F.filter(
+                    F.sequence(F.lit(window), n - 1),
+                    lambda i: win_hash(i) % divisor == divisor - 1,
+                ),
+                F.array(n),
+            )
+        )
+        return F.zip_with(
+            F.concat(F.array(F.lit(0)), F.slice(cuts, 1, F.size(cuts) - 1)),
+            cuts,
+            lambda lo, hi: F.struct(
+                (hi - lo).alias("chunk_len"),
+                F.md5(F.substring(t, lo + 1, hi - lo)).alias("chunk_hash"),
+            ),
+        )
+
+    chunks = bind(F.col(text_col), chunk_structs)
+    return (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(id_col, F.posexplode(chunks).alias("chunk_idx", "_c"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("_c.chunk_len").alias("chunk_len"),
+            F.col("_c.chunk_hash").alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Per-document chunk-level duplication census over `cdc_chunks`:
+    (id, n_chunks, n_dup_chunks, dup_chars, total_chars, dup_permille)
+    where a chunk is duplicated when its hash occurs more than once in
+    the corpus (any document, including this one) and ``dup_permille``
+    is the duplicated-char share — the storage-dedup headline number.
+
+    Plan: chunk census is ONE partial-agged groupBy on the 32-hex hash;
+    copy counts join back on the same key (the exchange is reused), then
+    ONE doc-grain aggregate. Hashes shuffle, text never does.
+    """
+    chunks = cdc_chunks(df, id_col, text_col, window, divisor)
+    census = chunks.groupBy("chunk_hash").agg(
+        F.count("*").alias("n_copies")
+    )
+    tagged = chunks.join(census, "chunk_hash")
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(F.col("n_copies") > 1).alias("n_dup_chunks"),
+            F.sum(
+                F.when(F.col("n_copies") > 1, F.col("chunk_len")).otherwise(0)
+            ).alias("dup_chars"),
+            F.sum("chunk_len").alias("total_chars"),
+        )
+        .selectExpr(
+            "*",
+            "dup_chars * 1000 div greatest(total_chars, 1) AS dup_permille",
+        )
+    )

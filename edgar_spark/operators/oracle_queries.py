@@ -8607,6 +8607,99 @@ _ORACLES["line_lang_mix"] = _line_lang_mix_oracle_sql()
 
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking duplication census: even docs carry a
+    shared repeated tail paragraph (cross-document duplicate chunks),
+    odd docs are their own text only — so copy counts, the dup-char
+    share, and the window/divisor cut test are all exercised. The
+    oracle replays the per-position rolling-hash fold, the cut list,
+    the md5 chunk census, and the integer permille
+    (operators/dedup.cdc_chunks / cdc_dup_stats)."""
+    from edgar_spark.operators.dedup import cdc_dup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    tail = F.lit(
+        " the quick brown fox jumps over the lazy dog" * 3
+    )
+    text = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.col("text"), tail)
+    ).otherwise(F.col("text"))
+    return cdc_dup_stats(docs.select("doc_id", text.alias("text"))).orderBy(
+        "doc_id"
+    )
+
+
+def _cdc_dedup_oracle_sql() -> str:
+    from edgar_spark.operators.dedup import (
+        CDC_BASE,
+        CDC_DIVISOR,
+        CDC_MOD,
+        CDC_WINDOW,
+    )
+
+    w, b, m, d = CDC_WINDOW, CDC_BASE, CDC_MOD, CDC_DIVISOR
+    tail = " the quick brown fox jumps over the lazy dog" * 3
+    win = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(i - {w - 1}, i + 1), "
+        f"j -> CAST(ord(substr(text, j, 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc * {b} + x) % {m})"
+    )
+    return f"""
+    WITH dd AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN text || '{tail}'
+                    ELSE text END AS text
+        FROM documents WHERE length(text) > 0
+    ),
+    cut AS (
+        SELECT doc_id, text,
+               CASE WHEN length(text) <= {w} THEN [length(text)]
+                    ELSE list_concat(
+                        list_filter(range({w}, length(text)),
+                                    i -> {win} % {d} = {d - 1}),
+                        [length(text)]) END AS cuts
+        FROM dd
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(cuts) + 1), k -> struct_pack(
+                   idx := k - 1,
+                   lo := CASE WHEN k = 1 THEN 0 ELSE cuts[k - 1] END,
+                   hi := cuts[k]))) AS c,
+               text
+        FROM cut
+    ),
+    chunks AS (
+        SELECT doc_id, c.idx AS chunk_idx,
+               CAST(c.hi - c.lo AS INT) AS chunk_len,
+               md5(substr(text, CAST(c.lo + 1 AS INT),
+                          CAST(c.hi - c.lo AS INT))) AS chunk_hash
+        FROM ch
+    ),
+    census AS (
+        SELECT chunk_hash, count(*) AS n_copies FROM chunks GROUP BY 1
+    ),
+    agg AS (
+        SELECT c.doc_id,
+               count(*) AS n_chunks,
+               count(*) FILTER (WHERE n_copies > 1) AS n_dup_chunks,
+               CAST(sum(CASE WHEN n_copies > 1 THEN chunk_len ELSE 0 END)
+                    AS BIGINT) AS dup_chars,
+               CAST(sum(chunk_len) AS BIGINT) AS total_chars
+        FROM chunks c JOIN census USING (chunk_hash)
+        GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_chunks, n_dup_chunks, dup_chars, total_chars,
+           dup_chars * 1000 // greatest(total_chars, 1) AS dup_permille
+    FROM agg ORDER BY doc_id"""
+
+
+_QUERIES["cdc_dedup"] = q_cdc_dedup
+_ORACLES["cdc_dedup"] = _cdc_dedup_oracle_sql()
+
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

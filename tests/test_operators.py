@@ -1894,3 +1894,48 @@ def test_line_lang_mix(spark):
     assert out[2]["keep"] is False
     assert out[3]["n_lines"] == 2 and out[3]["n_lines_doclang"] == 2
     assert out[4]["doc_lang"] == "und" and out[4]["keep"] is True
+
+
+def test_cdc_chunking_invariants(spark):
+    import pandas as pd
+    from edgar_spark.operators.dedup import cdc_chunks, cdc_dup_stats
+
+    body = "the quick brown fox jumps over the lazy dog " * 20
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    body,
+                    "PREFIX INSERTED >> " + body,  # shifted copy
+                    "short",                        # n < window
+                    "eightchr",                     # n == window exactly
+                    "",                             # empty -> no rows
+                ],
+            }
+        )
+    )
+    rows = cdc_chunks(df).collect()
+    by = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by.setdefault(r["doc_id"], []).append((r["chunk_len"], r["chunk_hash"]))
+    # chunk lengths partition the text exactly
+    assert sum(l for l, _ in by[1]) == len(body)
+    assert len(by[1]) > 5
+    # sub-window and exact-window docs are one whole-text chunk
+    assert by[3] == [(5, by[3][0][1])] and by[4][0][0] == 8
+    assert len(by[4]) == 1
+    assert 5 not in by  # empty doc drops
+    # CDC resync: boundaries re-synchronize after the insertion, so the
+    # two copies share all but a bounded prefix of their chunk streams
+    h1 = [h for _, h in by[1]]
+    h2 = [h for _, h in by[2]]
+    shared = 0
+    while (
+        shared < min(len(h1), len(h2)) and h1[-1 - shared] == h2[-1 - shared]
+    ):
+        shared += 1
+    assert shared >= len(h1) - 3, (shared, len(h1))
+    stats = {r["doc_id"]: r.asDict() for r in cdc_dup_stats(df).collect()}
+    assert stats[1]["dup_permille"] > 500  # repeated body + shifted copy
+    assert stats[3]["n_dup_chunks"] == 0 and stats[3]["dup_permille"] == 0

@@ -304,6 +304,10 @@ AUDITS = {
     # per-line language mix: line Generate + ONE doc-keyed partial-agged
     # groupBy — the single shuffle is doc-grain, lines never shuffle
     "line_lang_mix": ["Generate", "HashAggregate", "!Join"],
+    # CDC dedup: the chunker fuses into the scan (nested HOFs), chunks
+    # Generate out; census + join-back + doc rollup are all keyed on the
+    # 32-hex chunk hash / doc id — text never shuffles, no cross join
+    "cdc_dedup": ["Generate", "HashAggregate", "!BroadcastNestedLoopJoin"],
 }
 
 
