@@ -689,3 +689,90 @@ def domain_quality(
             ).alias("keep"),
         )
     )
+
+
+def host_template_lines(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_pages: int = 2,
+    share_pct: int = 50,
+) -> DataFrame:
+    """Per-HOST template-line removal — the production form of line
+    boilerplate stripping (CCNet dedups lines within a shard; WET
+    pipelines strip per-site chrome): cookie banners, nav menus, and
+    footers repeat on most pages *of one site*, while a line shared by
+    two unrelated sites is usually quotation, not chrome. A line is
+    template ON ITS HOST when it appears on ≥ ``min_pages`` distinct
+    pages of that host AND on ≥ ``share_pct``% of the host's pages
+    (cross-multiplied integers — a 2-page host doesn't lose every line
+    two pages happen to share unless the share test agrees). The same
+    line can be template on one host and content on another — the
+    census key is (host, line), which is also what keeps the global
+    hot-line skew of a corpus-wide census off this plan.
+
+    One row per page: (url, host, text, n_lines, n_kept) with ``text``
+    reassembled from surviving lines in original order.
+
+    Plan: lines explode once; the census is ONE (host, line)-keyed
+    partial-agged aggregate; host page counts are a host-grain
+    aggregate joined into the census (host-grain ≪ line-grain, AQE
+    broadcasts it); membership is an anti-join on the census key;
+    reassembly is one url-keyed aggregate. Nothing is O(corpus²) and
+    nothing is driver-resident.
+    """
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col),
+            r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)",
+            1,
+        )
+    )
+    pages = df.select(
+        F.col(url_col).alias("_url"), host.alias("_host"), F.col(text_col)
+    )
+    lines = pages.select(
+        "_url",
+        "_host",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    host_pages = pages.groupBy("_host").agg(
+        F.count_distinct("_url").alias("_n_pages")
+    )
+    census = lines.groupBy("_host", "_line").agg(
+        F.count_distinct("_url").alias("_nd")
+    )
+    template = (
+        census.join(host_pages, "_host")
+        .filter(
+            (F.col("_nd") >= min_pages)
+            & (F.col("_nd") * 100 >= F.lit(share_pct) * F.col("_n_pages"))
+        )
+        .select("_host", "_line")
+    )
+    kept = lines.join(template, ["_host", "_line"], "left_anti")
+    rebuilt = kept.groupBy("_url").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        pages.select(
+            F.col("_url").alias(url_col),
+            F.col("_host").alias("host"),
+            F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+        )
+        .join(rebuilt, F.col(url_col) == F.col("_url"), "left")
+        .select(
+            url_col,
+            "host",
+            F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce(F.col("_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

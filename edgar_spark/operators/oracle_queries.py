@@ -8700,6 +8700,79 @@ _ORACLES["cdc_dedup"] = _cdc_dedup_oracle_sql()
 
 
 
+def q_host_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host template-line removal over a 5-host page corpus: a
+    per-host cookie banner on 100% of each host's pages (template), a
+    cross-host footer on exactly 50% (the share boundary — template at
+    the default gate), a promo line on 25% (kept), and the unique doc
+    body. concat_ws skips NULLs identically in both engines, which is
+    what makes the conditional-line construction replayable. The oracle
+    replays the (host, line) census, the host page counts, the
+    cross-multiplied share gate, the anti-join, and ordered reassembly
+    (operators/curation.host_template_lines)."""
+    from edgar_spark.operators.curation import host_template_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    hid = (F.col("doc_id") % 5).cast("string")
+    url = F.concat(
+        F.lit("https://h"), hid, F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Cookie banner for host "), hid),
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Contact page footer")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Rare promo line")),
+    )
+    return host_template_lines(
+        docs.select(url.alias("url"), text.alias("text"))
+    ).orderBy("url")
+
+
+_HOST_TEMPLATE_ORACLE = """
+    WITH p AS (
+        SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+               concat_ws(chr(10),
+                   'Cookie banner for host ' || CAST(doc_id % 5 AS VARCHAR),
+                   text,
+                   CASE WHEN doc_id % 2 = 0 THEN 'Contact page footer' END,
+                   CASE WHEN doc_id % 4 = 0 THEN 'Rare promo line' END)
+                   AS text
+        FROM documents
+    ),
+    l AS (
+        SELECT url, host,
+               unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS ord
+        FROM p
+    ),
+    hp AS (SELECT host, count(DISTINCT url) AS n_pages FROM p GROUP BY host),
+    c AS (SELECT host, line, count(DISTINCT url) AS nd
+          FROM l GROUP BY host, line),
+    t AS (
+        SELECT c.host, c.line FROM c JOIN hp USING (host)
+        WHERE nd >= 2 AND nd * 100 >= 50 * n_pages
+    ),
+    k AS (SELECT l.* FROM l ANTI JOIN t USING (host, line)),
+    a AS (
+        SELECT url, string_agg(line, chr(10) ORDER BY ord) AS text2,
+               count(*) AS n_kept
+        FROM k GROUP BY url
+    )
+    SELECT p.url, p.host, coalesce(a.text2, '') AS text,
+           CAST(len(string_split(p.text, chr(10))) AS INT) AS n_lines,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+    FROM p LEFT JOIN a USING (url) ORDER BY url"""
+
+
+_QUERIES["host_template"] = q_host_template
+_ORACLES["host_template"] = _HOST_TEMPLATE_ORACLE
+
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

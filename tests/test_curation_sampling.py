@@ -177,3 +177,39 @@ def test_domain_quality_integer_score_reference(spark):
     out = domain_quality(df).toPandas()
     assert set(out["q_milli"]) == {expect}
     assert set(out["domain_avg_q_milli"]) == {expect}
+
+
+def test_host_template_lines_scoping(spark):
+    import pandas as pd
+    from edgar_spark.operators.curation import host_template_lines
+
+    # hostA: banner on all 3 pages (template), quote on 1 page (kept);
+    # hostB: 2 pages sharing the SAME quote line -> template on B only
+    rows = pd.DataFrame(
+        {
+            "url": [
+                "https://a.ex/1", "https://a.ex/2", "https://a.ex/3",
+                "https://b.ex/1", "https://b.ex/2",
+            ],
+            "text": [
+                "BANNER\nalpha body one",
+                "BANNER\nalpha body two\nshared quote",
+                "BANNER\nalpha body three",
+                "shared quote\nbeta body one",
+                "shared quote\nbeta body two",
+            ],
+        }
+    )
+    out = {
+        r["url"]: r
+        for r in host_template_lines(spark.createDataFrame(rows)).collect()
+    }
+    # banner stripped on every a.ex page
+    assert out["https://a.ex/1"]["text"] == "alpha body one"
+    # 'shared quote' on a.ex: 1 of 3 pages -> NOT template there
+    assert out["https://a.ex/2"]["text"] == "alpha body two\nshared quote"
+    # same line on b.ex: 2 of 2 pages -> template there, stripped
+    assert out["https://b.ex/1"]["text"] == "beta body one"
+    assert out["https://b.ex/1"]["n_lines"] == 2
+    assert out["https://b.ex/1"]["n_kept"] == 1
+    assert out["https://a.ex/3"]["host"] == "a.ex"

@@ -308,6 +308,10 @@ AUDITS = {
     # Generate out; census + join-back + doc rollup are all keyed on the
     # 32-hex chunk hash / doc id — text never shuffles, no cross join
     "cdc_dedup": ["Generate", "HashAggregate", "!BroadcastNestedLoopJoin"],
+    # host-scoped template strip: (host,line) census + anti-join on the
+    # same key + url-keyed reassembly — same shape as line_dedup, census
+    # key carries the host so global hot lines never concentrate
+    "host_template": ["Generate", "LeftAnti", "HashAggregate"],
 }
 
 
