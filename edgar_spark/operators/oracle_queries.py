@@ -8773,6 +8773,75 @@ _ORACLES["host_template"] = _HOST_TEMPLATE_ORACLE
 
 
 
+_PHRASES = {
+    "p_dup": "table table",        # duplicate-term phrase (slot-exactness)
+    "p_bi": "value fast",          # common bigram
+    "p_tri": "batch window spark", # 3-term phrase, sparse matches
+}
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval: three literal phrases (a duplicate-term
+    bigram, a common bigram, a sparse trigram) over the documents
+    corpus via shifted-position voting — ONE broadcast slot join + ONE
+    (phrase, doc, start) groupBy, never a per-word positional
+    self-join. The oracle replays tokenization, the slot votes, the
+    distinct-slot start test, and the top-k ordering
+    (operators/retrieval.phrase_topk)."""
+    from edgar_spark.operators.retrieval import phrase_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_topk(docs, _PHRASES, k=5).orderBy("phrase_id", "rank")
+
+
+def _phrase_topk_oracle_sql() -> str:
+    slot_rows = []
+    for pid, phrase in _PHRASES.items():
+        words = [w for w in phrase.lower().split() if w]
+        for i, w in enumerate(words):
+            slot_rows.append(
+                f"('{pid}', {i}, '{w}', {len(words)})"
+            )
+    slots = ", ".join(slot_rows)
+    return f"""
+    WITH pp AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+'),
+                                  w -> w != '')) AS term,
+               generate_subscripts(list_filter(regexp_split_to_array(
+                   lower(text), '[^a-z0-9]+'), w -> w != ''), 1) - 1 AS pos
+        FROM documents
+    ),
+    slots(phrase_id, slot, term, m) AS (VALUES {slots}),
+    votes AS (
+        SELECT phrase_id, doc_id, pos - slot AS start, slot, m
+        FROM pp JOIN slots USING (term)
+        WHERE pos - slot >= 0
+    ),
+    starts AS (
+        SELECT phrase_id, doc_id, start
+        FROM votes
+        GROUP BY phrase_id, doc_id, start, m
+        HAVING count(DISTINCT slot) = m
+    ),
+    counts AS (
+        SELECT phrase_id, doc_id, count(*) AS n_occurrences
+        FROM starts GROUP BY phrase_id, doc_id
+    )
+    SELECT phrase_id, doc_id, n_occurrences, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY phrase_id
+            ORDER BY n_occurrences DESC, doc_id) AS rank
+        FROM counts
+    ) WHERE rank <= 5 ORDER BY phrase_id, rank"""
+
+
+_QUERIES["phrase_topk"] = q_phrase_topk
+_ORACLES["phrase_topk"] = _phrase_topk_oracle_sql()
+
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -30,12 +30,17 @@ Scale design (10^10 docs):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from edgar_spark.operators.text import alnum_terms
 
-__all__ = ["index_terms", "postings", "postings_with_dl", "tfidf_topk", "bm25_topk"]
+__all__ = [
+    "index_terms", "postings", "postings_with_dl", "tfidf_topk",
+    "bm25_topk", "positional_postings", "phrase_topk",
+]
 
 IDF_SCALE = 1000
 
@@ -233,4 +238,87 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "score")
+    )
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: (term, doc_id, pos) with ``pos`` the
+    0-based index in the `index_terms` token stream — the index layout
+    phrase and proximity queries need. Pure explode over the scan; the
+    caller owns any keyed aggregation downstream."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(index_terms(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_topk(
+    df: DataFrame,
+    phrases: dict[str, str],
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over positional postings, top-k docs per
+    phrase by occurrence count — the retrieval operator BM25 can't
+    express (benchmark decontamination and quote tracing both need
+    exact adjacency, not bag-of-words overlap).
+
+    The scale-correct shape: instead of the textbook m-1 position
+    self-joins, every posting that matches phrase slot ``i`` votes for
+    the candidate START ``pos - i``; a start where all ``m`` distinct
+    slots voted is a match. That is ONE broadcast join (postings ⋈
+    phrase slots — the phrase table is a literal) and ONE partial-agged
+    groupBy on (phrase, doc, start) — the corpus shuffles once, on a
+    key whose cardinality is matched-postings, never a term-keyed
+    self-join per phrase word. Duplicate words in a phrase ("table
+    table") are exact: votes count DISTINCT slots, and the same posting
+    legitimately votes for two different starts.
+
+    Output: (phrase_id, doc_id, n_occurrences, rank) for the top ``k``
+    docs per phrase (count DESC, id ASC — WindowGroupLimit prunes
+    before any global sort). Phrases tokenize with `index_terms`, the
+    corpus tokenizer, so "Fast, Table!" matches "fast table".
+    """
+    rows = []
+    for pid, phrase in phrases.items():
+        words = [w for w in re.split(r"[^a-z0-9]+", phrase.lower()) if w]
+        if not words:
+            raise ValueError(f"phrase {pid!r} has no indexable terms")
+        for i, w in enumerate(words):
+            rows.append((pid, i, w, len(words)))
+    spark = df.sparkSession
+    slots = F.broadcast(
+        spark.createDataFrame(
+            rows, "phrase_id string, slot int, term string, m int"
+        )
+    )
+    pp = positional_postings(df, id_col, text_col)
+    votes = pp.join(slots, "term").select(
+        "phrase_id",
+        id_col,
+        (F.col("pos") - F.col("slot")).alias("start"),
+        "slot",
+        "m",
+    )
+    starts = (
+        votes.filter(F.col("start") >= 0)
+        .groupBy("phrase_id", id_col, "start")
+        .agg(
+            F.count_distinct("slot").alias("seen"),
+            F.first("m").alias("m"),
+        )
+        .filter(F.col("seen") == F.col("m"))
+    )
+    counts = starts.groupBy("phrase_id", id_col).agg(
+        F.count("*").alias("n_occurrences")
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("n_occurrences").desc(), F.col(id_col)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

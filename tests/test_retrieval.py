@@ -233,3 +233,33 @@ def test_nsw_graph_ann_recall_at_least_ivf(spark):
     ivf_recall = len(ivf & truth) / len(truth)
     assert nsw_recall >= ivf_recall
     assert nsw_recall >= 0.9
+
+
+def test_phrase_topk_exactness(spark):
+    import pandas as pd
+    from edgar_spark.operators.retrieval import phrase_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "fast table scan beats slow table scan",
+                "table table table",          # overlapping dup-term starts
+                "Fast, Table! extra words",   # punctuation-insensitive
+                "table fast",                 # reversed -> no match
+            ],
+        }
+    )
+    out = phrase_topk(
+        spark.createDataFrame(docs),
+        {"ts": "table scan", "tt": "table table", "ft": "fast table"},
+        k=5,
+    ).collect()
+    got = {(r["phrase_id"], r["doc_id"]): r["n_occurrences"] for r in out}
+    assert got[("ts", 1)] == 2          # two adjacent occurrences
+    assert got[("tt", 2)] == 2          # starts 0 and 1 both match
+    assert got[("ft", 1)] == 1 and got[("ft", 3)] == 1
+    assert ("ft", 4) not in got         # order matters
+    assert ("tt", 1) not in got         # "table ... table" not adjacent
+    ranks = {(r["phrase_id"], r["rank"]): r["doc_id"] for r in out}
+    assert ranks[("ts", 1)] == 1

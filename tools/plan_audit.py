@@ -312,6 +312,10 @@ AUDITS = {
     # same key + url-keyed reassembly — same shape as line_dedup, census
     # key carries the host so global hot lines never concentrate
     "host_template": ["Generate", "LeftAnti", "HashAggregate"],
+    # phrase search: literal slot table broadcasts to the positional
+    # postings; shifted-start voting is partial-agged groupBys — no
+    # per-word positional self-join, top-k prunes via WindowGroupLimit
+    "phrase_topk": ["BroadcastHashJoin", "WindowGroupLimit", "!SortMergeJoin"],
 }
 
 
