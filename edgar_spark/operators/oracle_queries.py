@@ -8842,6 +8842,123 @@ _ORACLES["phrase_topk"] = _phrase_topk_oracle_sql()
 
 
 
+def q_anchor_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-field retrieval over a synthesized link graph: page i
+    links to page (7i+13) mod N with one of four fixed anchor strings
+    keyed by the TARGET id — 'guide' never occurs in any body (the
+    corpus vocabulary lacks it), so query q2 reaches those docs by
+    inbound anchors alone, the signal this operator exists for. The
+    oracle replays both posting fields, the weighted union, the
+    either-field idf, and the quantized scoring
+    (operators/retrieval.anchor_field_topk)."""
+    from edgar_spark.operators.retrieval import anchor_field_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    n = F.broadcast(docs.agg(F.count("*").alias("_n")))
+    url = F.concat(
+        F.lit("https://s.example/p/"), F.col("doc_id").cast("string")
+    )
+    pages = docs.select(url.alias("url"), "text")
+    dst_id = (F.col("doc_id") * 7 + 13) % F.col("_n")
+    anchor = (
+        F.when(dst_id % 4 == 0, F.lit("fast table links"))
+        .when(dst_id % 4 == 1, F.lit("spark window guide"))
+        .when(dst_id % 4 == 2, F.lit("slow scan page"))
+        .otherwise(F.lit("data stream notes"))
+    )
+    links = docs.crossJoin(n).select(
+        url.alias("src"),
+        F.concat(
+            F.lit("https://s.example/p/"), dst_id.cast("string")
+        ).alias("dst_url"),
+        anchor.alias("anchor"),
+    )
+    qdf = spark.createDataFrame(
+        [("q1", "fast table"), ("q2", "spark window guide")],
+        "query_id string, query_text string",
+    )
+    return anchor_field_topk(pages, links, qdf, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+_ANCHOR_SEARCH_ORACLE = """
+    WITH pages AS (
+        SELECT 'https://s.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+               text
+        FROM documents
+    ),
+    links AS (
+        SELECT 'https://s.example/p/' || CAST(
+                   (doc_id * 7 + 13) % (SELECT count(*) FROM documents)
+                   AS VARCHAR) AS dst_url,
+               CASE CAST(((doc_id * 7 + 13)
+                          % (SELECT count(*) FROM documents)) % 4 AS INT)
+                   WHEN 0 THEN 'fast table links'
+                   WHEN 1 THEN 'spark window guide'
+                   WHEN 2 THEN 'slow scan page'
+                   ELSE 'data stream notes' END AS anchor
+        FROM documents
+    ),
+    q(query_id, query_text) AS (VALUES ('q1', 'fast table'),
+                                       ('q2', 'spark window guide')),
+    body AS (
+        SELECT term, url AS id, count(*) AS tf_body,
+               CAST(0 AS BIGINT) AS tf_anchor
+        FROM (SELECT url, unnest(list_filter(regexp_split_to_array(
+                  lower(text), '[^a-z0-9]+'), w -> w != '')) AS term
+              FROM pages)
+        GROUP BY term, url
+    ),
+    anch AS (
+        SELECT term, dst_url AS id, CAST(0 AS BIGINT) AS tf_body,
+               count(*) AS tf_anchor
+        FROM (SELECT dst_url, unnest(list_filter(regexp_split_to_array(
+                  lower(anchor), '[^a-z0-9]+'), w -> w != '')) AS term
+              FROM links)
+        GROUP BY term, dst_url
+    ),
+    fielded AS (
+        SELECT term, id,
+               sum(tf_body) + 3 * sum(tf_anchor) AS tf_f
+        FROM (SELECT * FROM body UNION ALL SELECT * FROM anch)
+        GROUP BY term, id
+    ),
+    idf AS (
+        SELECT term,
+               ((SELECT count(*) FROM pages) * 1000) // count(*)
+                   AS idf_scaled
+        FROM fielded GROUP BY term
+    ),
+    qt AS (
+        SELECT query_id,
+               unnest(list_filter(regexp_split_to_array(lower(query_text),
+                   '[^a-z0-9]+'), w -> w != '')) AS term
+        FROM q
+    ),
+    qterms AS (
+        SELECT query_id, term, count(*) AS q_tf FROM qt GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, id,
+               CAST(sum(q_tf * tf_f * idf_scaled) AS BIGINT) AS score
+        FROM fielded
+        JOIN qterms USING (term)
+        JOIN idf USING (term)
+        GROUP BY query_id, id
+    )
+    SELECT query_id, rank, id AS url, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, id) AS rank
+        FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank"""
+
+
+_QUERIES["anchor_search"] = q_anchor_search
+_ORACLES["anchor_search"] = _ANCHOR_SEARCH_ORACLE
+
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -39,7 +39,7 @@ from edgar_spark.operators.text import alnum_terms
 
 __all__ = [
     "index_terms", "postings", "postings_with_dl", "tfidf_topk",
-    "bm25_topk", "positional_postings", "phrase_topk",
+    "bm25_topk", "positional_postings", "phrase_topk", "anchor_field_topk",
 ]
 
 IDF_SCALE = 1000
@@ -321,4 +321,104 @@ def phrase_topk(
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def anchor_field_topk(
+    docs: DataFrame,
+    links: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    anchor_weight: int = 3,
+    id_col: str = "url",
+    text_col: str = "text",
+    dst_col: str = "dst_url",
+    anchor_col: str = "anchor",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Fielded retrieval with inbound anchor text (BM25F-lite) — the
+    web-search signal body text can't carry: a page is described by the
+    words *other* pages use to link to it (how search engines find
+    pages whose own text never says what they are). Term frequency per
+    (term, doc) = ``tf_body + anchor_weight × tf_anchor`` where
+    ``tf_anchor`` counts the term across ALL inbound anchors of the
+    doc; idf counts docs matching in EITHER field; score is the same
+    quantized ``q_tf × tf × ((N × 1000) div df)`` exact-BIGINT rational
+    as `tfidf_topk`. A doc whose body never contains the query can
+    still rank — by anchors alone (tested).
+
+    Output: (query_id, rank, id, score), top-k per query (score DESC,
+    id ASC).
+
+    Plan: body and anchor postings each pay their one term-keyed
+    partial-agged shuffle, then UNION + re-aggregate on the same key
+    (no outer join — the union rides the existing partitioning); idf is
+    a vocabulary-grain aggregate; queries (idf pre-folded) broadcast to
+    the fielded postings; top-k prunes via WindowGroupLimit. Nothing
+    corpus-scale ever joins on a text key against another corpus-scale
+    side.
+    """
+    body = postings(docs, id_col, text_col).select(
+        "term",
+        F.col(id_col).alias("_id"),
+        F.col("tf").alias("tf_body"),
+        F.lit(0).cast("bigint").alias("tf_anchor"),
+    )
+    anchor = (
+        links.select(
+            F.col(dst_col).alias("_id"),
+            F.explode(index_terms(F.col(anchor_col))).alias("term"),
+        )
+        .groupBy("term", "_id")
+        .agg(F.count("*").alias("tf_anchor"))
+        .select(
+            "term",
+            "_id",
+            F.lit(0).cast("bigint").alias("tf_body"),
+            "tf_anchor",
+        )
+    )
+    fielded = (
+        body.unionByName(anchor)
+        .groupBy("term", "_id")
+        .agg(
+            (
+                F.sum("tf_body")
+                + F.lit(anchor_weight) * F.sum("tf_anchor")
+            ).alias("tf_f")
+        )
+    )
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    idf = (
+        fielded.groupBy("term")
+        .agg(F.count("*").alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term", F.expr(f"(_n * {IDF_SCALE}) div _df").alias("idf_scaled")
+        )
+    )
+    q_terms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(index_terms(F.col(query_text_col))).alias("term"),
+        )
+        .groupBy(query_id_col, "term")
+        .agg(F.count("*").alias("q_tf"))
+    )
+    weighted = idf.join(F.broadcast(q_terms), "term").select(
+        query_id_col, "term", "q_tf", "idf_scaled"
+    )
+    scored = (
+        fielded.join(F.broadcast(weighted), "term")
+        .groupBy(query_id_col, "_id")
+        .agg(F.sum(F.expr("q_tf * tf_f * idf_scaled")).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", F.col("_id").alias(id_col), "score")
     )

@@ -263,3 +263,43 @@ def test_phrase_topk_exactness(spark):
     assert ("tt", 1) not in got         # "table ... table" not adjacent
     ranks = {(r["phrase_id"], r["rank"]): r["doc_id"] for r in out}
     assert ranks[("ts", 1)] == 1
+
+
+def test_anchor_field_topk_anchor_only_reach(spark):
+    import pandas as pd
+    from edgar_spark.operators.retrieval import anchor_field_topk
+
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1", "u2", "u3"],
+                "text": [
+                    "fast table scan notes",
+                    "unrelated body words entirely",
+                    "fast fast fast",
+                ],
+            }
+        )
+    )
+    # u2's body never says 'homepage'; two inbound anchors do
+    links = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "dst_url": ["u2", "u2", "u3"],
+                "anchor": ["official homepage", "project homepage", "fast"],
+            }
+        )
+    )
+    q = spark.createDataFrame(
+        [("qa", "homepage"), ("qb", "fast")],
+        "query_id string, query_text string",
+    )
+    out = anchor_field_topk(pages, links, q, k=3).collect()
+    got = {(r["query_id"], r["rank"]): (r["url"], r["score"]) for r in out}
+    # anchor-only reach: u2 found for 'homepage' despite body mismatch
+    assert got[("qa", 1)][0] == "u2"
+    assert len([k for k in got if k[0] == "qa"]) == 1
+    # fielded tf: u3 has tf_body=3 + one weighted anchor (3*1) = 6 > u1's 1
+    assert got[("qb", 1)][0] == "u3"
+    assert got[("qb", 2)][0] == "u1"
+    assert got[("qb", 1)][1] > got[("qb", 2)][1]

@@ -316,6 +316,10 @@ AUDITS = {
     # postings; shifted-start voting is partial-agged groupBys — no
     # per-word positional self-join, top-k prunes via WindowGroupLimit
     "phrase_topk": ["BroadcastHashJoin", "WindowGroupLimit", "!SortMergeJoin"],
+    # anchor-field retrieval: body+anchor postings union on the one term
+    # shuffle; idf-folded queries broadcast; top-k prunes per query —
+    # corpus-scale sides never sort-merge-join on a text key
+    "anchor_search": ["Union", "BroadcastHashJoin", "WindowGroupLimit"],
 }
 
 
