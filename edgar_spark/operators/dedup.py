@@ -288,17 +288,7 @@ def minhash_lsh_candidates(
     ``bucket_cap`` bounds the in-bucket join: overflow buckets emit linear
     star candidates to the bucket min-id instead (see
     ``_capped_bucket_pairs``)."""
-    n_hashes_col = F.size("sig")
-    rows_per_band = (n_hashes_col / bands).cast("int")
-    banded = sigs.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band),
-            )
-        ).alias("band", "chunk"),
-    ).select(id_col, "band", F.xxhash64(F.col("band"), F.col("chunk")).alias("bucket"))
+    banded = minhash_bands(sigs, bands, id_col)
     return _capped_bucket_pairs(banded, ["band", "bucket"], bucket_cap, id_col)
 
 
@@ -1097,5 +1087,110 @@ def cdc_dup_stats(
         .selectExpr(
             "*",
             "dup_chars * 1000 div greatest(total_chars, 1) AS dup_permille",
+        )
+    )
+
+
+def minhash_bands(
+    sigs: DataFrame, bands: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, bucket) LSH banding of a ``(id, sig)`` table — the
+    shared front half of `minhash_lsh_candidates`, exposed so pipelines
+    that need a NON-default candidate policy (e.g. `incremental_dedup`'s
+    batch-vs-corpus asymmetry) reuse the exact banding."""
+    n_hashes_col = F.size("sig")
+    rows_per_band = (n_hashes_col / bands).cast("int")
+    return sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "chunk"),
+    ).select(
+        id_col, "band", F.xxhash64(F.col("band"), F.col("chunk")).alias("bucket")
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW crawl batch against an existing clean corpus — the
+    production shape of near-dedup: the corpus was already deduped (its
+    signatures are a stored artifact; recomputing them here is the
+    sandbox stand-in for reading them), so candidate generation must
+    never enumerate corpus×corpus pairs. A batch doc is dropped when it
+    near-dups (estimated Jaccard ≥ ``threshold``) ANY corpus doc, or
+    ANY batch doc with a smaller id (first occurrence wins; the rule is
+    one-pass — an earlier blocker that is itself dropped still blocks,
+    the standard bulk-filter semantics, no chaining).
+
+    Output: one row per batch doc — (id, is_dup, dup_of) where
+    ``dup_of`` is the smallest verified corpus blocker if any, else the
+    smallest verified batch blocker, else NULL.
+
+    Plan: both sides band once (`minhash_bands`); the bucket join is
+    batch-side × all-side with the asymmetric predicate, so its output
+    is O(batch × bucket-mates), never O(corpus²); verification joins
+    signatures on ids; the verdict is ONE batch-id-grain aggregate. At
+    a 100 TB corpus + 1 TB batch, corpus text never shuffles — only
+    its (stored) signatures band.
+    """
+    sig_c = minhash_signatures(corpus, n_hashes, shingle_k, text_col, id_col)
+    sig_b = minhash_signatures(batch, n_hashes, shingle_k, text_col, id_col)
+    sigs = sig_c.withColumn("side", F.lit("c")).unionByName(
+        sig_b.withColumn("side", F.lit("b"))
+    )
+    banded = minhash_bands(sigs.select(id_col, "sig"), bands, id_col).join(
+        sigs.select(id_col, "side"), id_col
+    )
+    x = banded.filter(F.col("side") == "b").select(
+        F.col(id_col).alias("_bid"), "band", "bucket"
+    )
+    y = banded.select(
+        F.col(id_col).alias("_oid"), F.col("side").alias("_oside"),
+        "band", "bucket",
+    )
+    cand = (
+        x.join(y, ["band", "bucket"])
+        .filter((F.col("_oside") == "c") | (F.col("_oid") < F.col("_bid")))
+        .select("_bid", "_oid", "_oside")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("_bid"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("_oid"), F.col("sig").alias("_sb"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_sa", "_sb", lambda p, q: p == q), lambda e: e
+            )
+        ).cast("double")
+        / F.size("_sa")
+    )
+    verified = (
+        cand.join(sa, "_bid")
+        .join(sb, "_oid")
+        .filter(est >= threshold)
+        .select("_bid", "_oid", "_oside")
+    )
+    verdict = verified.groupBy("_bid").agg(
+        F.min(F.when(F.col("_oside") == "c", F.col("_oid"))).alias("_cmin"),
+        F.min(F.when(F.col("_oside") == "b", F.col("_oid"))).alias("_bmin"),
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(verdict, F.col(id_col) == F.col("_bid"), "left")
+        .select(
+            id_col,
+            F.col("_bid").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("_cmin"), F.col("_bmin")).alias("dup_of"),
         )
     )

@@ -8959,6 +8959,78 @@ _ORACLES["anchor_search"] = _ANCHOR_SEARCH_ORACLE
 
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental near-dedup: corpus = even docs; the
+    batch re-submits every doc_id%3==0 text under id+100000, plus a
+    SECOND copy of the odd multiples of three under id+200000 — so the
+    batch holds corpus dups (even multiples of 3 → blocked by the
+    corpus), first-occurrence batch originals (odd multiples → kept),
+    and batch-internal dups (the +200000 copies → blocked by their
+    +100000 twin). The oracle reuses the shared minhash CTE over the
+    unioned table and replays the asymmetric candidate rule and the
+    corpus-first dup_of pick (operators/dedup.incremental_dedup)."""
+    from edgar_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 1)
+            ).select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+        )
+    )
+    return incremental_dedup(corpus, batch, threshold=0.5).orderBy("doc_id")
+
+
+def _incremental_dedup_oracle_sql() -> str:
+    prelude = (
+        "alldocs AS ("
+        " SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+        " UNION ALL"
+        " SELECT doc_id + 100000 AS doc_id, text FROM documents"
+        "  WHERE doc_id % 3 = 0"
+        " UNION ALL"
+        " SELECT doc_id + 200000 AS doc_id, text FROM documents"
+        "  WHERE doc_id % 3 = 0 AND doc_id % 2 = 1"
+        "),"
+    )
+    return f"""{_minhash_cte(64, 5, 16, src="alldocs", prelude=prelude)},
+        cand_inc AS (
+            SELECT DISTINCT x.doc_id AS bid, y.doc_id AS oid
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.chunk = y.chunk
+            WHERE x.doc_id >= 100000
+              AND (y.doc_id < 100000 OR y.doc_id < x.doc_id)
+        ),
+        ver AS (
+            SELECT bid, oid FROM cand_inc
+            JOIN sig sa ON sa.doc_id = bid
+            JOIN sig sb ON sb.doc_id = oid
+            WHERE CAST(len(list_filter(range(64),
+                      i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 64 >= 0.5
+        ),
+        verdict AS (
+            SELECT bid,
+                   min(CASE WHEN oid < 100000 THEN oid END) AS c_min,
+                   min(CASE WHEN oid >= 100000 THEN oid END) AS b_min
+            FROM ver GROUP BY bid
+        )
+        SELECT a.doc_id,
+               v.bid IS NOT NULL AS is_dup,
+               coalesce(v.c_min, v.b_min) AS dup_of
+        FROM (SELECT doc_id FROM alldocs WHERE doc_id >= 100000) a
+        LEFT JOIN verdict v ON v.bid = a.doc_id
+        ORDER BY a.doc_id"""
+
+
+_QUERIES["incremental_dedup"] = q_incremental_dedup
+_ORACLES["incremental_dedup"] = _incremental_dedup_oracle_sql()
+
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -1939,3 +1939,38 @@ def test_cdc_chunking_invariants(spark):
     stats = {r["doc_id"]: r.asDict() for r in cdc_dup_stats(df).collect()}
     assert stats[1]["dup_permille"] > 500  # repeated body + shifted copy
     assert stats[3]["n_dup_chunks"] == 0 and stats[3]["dup_permille"] == 0
+
+
+def test_incremental_dedup_verdicts(spark):
+    import pandas as pd
+    from edgar_spark.operators.dedup import incremental_dedup
+
+    body_a = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    body_b = "one two three four five six seven eight nine ten " * 6
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [body_a, body_b]})
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [
+                    body_a,                      # corpus dup -> dup_of=1
+                    "completely novel content words here " * 8,  # kept
+                    body_a,   # dups corpus AND batch 10 -> corpus wins
+                    "completely novel content words here " * 8,  # dups 11
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup(corpus, batch, threshold=0.5).collect()
+    }
+    assert out[10]["is_dup"] is True and out[10]["dup_of"] == 1
+    assert out[11]["is_dup"] is False and out[11]["dup_of"] is None
+    # corpus blocker preferred over the smaller batch blocker
+    assert out[12]["is_dup"] is True and out[12]["dup_of"] == 1
+    # batch-internal dup: blocked by its earlier twin
+    assert out[13]["is_dup"] is True and out[13]["dup_of"] == 11
+    assert len(out) == 4

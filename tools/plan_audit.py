@@ -320,6 +320,10 @@ AUDITS = {
     # shuffle; idf-folded queries broadcast; top-k prunes per query —
     # corpus-scale sides never sort-merge-join on a text key
     "anchor_search": ["Union", "BroadcastHashJoin", "WindowGroupLimit"],
+    # incremental dedup: batch-side bands join all-side bands on the
+    # bucket key (asymmetric filter — corpus x corpus never enumerates);
+    # verify joins signatures on id; verdict is one batch-grain agg
+    "incremental_dedup": ["MapInPandas", "HashAggregate", "!BroadcastNestedLoopJoin"],
 }
 
 
