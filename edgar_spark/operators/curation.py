@@ -776,3 +776,57 @@ def host_template_lines(
             F.coalesce(F.col("_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus datasheet — the "dataset card" rollup every
+    released training corpus ships (docs, token volume, language mix,
+    exact-duplicate exposure per source), composed as ONE Catalyst plan
+    so the numbers are mutually consistent by construction (they read
+    the same snapshot of the same rows).
+
+    Per source: n_docs, n_tokens (whitespace), mean_tokens (integer
+    div), n_unique_texts, n_dup_docs (docs whose exact text occurs more
+    than once in the WHOLE corpus — cross-source copies count, which is
+    what a contamination audit wants), dup_permille, and the language
+    census n_en/n_de/n_fr/n_es/n_und from the shared `lang_id` argmax.
+
+    Plan: lang + tokens + md5 fuse into the scan; the text census is
+    ONE partial-agged groupBy on the 32-hex hash; copy counts join back
+    on the same key; the datasheet is ONE source-grain aggregate.
+    Text shuffles never — only hashes and small integers.
+    """
+    from edgar_spark.operators.text import lang_id, token_count
+
+    per_doc = lang_id(df, text_col).select(
+        F.col(source_col).alias("_src"),
+        F.col("pred_lang").alias("_lang"),
+        token_count(F.col(text_col)).cast("long").alias("_ntok"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    census = per_doc.groupBy("_h").agg(F.count("*").alias("_copies"))
+    joined = per_doc.join(census, "_h")
+    langs = ["en", "de", "fr", "es", "und"]
+    return (
+        joined.groupBy(F.col("_src").alias(source_col))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_ntok").alias("n_tokens"),
+            F.count_distinct("_h").alias("n_unique_texts"),
+            F.count_if(F.col("_copies") > 1).alias("n_dup_docs"),
+            *[
+                F.count_if(F.col("_lang") == lang).alias(f"n_{lang}")
+                for lang in langs
+            ],
+        )
+        .selectExpr(
+            "*",
+            "n_tokens div greatest(n_docs, 1) AS mean_tokens",
+            "n_dup_docs * 1000 div greatest(n_docs, 1) AS dup_permille",
+        )
+    )

@@ -9031,6 +9031,69 @@ _ORACLES["incremental_dedup"] = _incremental_dedup_oracle_sql()
 
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card rollup with injected exact duplicates:
+    docs with doc_id%7==0 are overwritten by a FIXED string, so the
+    same text recurs across sources and the cross-source duplicate
+    census has real mass. The oracle replays the lang argmax, token
+    counts, the md5 census with join-back, and both integer div ratios
+    (operators/curation.corpus_datasheet)."""
+    from edgar_spark.operators.curation import corpus_datasheet
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit("the and of to is shared duplicate body"),
+    ).otherwise(F.col("text"))
+    return corpus_datasheet(
+        docs.select("doc_id", "source", text.alias("text"))
+    ).orderBy("source")
+
+
+def _corpus_datasheet_oracle_sql() -> str:
+    lang = _lang_case_sql("text")
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'the and of to is shared duplicate body'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT source, {lang} AS lang,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS BIGINT) AS ntok,
+               md5(text) AS h
+        FROM d
+    ),
+    census AS (SELECT h, count(*) AS copies FROM per_doc GROUP BY h),
+    j AS (SELECT per_doc.*, copies FROM per_doc JOIN census USING (h)),
+    agg AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               count(DISTINCT h) AS n_unique_texts,
+               count(*) FILTER (WHERE copies > 1) AS n_dup_docs,
+               count(*) FILTER (WHERE lang = 'en') AS n_en,
+               count(*) FILTER (WHERE lang = 'de') AS n_de,
+               count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+               count(*) FILTER (WHERE lang = 'es') AS n_es,
+               count(*) FILTER (WHERE lang = 'und') AS n_und
+        FROM j GROUP BY source
+    )
+    SELECT *,
+           n_tokens // greatest(n_docs, 1) AS mean_tokens,
+           n_dup_docs * 1000 // greatest(n_docs, 1) AS dup_permille
+    FROM agg ORDER BY source"""
+
+
+_QUERIES["corpus_datasheet"] = q_corpus_datasheet
+_ORACLES["corpus_datasheet"] = _corpus_datasheet_oracle_sql()
+
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

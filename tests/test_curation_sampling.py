@@ -213,3 +213,34 @@ def test_host_template_lines_scoping(spark):
     assert out["https://b.ex/1"]["n_lines"] == 2
     assert out["https://b.ex/1"]["n_kept"] == 1
     assert out["https://a.ex/3"]["host"] == "a.ex"
+
+
+def test_corpus_datasheet_rollup(spark):
+    import pandas as pd
+    from edgar_spark.operators.curation import corpus_datasheet
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "source": ["a", "a", "a", "b", "b"],
+            "text": [
+                "the and of to is fine english text",
+                "der und die nicht ist",
+                "same body",        # dup partner lives in source b
+                "same body",
+                "",                 # empty: 0 tokens, und
+            ],
+        }
+    )
+    out = {
+        r["source"]: r
+        for r in corpus_datasheet(spark.createDataFrame(rows)).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert a["n_docs"] == 3 and b["n_docs"] == 2
+    assert a["n_en"] == 1 and a["n_de"] == 1 and a["n_und"] == 1
+    # cross-source exact dup counted on BOTH sides
+    assert a["n_dup_docs"] == 1 and b["n_dup_docs"] == 1
+    assert a["dup_permille"] == 333 and b["dup_permille"] == 500
+    assert a["n_unique_texts"] == 3  # within-source texts all distinct
+    assert b["n_tokens"] == 2 and b["mean_tokens"] == 1

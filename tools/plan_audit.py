@@ -324,6 +324,9 @@ AUDITS = {
     # bucket key (asymmetric filter — corpus x corpus never enumerates);
     # verify joins signatures on id; verdict is one batch-grain agg
     "incremental_dedup": ["MapInPandas", "HashAggregate", "!BroadcastNestedLoopJoin"],
+    # datasheet: lang/tokens/md5 fuse into the scan; hash census + same-
+    # key join-back + ONE source-grain aggregate; text never shuffles
+    "corpus_datasheet": ["HashAggregate", "!BroadcastNestedLoopJoin"],
 }
 
 
