@@ -32,6 +32,8 @@ __all__ = [
     "lm_surprisal",
     "contrastive_weights",
     "ccnet_buckets",
+    "hashed_features",
+    "perceptron_quality",
 ]
 
 
@@ -266,3 +268,115 @@ def ccnet_buckets(
     return j.join(
         F.broadcast(cuts), ["pred_lang", "avg_surprisal_milli"]
     ).select(id_col, "pred_lang", "avg_surprisal_milli", "ppl_bucket")
+
+
+def hashed_features(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str | None = None,
+) -> DataFrame:
+    """Hashed binary bag-of-words: distinct ``(id[, label], bucket)``
+    rows where ``bucket = md5-60bit(lowercased token) mod dim`` — the
+    feature-hashing trick (Weinberger et al. 2009) that gives a linear
+    text model a FIXED-width feature space no vocabulary table can
+    outgrow. Same md5→BIGINT idiom as text.bloom_gram_positions, so the
+    DuckDB oracle replays the bucketing verbatim. Presence (0/1), not
+    counts: binarized features keep every update integer-bounded and
+    are the standard choice for perceptron/linear quality filters.
+
+    Plan: split + explode + hash fuse into the scan; DISTINCT is one
+    partial-agged exchange on (id, bucket) — the corpus text itself
+    never shuffles.
+    """
+    cols = [id_col] + ([label_col] if label_col else [])
+    tok = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("_tok")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10).cast("long")
+        % dim
+    ).alias("bucket")
+    return (
+        df.select(*cols, tok)
+        .filter(F.col("_tok") != "")
+        .select(*cols, bucket)
+        .distinct()
+    )
+
+
+def perceptron_quality(
+    df: DataFrame,
+    label_col: str = "label",
+    dim: int = 64,
+    rounds: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trained model-based quality filter — the "quality classifier"
+    stage of GPT-3/CCNet-style pipelines (score every crawl document by
+    a linear model trained to separate a curated seed from the raw
+    crawl), as a deterministic BATCH PERCEPTRON over hashed binary
+    features, integer end-to-end (the lexicon/DSIR operators are fixed
+    or generative models; this is the discriminatively TRAINED member
+    of the family).
+
+    ``label_col`` must be ±1 (the caller's seed split). Training runs
+    ``rounds`` synchronous rounds: with weights ``w_t`` (all-zero
+    start), every doc's margin is ``sum(w_t[bucket])`` over its feature
+    buckets; docs with ``label*margin <= 0`` are misclassified and the
+    batch update is ``w_{t+1}[j] = w_t[j] + sum(label)`` over
+    misclassified docs carrying bucket j. All-integer (no learning-rate
+    float), so every round — and therefore the whole trainer — replays
+    bit-exactly in SQL with the rounds unrolled as CTEs.
+
+    Scale shape (the distributed-GD layout): the hashed feature table is
+    computed once and persisted; each round is ONE doc-grain aggregate
+    (margins, partial-agged) plus ONE bucket-grain aggregate (updates) —
+    the driver holds only the ``dim`` weight integers and re-enters them
+    as an array literal, exactly how kmeans_centroids holds k×dim means.
+    The corpus never collects; docs with no tokens never block training
+    (margin 0 contributes no update) and surface in the output via the
+    left join with margin 0, pred -1.
+
+    Returns (id, label, margin, pred) for every input row.
+    """
+    feat = hashed_features(df, dim, text_col, id_col, label_col).persist()
+    w = [0] * dim
+
+    def margins(weights: list[int]) -> DataFrame:
+        w_arr = F.array(*[F.lit(v) for v in weights])
+        return feat.groupBy(id_col, label_col).agg(
+            F.sum(F.element_at(w_arr, (F.col("bucket") + 1).cast("int")))
+            .cast("long")
+            .alias("margin")
+        )
+
+    for _ in range(rounds):
+        mis = (
+            margins(w)
+            .filter(F.col(label_col) * F.col("margin") <= 0)
+            .select(id_col)
+        )
+        deltas = (
+            feat.join(mis, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(label_col).cast("long").alias("dw"))
+            .collect()
+        )
+        for r in deltas:
+            w[r["bucket"]] += r["dw"]
+
+    scored = margins(w)
+    return df.select(id_col, label_col).join(
+        scored, [id_col, label_col], "left"
+    ).select(
+        id_col,
+        label_col,
+        F.coalesce(F.col("margin"), F.lit(0)).alias("margin"),
+        F.when(F.coalesce(F.col("margin"), F.lit(0)) > 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("pred"),
+    )

@@ -9094,6 +9094,84 @@ _ORACLES["corpus_datasheet"] = _corpus_datasheet_oracle_sql()
 
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (GPT-3/CCNet quality-filter stage):
+    batch perceptron over md5-hashed binary bag-of-words, labels from
+    the lang column (en = +1 seed, rest = -1), 3 all-integer rounds.
+    The oracle unrolls every training round as CTEs — weights, margins,
+    misclassified set, batch update — so the TRAINER itself (not just
+    the final scoring pass) is value-exact (operators/lm.py
+    perceptron_quality)."""
+    from edgar_spark.operators.lm import perceptron_quality
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("label"),
+    )
+    return perceptron_quality(docs, dim=64, rounds=3).orderBy("doc_id")
+
+
+def _quality_classifier_oracle_sql(dim: int = 64, rounds: int = 3) -> str:
+    parts = [
+        f"""
+    WITH labeled AS (
+        SELECT doc_id,
+               CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT)
+                   AS label,
+               text
+        FROM documents
+    ),
+    feat AS (
+        SELECT DISTINCT doc_id, label,
+               CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                   % {dim} AS bucket
+        FROM (SELECT doc_id, label,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS tok
+              FROM labeled)
+        WHERE tok <> ''
+    ),
+    w1 AS (SELECT bucket, CAST(sum(label) AS BIGINT) AS w
+           FROM feat GROUP BY bucket)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    m{t} AS (SELECT f.doc_id, f.label, CAST(sum(w) AS BIGINT) AS margin
+             FROM feat f JOIN w{t} USING (bucket) GROUP BY 1, 2)"""
+        )
+        if t < rounds:
+            parts.append(
+                f""",
+    d{t + 1} AS (SELECT bucket, CAST(sum(f.label) AS BIGINT) AS dw
+                 FROM feat f
+                 JOIN (SELECT doc_id FROM m{t}
+                       WHERE label * margin <= 0) mis USING (doc_id)
+                 GROUP BY bucket),
+    w{t + 1} AS (SELECT w{t}.bucket, w + coalesce(dw, 0) AS w
+                 FROM w{t} LEFT JOIN d{t + 1} USING (bucket))"""
+            )
+    parts.append(
+        f"""
+    SELECT l.doc_id, l.label,
+           coalesce(m.margin, 0) AS margin,
+           CAST(CASE WHEN coalesce(m.margin, 0) > 0 THEN 1 ELSE -1 END
+                AS BIGINT) AS pred
+    FROM labeled l LEFT JOIN m{rounds} m USING (doc_id)
+    ORDER BY l.doc_id"""
+    )
+    return "".join(parts)
+
+
+_QUERIES["quality_classifier"] = q_quality_classifier
+_ORACLES["quality_classifier"] = _quality_classifier_oracle_sql()
+
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
