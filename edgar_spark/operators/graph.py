@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "hits", "mirror_hosts", "link_farm"]
+__all__ = ["pagerank", "hits", "opic", "mirror_hosts", "link_farm"]
 
 
 def pagerank(
@@ -203,6 +203,112 @@ def hits(
         .select(
             F.col("_id").alias(id_col), "hub_scaled", "auth_scaled"
         )
+    )
+
+
+def opic(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 4,
+    scale: int = 10**6,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Fixed-point OPIC — Online Page Importance Computation (Abiteboul,
+    Preda & Cobéna, WWW 2003), the importance signal designed to be
+    computed *while crawling*: each page holds **cash**, distributing it
+    to out-neighbors on visit; the accumulated **history** of cash a
+    page has held converges to its importance without waiting for a
+    PageRank fixed point. A tiered crawl reads the frontier ordering off
+    (history + cash) at ANY round — the "anytime" property PageRank
+    lacks, and why OPIC is the classic frontier-prioritization choice
+    next to `pagerank` (global endorsement) and `hits` (hub discovery).
+
+    Deterministic synchronous variant, exact integer arithmetic
+    (same contract as `pagerank`): every page starts with ``scale``
+    cash units; each round, page p first banks its cash into history
+    (``hist += cash``), then sends ``cash div outdeg`` to each
+    out-neighbor and RETAINS ``cash mod outdeg`` — so total cash is
+    conserved *exactly* (floor loss stays on the page), an invariant the
+    tests assert. Dangling pages (outdeg 0) retain everything — the
+    paper's virtual-root broadcast is replaced by a deterministic
+    self-loop, the same dangling convention family as `pagerank`'s
+    drop. Multi-edges contribute once each.
+
+    Returns (``id_col``, cash_scaled, hist_scaled, importance_scaled =
+    hist + cash) after ``n_iter`` rounds, BIGINT in ``1/scale`` units.
+
+    Bounds: total cash is exactly ``n·scale`` forever (conservation), so
+    per-page cash ≤ n·scale and hist ≤ n_iter·n·scale — at n = 10^10
+    hosts and scale = 10^6, history stays < 2^63 through ~900 rounds.
+
+    Scale shape: out-degree joins the edges ONCE up front and rides the
+    state row, so each round is exactly one hash join (state × edges on
+    src) plus one partial-aggregated groupBy(dst) — the same 2-shuffle
+    round as `pagerank`, with NO driver-side scalar at all (`pagerank`
+    needs a vertex count; OPIC's per-page constant init doesn't), so the
+    whole loop is one Catalyst plan. State is (id, od, cash, hist) = 32
+    bytes/vertex; ranks and edges pre-bucketed on the id key drop the
+    join shuffle. Because state feeds two consumers per round (inflow
+    and the retained-cash update), each round lineage-truncates state
+    with a lazy localCheckpoint at the branch point (structural, as in
+    `hits` — one ≤|V|-row, 32 B/row table per round on executor
+    storage); ``checkpoint_every`` is accepted for API symmetry but
+    redundant here.
+    """
+    outdeg = edges.groupBy(src_col).agg(F.count("*").alias("_od"))
+    e = edges.join(outdeg, src_col).select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), "_od"
+    )
+    ids = vertices.select(F.col(id_col).alias("_id"))
+    state = ids.join(
+        outdeg.select(F.col(src_col).alias("_id"), "_od"), "_id", "left"
+    ).select(
+        "_id",
+        F.coalesce(F.col("_od"), F.lit(0)).cast("long").alias("_od"),
+        F.lit(scale).cast("long").alias("_cash"),
+        F.lit(0).cast("long").alias("_hist"),
+    )
+
+    for i in range(n_iter):
+        # state feeds TWO consumers (inflow and the update), so the
+        # logical plan would double per round left unchecked — truncate
+        # at the branch point, the same structural pattern as `hits`
+        state = state.localCheckpoint(eager=False)
+        inflow = (
+            e.join(
+                state.select(F.col("_id").alias("_sid"), "_cash"),
+                e["_src"] == F.col("_sid"),
+            )
+            .select("_dst", F.expr("_cash div _od").alias("_c"))
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        state = state.join(
+            inflow, state["_id"] == inflow["_dst"], "left"
+        ).select(
+            "_id",
+            "_od",
+            (
+                F.when(F.col("_od") > 0, F.expr("_cash % _od")).otherwise(
+                    F.col("_cash")
+                )
+                + F.coalesce(F.col("_in"), F.lit(0).cast("long"))
+            ).cast("long").alias("_cash"),
+            (F.col("_hist") + F.col("_cash")).cast("long").alias("_hist"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=False)
+
+    return state.select(
+        F.col("_id").alias(id_col),
+        F.col("_cash").alias("cash_scaled"),
+        F.col("_hist").alias("hist_scaled"),
+        (F.col("_hist") + F.col("_cash")).cast("long").alias(
+            "importance_scaled"
+        ),
     )
 
 

@@ -9171,6 +9171,82 @@ _QUERIES["quality_classifier"] = q_quality_classifier
 _ORACLES["quality_classifier"] = _quality_classifier_oracle_sql()
 
 
+_OPIC_ITER = 4
+_OPIC_SCALE = 10**6
+
+
+def q_opic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC online page importance over the deterministic affine doc
+    link graph (same graph as `pagerank` — the two frontier-ordering
+    signals are directly comparable on it). Exact integer cash/history
+    recurrence with conservation-by-retained-remainder, so the
+    unrolled-CTE DuckDB oracle agrees bit-for-bit (graph.py::opic)."""
+    from edgar_spark.operators.graph import opic
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    total = docs.agg(F.count("*").alias("_n"))
+    edges = docs.crossJoin(F.broadcast(total)).select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[F.expr(f"(doc_id*{k}+{c}) % _n") for k, c in _PR_MAPS]
+            )
+        ).alias("dst"),
+    )
+    return opic(
+        docs, edges, id_col="doc_id", n_iter=_OPIC_ITER, scale=_OPIC_SCALE
+    ).orderBy("doc_id")
+
+
+def _opic_oracle_sql() -> str:
+    """Unrolled OPIC cash/history recurrence (all-integer, exact)."""
+    links = "\n            UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{k}+{c}) % (SELECT c FROM n) AS dst FROM v"
+        for k, c in _PR_MAPS
+    )
+    parts = [
+        f"""
+        WITH v AS (SELECT doc_id FROM documents),
+        n AS (SELECT count(*) AS c FROM v),
+        e0 AS (
+            {links}
+        ),
+        outdeg AS (SELECT src, count(*) AS od FROM e0 GROUP BY src),
+        e AS (SELECT e0.src, e0.dst, outdeg.od FROM e0 JOIN outdeg USING (src)),
+        s0 AS (
+            SELECT v.doc_id, coalesce(d.od, 0) AS od,
+                   CAST({_OPIC_SCALE} AS BIGINT) AS cash,
+                   CAST(0 AS BIGINT) AS hist
+            FROM v LEFT JOIN outdeg d ON d.src = v.doc_id
+        )"""
+    ]
+    for i in range(_OPIC_ITER):
+        parts.append(f"""
+        , s{i + 1} AS (
+            SELECT s{i}.doc_id, s{i}.od,
+                   (CASE WHEN s{i}.od > 0 THEN s{i}.cash % s{i}.od
+                         ELSE s{i}.cash END)
+                   + coalesce(m.inc, 0) AS cash,
+                   s{i}.hist + s{i}.cash AS hist
+            FROM s{i} LEFT JOIN (
+                SELECT e.dst AS doc_id, sum(s{i}.cash // e.od) AS inc
+                FROM e JOIN s{i} ON e.src = s{i}.doc_id
+                GROUP BY e.dst
+            ) m USING (doc_id)
+        )""")
+    parts.append(f"""
+        SELECT doc_id,
+               CAST(cash AS BIGINT) AS cash_scaled,
+               CAST(hist AS BIGINT) AS hist_scaled,
+               CAST(hist + cash AS BIGINT) AS importance_scaled
+        FROM s{_OPIC_ITER} ORDER BY doc_id""")
+    return "".join(parts)
+
+
+_QUERIES["opic_scores"] = q_opic_scores
+_ORACLES["opic_scores"] = _opic_oracle_sql()
+
+
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)

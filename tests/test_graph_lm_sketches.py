@@ -162,6 +162,72 @@ def test_hits_guards(spark):
     assert {tuple(r) for r in rows} == {(1, 0, 0), (2, 0, 0)}
 
 
+# ------------------------------------------------------------------ opic
+
+
+def _opic_ref(ids, edges, n_iter=4, scale=10**6):
+    """Driver-side reference of the exact integer OPIC recurrence."""
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    cash = {i: scale for i in ids}
+    hist = {i: 0 for i in ids}
+    for _ in range(n_iter):
+        inflow = {}
+        for s, d in edges:
+            inflow[d] = inflow.get(d, 0) + cash[s] // outdeg[s]
+        new = {}
+        for i in ids:
+            od = outdeg.get(i, 0)
+            retained = cash[i] % od if od else cash[i]
+            hist[i] += cash[i]
+            new[i] = retained + inflow.get(i, 0)
+        cash = new
+    return cash, hist
+
+
+def test_opic_matches_integer_reference_and_conserves_cash(spark):
+    from edgar_spark.operators.graph import opic
+
+    # star hub 0 <-> leaves 1..3, a duplicate edge (multi-edge counts
+    # in outdeg), and node 4 dangling (no edges at all: retains forever)
+    ids = [0, 1, 2, 3, 4]
+    edges = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0), (1, 0)]
+    n_iter, scale = 4, 10**6
+    v = _pdf(spark, pd.DataFrame({"id": ids}))
+    e = _pdf(spark, pd.DataFrame(edges, columns=["src", "dst"]))
+    rows = {r["id"]: r for r in opic(v, e, n_iter=n_iter, scale=scale).collect()}
+    cash, hist = _opic_ref(ids, edges, n_iter=n_iter, scale=scale)
+    for i in ids:
+        assert rows[i]["cash_scaled"] == cash[i], i
+        assert rows[i]["hist_scaled"] == hist[i], i
+        assert rows[i]["importance_scaled"] == cash[i] + hist[i], i
+    # exact conservation: retained remainders mean NO mass is lost
+    assert sum(r["cash_scaled"] for r in rows.values()) == len(ids) * scale
+    # history banks total cash once per round
+    assert (
+        sum(r["hist_scaled"] for r in rows.values())
+        == n_iter * len(ids) * scale
+    )
+    # the hub out-ranks every leaf; the dangling node only self-banks
+    for i in (1, 2, 3, 4):
+        assert rows[0]["importance_scaled"] > rows[i]["importance_scaled"]
+    assert rows[4]["cash_scaled"] == scale
+    assert rows[4]["hist_scaled"] == n_iter * scale
+
+
+def test_opic_checkpoint_equivalence(spark):
+    from edgar_spark.operators.graph import opic
+
+    ids = list(range(8))
+    edges = [(i, (i * 3 + 1) % 8) for i in ids] + [(i, (i + 5) % 8) for i in ids]
+    v = _pdf(spark, pd.DataFrame({"id": ids}))
+    e = _pdf(spark, pd.DataFrame(edges, columns=["src", "dst"]))
+    plain = sorted(map(tuple, opic(v, e, n_iter=6).collect()))
+    ckpt = sorted(map(tuple, opic(v, e, n_iter=6, checkpoint_every=2).collect()))
+    assert plain == ckpt
+
+
 # -------------------------------------------------------------- sketches
 
 
