@@ -830,3 +830,60 @@ def corpus_datasheet(
             "n_dup_docs * 1000 div greatest(n_docs, 1) AS dup_permille",
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    budget: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-balanced multilingual sampling (the mBERT/XLM-R
+    rebalancing move: sample language l with probability ∝ N_l^α so
+    head languages stop drowning the tail) at α = 1/2, made exact: each
+    language's quota is ``budget · isqrt(N_l) div Σ isqrt(N_l)`` with a
+    true INTEGER square root, then the quota is filled in the
+    deterministic ``(md5(id), id)`` permutation `corpus_mix` uses — the
+    whole selection replays bit-exactly in SQL.
+
+    isqrt is float ``sqrt`` plus a ±1 integer correction
+    (``s + [(s+1)² ≤ n] - [s² > n]``), exact for any N_l ≤ 2^52 (double
+    sqrt is correctly rounded, so the float guess is off by at most 1) —
+    the trick that keeps α = 1/2 inside the all-integer contract; other
+    α need rational q-th roots and stay out of scope.
+
+    Floor quotas under-spend by < L docs total (L = language count) —
+    deterministic, documented, and irrelevant at corpus scale.
+
+    Returns admitted docs only: ``(id, lang, lang_rank, lang_quota)``.
+
+    Scale shape: language census is ONE partial-agged groupBy on the
+    lang key (≤ a few hundred rows), the quota table broadcast-joins
+    back, and ranking is ONE per-language window over the md5 order.
+    Per-language partitions can be huge (the head language is ~half the
+    corpus); the same two-phase refinement as `corpus_mix` applies —
+    pre-filter on md5(id) < t to ~quota survivors, then rank exactly.
+    """
+    counts = df.groupBy(lang_col).agg(F.count("*").alias("_nl"))
+    s = F.floor(F.sqrt(F.col("_nl").cast("double"))).cast("long")
+    isqrt = (
+        s
+        + F.when((s + 1) * (s + 1) <= F.col("_nl"), 1).otherwise(0)
+        - F.when(s * s > F.col("_nl"), 1).otherwise(0)
+    )
+    weights = counts.select(lang_col, isqrt.cast("long").alias("_w"))
+    total = weights.agg(F.sum("_w").alias("_tw"))
+    quotas = weights.crossJoin(F.broadcast(total)).select(
+        lang_col,
+        F.expr(f"({budget} * _w) div _tw").alias("lang_quota"),
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(id_col, lang_col)
+        .join(F.broadcast(quotas), lang_col)
+        .withColumn("lang_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("lang_rank") <= F.col("lang_quota"))
+        .select(id_col, lang_col, "lang_rank", "lang_quota")
+    )

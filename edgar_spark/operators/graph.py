@@ -33,7 +33,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "hits", "opic", "mirror_hosts", "link_farm"]
+__all__ = [
+    "pagerank",
+    "hits",
+    "opic",
+    "label_propagation",
+    "mirror_hosts",
+    "link_farm",
+]
 
 
 def pagerank(
@@ -309,6 +316,90 @@ def opic(
         (F.col("_hist") + F.col("_cash")).cast("long").alias(
             "importance_scaled"
         ),
+    )
+
+
+def label_propagation(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    seed_col: str = "seed",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Semi-supervised label propagation over the (host) graph — the
+    TrustRank-family spam/trust demotion move (Gyöngyi et al. 2004's
+    insight that *spam links to spam, trust links to trust* propagates a
+    small editorial seed set over the whole web graph), in the discrete
+    clamped-seed form of Zhu & Ghahramani (2002): seeds never change,
+    every other node takes the integer MAJORITY VOTE of its neighbors
+    each synchronous round. A crawl frontier uses the result to demote
+    (label -1) or boost (+1) hosts the seed list never named.
+
+    ``seed_col`` is +1 (trusted) / -1 (spam) / NULL (unlabeled).
+    Unlabeled nodes start at 0 and contribute 0 to votes until they take
+    a side; a tie (vote sum 0) KEEPS the node's current label — so the
+    fixture "two equally strong camps" is stable, not oscillating.
+    All-integer, so the whole k-round propagation replays bit-exactly in
+    an unrolled-CTE oracle. ``symmetric=True`` votes each directed edge
+    both ways (web links are evidence in both directions for spam);
+    multi-edges vote once each (the `pagerank` convention).
+
+    Returns (``id_col``, ``seed_col``, label) with label ∈ {-1, 0, +1}
+    (0 = never reached by any labeled component).
+
+    Scale shape: per round ONE hash join (state × edges on src) + ONE
+    partial-aggregated groupBy(dst) — vote sums are map-side combined,
+    so a hub with 10^6 in-links costs its partition count, not its
+    degree. State is (id, seed, label) ≈ 17 bytes/vertex; the
+    dual-consumer branch (votes + keep-on-tie) lineage-truncates per
+    round like `opic`/`hits`. Seeds are typically ~10^4 editorial rows
+    against 10^8 hosts — they ride the vertex table, never broadcast.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    if symmetric:
+        e = e.union(
+            edges.select(
+                F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst")
+            )
+        )
+    state = vertices.select(
+        F.col(id_col).alias("_id"),
+        F.col(seed_col).cast("long").alias("_seed"),
+        F.coalesce(F.col(seed_col).cast("long"), F.lit(0)).alias("_lab"),
+    )
+
+    for _ in range(n_iter):
+        state = state.localCheckpoint(eager=False)
+        votes = (
+            e.join(
+                state.select(F.col("_id").alias("_vid"), "_lab"),
+                e["_src"] == F.col("_vid"),
+            )
+            .groupBy("_dst")
+            .agg(F.sum("_lab").alias("_v"))
+        )
+        state = state.join(
+            votes, state["_id"] == votes["_dst"], "left"
+        ).select(
+            "_id",
+            "_seed",
+            F.when(F.col("_seed").isNotNull(), F.col("_seed"))
+            .when(F.coalesce(F.col("_v"), F.lit(0)) > 0, F.lit(1))
+            .when(F.coalesce(F.col("_v"), F.lit(0)) < 0, F.lit(-1))
+            .otherwise(F.col("_lab"))
+            .cast("long")
+            .alias("_lab"),
+        )
+
+    return state.select(
+        F.col("_id").alias(id_col),
+        F.col("_seed").alias(seed_col),
+        F.col("_lab").alias("label"),
     )
 
 

@@ -9247,6 +9247,148 @@ _QUERIES["opic_scores"] = q_opic_scores
 _ORACLES["opic_scores"] = _opic_oracle_sql()
 
 
+_LP_ITER = 3
+_LP_MAPS = ((7, 1), (13, 5))  # sparser than _PR_MAPS: propagation visible
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped-seed label propagation (TrustRank-family trust/spam
+    demotion) over the affine doc graph: seeds are +1 on doc_id%17==0,
+    -1 on doc_id%23==0 (trust wins the overlap), everyone else NULL;
+    3 synchronous integer majority-vote rounds, symmetric edges
+    (graph.py::label_propagation). All-integer, so the whole
+    propagation — votes, tie-keeps, clamping — replays in SQL."""
+    from edgar_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(1))
+        .when(F.col("doc_id") % 23 == 0, F.lit(-1))
+        .cast("long")
+        .alias("seed"),
+    )
+    total = docs.agg(F.count("*").alias("_n"))
+    edges = docs.crossJoin(F.broadcast(total)).select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[F.expr(f"(doc_id*{k}+{c}) % _n") for k, c in _LP_MAPS]
+            )
+        ).alias("dst"),
+    )
+    return label_propagation(
+        docs, edges, id_col="doc_id", n_iter=_LP_ITER
+    ).orderBy("doc_id")
+
+
+def _label_prop_oracle_sql() -> str:
+    """Unrolled clamped label-propagation recurrence (all-integer)."""
+    links = "\n            UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{k}+{c}) % (SELECT c FROM n) AS dst FROM v"
+        for k, c in _LP_MAPS
+    )
+    parts = [
+        f"""
+        WITH v AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 17 = 0 THEN 1
+                             WHEN doc_id % 23 = 0 THEN -1 END AS BIGINT)
+                       AS seed
+            FROM documents
+        ),
+        n AS (SELECT count(*) AS c FROM v),
+        e0 AS (
+            {links}
+        ),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        s0 AS (
+            SELECT doc_id, seed,
+                   CAST(coalesce(seed, 0) AS BIGINT) AS lab
+            FROM v
+        )"""
+    ]
+    for i in range(_LP_ITER):
+        parts.append(f"""
+        , s{i + 1} AS (
+            SELECT s{i}.doc_id, s{i}.seed,
+                   CAST(CASE WHEN s{i}.seed IS NOT NULL THEN s{i}.seed
+                             WHEN coalesce(m.v, 0) > 0 THEN 1
+                             WHEN coalesce(m.v, 0) < 0 THEN -1
+                             ELSE s{i}.lab END AS BIGINT) AS lab
+            FROM s{i} LEFT JOIN (
+                SELECT e.dst AS doc_id, sum(s{i}.lab) AS v
+                FROM e JOIN s{i} ON e.src = s{i}.doc_id
+                GROUP BY e.dst
+            ) m USING (doc_id)
+        )""")
+    parts.append(f"""
+        SELECT doc_id, seed, lab AS label
+        FROM s{_LP_ITER} ORDER BY doc_id""")
+    return "".join(parts)
+
+
+_QUERIES["label_prop"] = q_label_prop
+_ORACLES["label_prop"] = _label_prop_oracle_sql()
+
+
+_TEMP_BUDGET = 100
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced multilingual sampling at α = 1/2 over the
+    documents lang column: per-language quota ∝ exact integer sqrt of
+    the language count, filled in the deterministic md5 permutation
+    (curation.py::temperature_sample). The oracle replays the census,
+    the ±1-corrected isqrt, the floor quota, and the per-language
+    window rank in SQL."""
+    from edgar_spark.operators.curation import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), budget=_TEMP_BUDGET
+    ).orderBy("lang", "lang_rank")
+
+
+def _temperature_mix_oracle_sql() -> str:
+    return f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS nl FROM documents GROUP BY lang
+        ),
+        w0 AS (
+            SELECT lang, nl,
+                   CAST(floor(sqrt(CAST(nl AS DOUBLE))) AS BIGINT) AS s
+            FROM counts
+        ),
+        w AS (
+            SELECT lang,
+                   s + CASE WHEN (s+1)*(s+1) <= nl THEN 1 ELSE 0 END
+                     - CASE WHEN s*s > nl THEN 1 ELSE 0 END AS wt
+            FROM w0
+        ),
+        t AS (SELECT sum(wt) AS tw FROM w),
+        q AS (
+            SELECT lang,
+                   CAST(({_TEMP_BUDGET} * wt) // (SELECT tw FROM t)
+                        AS BIGINT) AS lang_quota
+            FROM w
+        ),
+        r AS (
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS lang_rank
+            FROM documents
+        )
+        SELECT r.doc_id, r.lang, r.lang_rank, q.lang_quota
+        FROM r JOIN q USING (lang)
+        WHERE lang_rank <= lang_quota
+        ORDER BY lang, lang_rank"""
+
+
+_QUERIES["temperature_mix"] = q_temperature_mix
+_ORACLES["temperature_mix"] = _temperature_mix_oracle_sql()
+
+
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)

@@ -244,3 +244,56 @@ def test_corpus_datasheet_rollup(spark):
     assert a["dup_permille"] == 333 and b["dup_permille"] == 500
     assert a["n_unique_texts"] == 3  # within-source texts all distinct
     assert b["n_tokens"] == 2 and b["mean_tokens"] == 1
+
+
+def test_temperature_sample_quotas_and_ordering(spark):
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from edgar_spark.operators.curation import temperature_sample
+
+    # language sizes 9/4/2 -> isqrt weights 3/2/1 (2 exercises the
+    # non-perfect-square floor), total 6; budget 12 -> quotas 6/4/2
+    rows = []
+    nid = 0
+    for lang, n in (("en", 9), ("de", 4), ("fr", 2)):
+        for _ in range(n):
+            rows.append((nid, lang))
+            nid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang"])
+    )
+    out = temperature_sample(df, budget=12).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert {k: len(v) for k, v in by_lang.items()} == {
+        "en": 6, "de": 4, "fr": 2
+    }
+    # selection must be the first quota docs in (md5(id), id) order
+    for lang, n, quota in (("en", 9, 6), ("de", 4, 4), ("fr", 2, 2)):
+        ids = [i for i, l in rows if l == lang]
+        perm = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        assert sorted(r["doc_id"] for r in by_lang[lang]) == sorted(perm[:quota])
+        assert all(r["lang_quota"] == quota for r in by_lang[lang])
+    # the ±1 isqrt correction is exact over an adversarial range
+    # (perfect squares, their neighbors, and a 2^40 window)
+    ns = list(range(1, 200)) + [2**40 - 1, 2**40, 2**40 + 1]
+    from pyspark.sql import functions as F
+
+    nl = F.col("n").cast("long")
+    s = F.floor(F.sqrt(nl.cast("double"))).cast("long")
+    isqrt = (
+        s
+        + F.when((s + 1) * (s + 1) <= nl, 1).otherwise(0)
+        - F.when(s * s > nl, 1).otherwise(0)
+    )
+    got = (
+        spark.createDataFrame(pd.DataFrame({"n": ns}))
+        .select(isqrt.alias("i"), "n")
+        .collect()
+    )
+    for r in got:
+        assert r["i"] == math.isqrt(r["n"]), r["n"]

@@ -228,6 +228,35 @@ def test_opic_checkpoint_equivalence(spark):
     assert plain == ckpt
 
 
+# ------------------------------------------------------- label propagation
+
+
+def test_label_propagation_chain_tie_and_clamp(spark):
+    from edgar_spark.operators.graph import label_propagation
+
+    # chain 0-1-2-3-4-5-6 with trust seed at 0, spam seed at 6: after 3
+    # rounds the frontier meets at node 3 whose vote TIES (+1 from 2,
+    # -1 from 4) and stays 0; node 7 is isolated (never reached); node 8
+    # is a +1 seed wired to the spam seed — clamping keeps it +1.
+    v = spark.createDataFrame(
+        [(i, {0: 1, 6: -1, 8: 1}.get(i)) for i in range(9)],
+        "id long, seed long",
+    )
+    e = _pdf(
+        spark,
+        pd.DataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 8)],
+            columns=["src", "dst"],
+        ),
+    )
+    rows = {
+        r["id"]: r for r in label_propagation(v, e, n_iter=3).collect()
+    }
+    expect = {0: 1, 1: 1, 2: 1, 3: 0, 4: -1, 5: -1, 6: -1, 7: 0, 8: 1}
+    assert {i: rows[i]["label"] for i in expect} == expect
+    assert rows[7]["seed"] is None and rows[0]["seed"] == 1
+
+
 # -------------------------------------------------------------- sketches
 
 
