@@ -36,6 +36,7 @@ __all__ = [
     "failure_backoff",
     "conditional_fetch",
     "change_rate",
+    "crawl_tiers",
 ]
 
 
@@ -516,4 +517,84 @@ def conditional_fetch(
         (F.col("_s_etag").isNull() & F.col("_s_lm").isNotNull()).alias(
             "sent_if_modified_since"
         ),
+    )
+
+
+def crawl_tiers(
+    df: DataFrame,
+    n_tiers: int = 4,
+    wave_sec: int = 86400,
+    url_col: str = "url",
+    importance_col: str = "importance",
+    interval_col: str = "est_interval_sec",
+) -> DataFrame:
+    """Tiered recrawl assignment — the policy layer a tiered crawl runs
+    on top of its signals: cross page IMPORTANCE (pagerank / opic /
+    hits, any BIGINT score) with the page's estimated CHANGE interval
+    (`change_rate` / `recrawl_schedule`) into a fetch tier, where tier
+    ``n_tiers-1`` is refetched every wave and each tier below doubles
+    the revisit period (the Heritrix/Common-Crawl "hot list vs monthly
+    sweep" shape).
+
+    Importance tiers are **log2-magnitude buckets relative to the corpus
+    max** — ``imp_tier = max(0, (n_tiers-1) - (bitlen(max) -
+    bitlen(imp)))`` — computed as ``length(bin(x))``, identical in Spark
+    and DuckDB, so NO global sort and no quantile pass: page importance
+    is Zipfian, so each lost bit of magnitude is a genuine class drop.
+    The change signal then adjusts ±1: pages changing faster than a wave
+    (interval ≤ wave_sec) move UP one tier, pages slower than
+    ``2^(n_tiers-1)`` waves move DOWN one, clamped to [0, n_tiers-1].
+
+    Returns (url, imp_tier, chg_adj, tier, revisit_waves =
+    ``2^(n_tiers-1-tier)``). All-integer → exact oracle.
+
+    Scale shape: ONE 1-row max aggregate broadcast back (the only
+    non-map step), then pure codegen projections — at 10^10 URLs the
+    assignment is a single scan. NULL interval (never re-observed, e.g.
+    single-fetch URLs `change_rate` drops) gets chg_adj 0 — scheduled
+    on importance alone.
+    """
+    if n_tiers < 2:
+        raise ValueError(f"need n_tiers >= 2, got {n_tiers}")
+    top = n_tiers - 1
+    imp = F.greatest(F.col(importance_col).cast("long"), F.lit(0))
+    bl = F.length(F.bin(imp))
+    mx = df.agg(
+        F.max(F.length(F.bin(F.greatest(F.col(importance_col).cast("long"), F.lit(0)))))
+        .alias("_blmax")
+    )
+    slow_sec = (2**top) * wave_sec
+    chg = (
+        F.when(F.col(interval_col).isNull(), F.lit(0))
+        .when(F.col(interval_col) <= wave_sec, F.lit(1))
+        .when(F.col(interval_col) > slow_sec, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .select(
+            url_col,
+            F.greatest(
+                F.lit(0), F.lit(top) - (F.col("_blmax") - bl)
+            ).cast("long").alias("imp_tier"),
+            chg.cast("long").alias("chg_adj"),
+        )
+        .select(
+            url_col,
+            "imp_tier",
+            "chg_adj",
+            F.least(
+                F.lit(top),
+                F.greatest(F.lit(0), F.col("imp_tier") + F.col("chg_adj")),
+            ).cast("long").alias("tier"),
+        )
+        .withColumn(
+            "revisit_waves",
+            # F.shiftleft needs a literal shift — SQL function takes columns
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.lit(top) - F.col("tier")).cast("int"),
+            ).cast("long"),
+        )
     )

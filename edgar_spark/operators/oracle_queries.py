@@ -6171,11 +6171,13 @@ def q_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
-def _suffix_dup_oracle_sql(min_len: int = _SUFFIX_MIN_LEN) -> str:
+def _suffix_spans_cte_sql(min_len: int = _SUFFIX_MIN_LEN) -> str:
     """Unrolled prefix-doubling replay: rank_0 from token min-positions,
     one CTE per doubling round (self-join at +2^{k-1}), the min_len-window
     class as the overlapping (rank_K(p), rank_K(p + min_len - 2^K)) pair,
-    then run-length compression of marked starts."""
+    then run-length compression of marked starts. Returns the WITH chain
+    ending in a ``spans`` CTE so both the span query and the cut-apply
+    query (`dedup_cut`) share it verbatim."""
     kk = min_len.bit_length() - 1
     tail = min_len - (1 << kk)
     rounds = []
@@ -6236,10 +6238,19 @@ def _suffix_dup_oracle_sql(min_len: int = _SUFFIX_MIN_LEN) -> str:
         SELECT doc_id, lp,
                sum(new_run) OVER (PARTITION BY doc_id ORDER BY lp) AS rk
         FROM seg
+    ), spans AS (
+        SELECT doc_id, CAST(min(lp) AS INT) AS span_start,
+               CAST(max(lp) - min(lp) + {min_len} AS INT) AS span_len
+        FROM runs GROUP BY doc_id, rk
+    )"""
+
+
+def _suffix_dup_oracle_sql(min_len: int = _SUFFIX_MIN_LEN) -> str:
+    return (
+        _suffix_spans_cte_sql(min_len)
+        + "\n    SELECT doc_id, span_start, span_len FROM spans"
+        + "\n    ORDER BY doc_id, span_start"
     )
-    SELECT doc_id, CAST(min(lp) AS INT) AS span_start,
-           CAST(max(lp) - min(lp) + {min_len} AS INT) AS span_len
-    FROM runs GROUP BY doc_id, rk ORDER BY doc_id, span_start"""
 
 
 _QUERIES["suffix_dup_spans"] = q_suffix_dup_spans
@@ -9387,6 +9398,134 @@ def _temperature_mix_oracle_sql() -> str:
 
 _QUERIES["temperature_mix"] = q_temperature_mix
 _ORACLES["temperature_mix"] = _temperature_mix_oracle_sql()
+
+
+def q_crawl_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered recrawl assignment: log2-magnitude importance tiers
+    (exact via length(bin(x)), no sort) crossed with a change-interval
+    ±1 adjustment, revisit cadence doubling per tier down
+    (frontier/schedule.py::crawl_tiers). Importance spreads 10 binary
+    magnitudes via an md5-derived shift; intervals cycle NULL / hot /
+    warm / cold so every adjustment branch is exercised."""
+    from edgar_spark.frontier.schedule import crawl_tiers
+
+    d = F.col("doc_id")
+    base = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"),
+            (d % 13).cast("string"),
+            F.lit(".example/p"),
+            d.cast("string"),
+        ).alias("url"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT) div CAST(shiftleft(CAST(1 AS BIGINT),"
+            " CAST(6 * (doc_id % 10) AS INT)) AS BIGINT)"
+        ).alias("importance"),
+        F.when(d % 4 == 1, F.lit(3600))
+        .when(d % 4 == 2, F.lit(259200))
+        .when(d % 4 == 3, F.lit(1728000))
+        .cast("long")
+        .alias("est_interval_sec"),
+    )
+    return crawl_tiers(base).orderBy("url")
+
+
+def _crawl_tiers_oracle_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT 'https://h' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT)
+                   // (CAST(1 AS BIGINT) << CAST(6 * (doc_id % 10) AS INT))
+                       AS imp,
+                   CASE WHEN doc_id % 4 = 1 THEN 3600
+                        WHEN doc_id % 4 = 2 THEN 259200
+                        WHEN doc_id % 4 = 3 THEN 1728000 END AS iv
+            FROM documents
+        ),
+        mx AS (
+            SELECT max(length(bin(greatest(imp, 0)))) AS blmax FROM base
+        ),
+        t AS (
+            SELECT url,
+                   greatest(0, 3 - ((SELECT blmax FROM mx)
+                                    - length(bin(greatest(imp, 0)))))
+                       AS imp_tier,
+                   CASE WHEN iv IS NULL THEN 0
+                        WHEN iv <= 86400 THEN 1
+                        WHEN iv > 691200 THEN -1
+                        ELSE 0 END AS chg_adj
+            FROM base
+        )
+        SELECT url,
+               CAST(imp_tier AS BIGINT) AS imp_tier,
+               CAST(chg_adj AS BIGINT) AS chg_adj,
+               CAST(least(3, greatest(0, imp_tier + chg_adj)) AS BIGINT)
+                   AS tier,
+               CAST(CAST(1 AS BIGINT) << CAST(
+                        3 - least(3, greatest(0, imp_tier + chg_adj)) AS INT)
+                    AS BIGINT) AS revisit_waves
+        FROM t ORDER BY url"""
+
+
+_QUERIES["crawl_tiers"] = q_crawl_tiers
+_ORACLES["crawl_tiers"] = _crawl_tiers_oracle_sql()
+
+
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k=3 word grams, window 4, robust
+    rightmost-min ties) over the documents table — the packed
+    hash·2^20+reversed-pos key makes one array_min per window the exact
+    tie rule, replayed verbatim in SQL (text.py::winnow_fingerprints)."""
+    from edgar_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=_WINNOW_K, window=_WINNOW_W
+    ).orderBy("doc_id", "pos")
+
+
+def _winnow_oracle_sql(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS t
+            FROM documents
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(t) - {k} + 1, 1)),
+                       j -> CAST(concat('0x', substr(md5(
+                                array_to_string(t[j:j+{k - 1}], ' ')
+                            ), 1, 10)) AS BIGINT) * 1048576
+                            + (1048575 - j)
+                   ) AS keys
+            FROM toks WHERE len(t) > 0
+        ),
+        sel AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(keys) - {w} + 1, 1)),
+                       i -> list_min(keys[i:i+{w - 1}])
+                   ))) AS key
+            FROM keyed
+        )
+        SELECT doc_id,
+               CAST(1048575 - (key % 1048576) AS BIGINT) AS pos,
+               CAST(key // 1048576 AS BIGINT) AS gram_hash
+        FROM sel ORDER BY doc_id, pos"""
+
+
+_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+_ORACLES["winnow_fingerprints"] = _winnow_oracle_sql()
 
 
 

@@ -842,3 +842,80 @@ def line_lang_mix(
         (F.col("n_lines") - F.col("n_lines_doclang")) * 1000
         <= F.lit(max_mix_permille) * F.col("n_lines"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, slide
+    a ``window`` over consecutive gram hashes, and keep each window's
+    MINIMUM (ties broken by the RIGHTMOST position — "robust
+    winnowing"). The selected set carries the paper's guarantee: any
+    shared token run of ≥ ``window + k - 1`` tokens between two
+    documents yields at least one shared selected fingerprint, at an
+    expected density of only 2/(window+1) — the local-sampling
+    alternative to `dedup.simhash_*`'s global signatures and
+    `bloom_gram_positions`' exhaustive grams.
+
+    Exactness trick: gram hash (40-bit md5 prefix) and reversed position
+    pack into one BIGINT key ``h·2^20 + (2^20-1-pos)``, so a single
+    ``array_min`` per window IS the rightmost-min rule — no tuple
+    comparator, and DuckDB replays it verbatim. Positions must fit 20
+    bits (docs ≤ ~10^6 grams; longer docs should be `chunk_docs`'d
+    first — raise there, not silently corrupt, via the packed key
+    staying monotone only below 2^20).
+
+    Docs with 1..k-1 tokens fingerprint their whole token array (the
+    `word_shingles` convention); empty docs emit nothing.
+
+    Returns distinct ``(id, pos, gram_hash)`` selected fingerprints
+    (pos 1-based gram position).
+
+    Scale shape: everything fuses into the scan — split, gram, hash,
+    window-min and DISTINCT-per-doc all happen inside one projection on
+    the doc row (array_distinct before the explode keeps the Generate
+    output at the paper's 2/(w+1) density); the only exchange is
+    whatever the consumer does with the fingerprints (typically a
+    gram_hash-keyed join, at ~2n/w rows per doc instead of n).
+    """
+
+    def body(toks: Column) -> Column:
+        n_grams = F.greatest(F.size(toks) - k + 1, F.lit(1))
+        grams = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda j: F.array_join(F.slice(toks, j, k), " "),
+        )
+        keys = F.zip_with(
+            grams,
+            F.sequence(F.lit(1), n_grams),
+            lambda g, j: F.conv(F.substring(F.md5(g), 1, 10), 16, 10).cast(
+                "long"
+            )
+            * F.lit(2**20)
+            + (F.lit(2**20 - 1) - j),
+        )
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(keys) - window + 1, F.lit(1))
+        )
+        return F.array_distinct(
+            F.transform(starts, lambda i: F.array_min(F.slice(keys, i, window)))
+        )
+
+    sel = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(tokens(F.col(text_col))) > 0,
+                   bind(tokens(F.col(text_col)), body))
+            .otherwise(F.array().cast("array<long>"))
+        ).alias("_key"),
+    )
+    return sel.select(
+        id_col,
+        (F.lit(2**20 - 1) - F.col("_key") % F.lit(2**20)).alias("pos"),
+        F.expr("_key div 1048576").alias("gram_hash"),
+    )

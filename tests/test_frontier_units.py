@@ -1111,3 +1111,45 @@ def test_frontier_priority_slots(spark):
         # shallow-first: selected depths are a non-decreasing prefix
         assert [r["depth"] for r in rs] == sorted(r["depth"] for r in rs)
         assert len({r["rank_scaled"] for r in rs}) == 1
+
+
+def test_crawl_tiers_magnitude_and_change_adjustment(spark):
+    import pandas as pd
+
+    from edgar_spark.frontier.schedule import crawl_tiers
+
+    wave = 86400
+    rows = pd.DataFrame(
+        [
+            # max importance (bitlen 20), no change info -> top tier 3
+            ("a", 1 << 19, None),
+            # same magnitude, hot page -> already top, clamped at 3
+            ("b", (1 << 19) + 5, wave),
+            # one bit down, hot (interval <= wave) -> promoted back to 3
+            ("c", 1 << 18, wave // 2),
+            # one bit down, cold (interval > 8 waves) -> demoted to 1
+            ("d", 1 << 18, 9 * wave),
+            # three bits down -> imp_tier 0; cold clamps at 0
+            ("e", 1 << 16, 9 * wave),
+            # far down the tail -> imp_tier 0, warm keeps 0
+            ("f", 3, 4 * wave),
+            # zero importance (bin(0)='0', bitlen 1) -> bottom
+            ("g", 0, None),
+        ],
+        columns=["url", "importance", "est_interval_sec"],
+    )
+    out = {r["url"]: r for r in crawl_tiers(spark.createDataFrame(rows)).collect()}
+    expect = {
+        "a": (3, 0, 3, 1),
+        "b": (3, 1, 3, 1),
+        "c": (2, 1, 3, 1),
+        "d": (2, -1, 1, 4),
+        "e": (0, -1, 0, 8),
+        "f": (0, 0, 0, 8),
+        "g": (0, 0, 0, 8),
+    }
+    got = {
+        u: (r["imp_tier"], r["chg_adj"], r["tier"], r["revisit_waves"])
+        for u, r in out.items()
+    }
+    assert got == expect

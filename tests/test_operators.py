@@ -1974,3 +1974,56 @@ def test_incremental_dedup_verdicts(spark):
     # batch-internal dup: blocked by its earlier twin
     assert out[13]["is_dup"] is True and out[13]["dup_of"] == 11
     assert len(out) == 4
+
+
+def test_winnow_fingerprints_reference_guarantee_and_ties(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from edgar_spark.operators.text import winnow_fingerprints
+
+    k, w = 3, 4
+
+    def ref(text):
+        toks = text.split()
+        if not toks:
+            return set()
+        n_grams = max(len(toks) - k + 1, 1)
+        grams = [" ".join(toks[j - 1 : j - 1 + k]) for j in range(1, n_grams + 1)]
+        keys = [
+            int(hashlib.md5(g.encode()).hexdigest()[:10], 16) * 2**20
+            + (2**20 - 1 - j)
+            for j, g in enumerate(grams, 1)
+        ]
+        out = set()
+        for i in range(max(len(keys) - w + 1, 1)):
+            kk = min(keys[i : i + w])
+            out.add((2**20 - 1 - kk % 2**20, kk // 2**20))
+        return out
+
+    shared = "the quick brown fox jumps over lazy dogs"  # 8 tokens >= w+k-1
+    docs = {
+        1: "alpha beta " + shared + " gamma delta",
+        2: shared + " entirely different ending here now",
+        3: "x x x x x x x x",      # identical grams: rightmost-tie path
+        4: "one two",               # fewer than k tokens: whole-doc gram
+        5: "",                      # empty: no fingerprints
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[i] for i in docs]}
+    )
+    rows = winnow_fingerprints(spark.createDataFrame(pdf), k=k, window=w).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["gram_hash"]))
+    for i, text in docs.items():
+        assert got.get(i, set()) == ref(text), i
+    # the winnowing guarantee: docs 1 and 2 share a >= w+k-1 token run,
+    # so at least one selected HASH must be common
+    assert {h for _, h in got[1]} & {h for _, h in got[2]}
+    # robust winnowing on identical grams selects the RIGHTMOST of each
+    # window: positions w..n_grams
+    assert {p for p, _ in got[3]} == set(range(w, 8 - k + 1 + 1))
+    # sub-k doc: exactly one whole-token-array fingerprint at pos 1
+    assert len(got[4]) == 1 and next(iter(got[4]))[0] == 1
