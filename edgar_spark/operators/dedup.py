@@ -1194,3 +1194,127 @@ def incremental_dedup(
             F.coalesce(F.col("_cmin"), F.col("_bmin")).alias("dup_of"),
         )
     )
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_col: str = "span_start",
+    len_col: str = "span_len",
+) -> DataFrame:
+    """Apply the duplicate-span CUT — the step Lee et al. 2022 actually
+    take after finding spans (they remove the duplicated substring and
+    keep the remainder, rather than dropping whole documents):
+    given ``spans`` rows (id, span_start, span_len) in 1-based token
+    coordinates (the exact output shape of :func:`suffix_dup_spans` and
+    :func:`dup_ngram_spans`), delete those token ranges from each
+    document and reassemble the survivors in order.
+
+    Overlapping/abutting spans union naturally (a token goes if ANY span
+    covers it); docs with no spans pass through whole; empty docs yield
+    an empty clean text. Returns one row per input doc:
+    ``(id, n_tokens, n_cut, clean_text)``.
+
+    Scale shape: spans collapse to one array per doc (span count per doc
+    is small — they are maximal runs), join back on the id key (AQE
+    broadcasts the span side: flagged docs ≪ corpus), and the per-token
+    coverage test is a nested HOF ``filter``/``exists`` fused into the
+    projection — O(n_tok · n_spans) per doc, zero Python, and the
+    corpus text never shuffles (the only exchange is the span-side
+    groupBy at flagged-doc scale).
+    """
+    from edgar_spark.operators.text import bind, tokens
+
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col(start_col).cast("long").alias("s"),
+                F.col(len_col).cast("long").alias("l"),
+            )
+        ).alias("_spans")
+    )
+    j = df.join(sp, id_col, "left")
+    sarr = F.coalesce(
+        F.col("_spans"),
+        F.expr("CAST(array() AS array<struct<s:bigint,l:bigint>>)"),
+    )
+
+    def body(toks: Column) -> Column:
+        kept = F.filter(
+            toks,
+            lambda t, i: ~F.exists(
+                sarr,
+                lambda s: (i + 1 >= s["s"]) & (i + 1 < s["s"] + s["l"]),
+            ),
+        )
+        return F.struct(
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_cut"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+
+    return j.select(
+        id_col, bind(tokens(F.col(text_col)), body).alias("_r")
+    ).select(id_col, "_r.n_tokens", "_r.n_cut", "_r.clean_text")
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty — the corpus-level duplication score
+    Gopher's dataset analysis reports (what fraction of a document is
+    boilerplate the rest of the corpus already contains?): the share of
+    a doc's DISTINCT word ``n``-grams that appear in at least one OTHER
+    document. Complements the pairwise operators (`ngram_jaccard` ranks
+    doc PAIRS; this scores each doc against the whole corpus in one
+    pass) and the span operators (`dup_ngram_spans` locates positions;
+    this is the scalar gate a curation pipeline thresholds on).
+
+    Short docs (< n tokens) contribute their whole-token-array shingle
+    (the `word_shingles` convention); empty docs emit no grams and are
+    absent from the output.
+
+    Returns ``(id, n_shingles, n_shared, novelty_permille)`` with
+    ``novelty_permille = 1000·(n_shingles - n_shared) div n_shingles``.
+
+    Scale shape: distinct grams explode once; the gram census is ONE
+    partial-aggregated groupBy on the gram key and the membership join
+    rides the SAME key (Catalyst reuses the exchange), then one
+    doc-grain aggregate. A gram shared by 10^6 docs costs its partition
+    count in the census (map-side combine), and since per-doc grams are
+    DISTINCT the join fan-out is bounded by doc length, not corpus
+    popularity.
+    """
+    from edgar_spark.operators.text import word_shingles
+
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+        )
+        .filter(F.col("_g") != "")
+    )
+    census = sh.groupBy("_g").agg(F.count("*").alias("_dc"))
+    return (
+        sh.join(census, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("_dc") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_shared",
+            F.expr(
+                "1000 * (n_shingles - n_shared) div n_shingles"
+            ).alias("novelty_permille"),
+        )
+    )

@@ -9528,6 +9528,173 @@ _QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 _ORACLES["winnow_fingerprints"] = _winnow_oracle_sql()
 
 
+def q_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Lee et al. 2022 substring-dedup pipeline: exact
+    suffix-array duplicate spans (min_len=3) found, then CUT out of the
+    text — remove the duplicated tokens, keep the remainder
+    (dedup.suffix_dup_spans → dedup.cut_spans as one plan). The oracle
+    reuses the prefix-doubling spans CTE verbatim and replays the cut
+    as a NOT EXISTS anti-range filter + ordered string_agg."""
+    from edgar_spark.operators.dedup import cut_spans, suffix_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = suffix_dup_spans(docs, min_len=_SUFFIX_MIN_LEN)
+    return cut_spans(docs, spans).orderBy("doc_id")
+
+
+def _dedup_cut_oracle_sql(min_len: int = _SUFFIX_MIN_LEN) -> str:
+    return (
+        _suffix_spans_cte_sql(min_len)
+        + """, tokd AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE regexp_split_to_array(trim(text), '\\s+')
+               END AS t
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, i, t[i] AS tok
+        FROM tokd, unnest(range(1, len(t) + 1)) AS u(i)
+    ), kept AS (
+        SELECT tok.doc_id, tok.i, tok.tok
+        FROM tok
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = tok.doc_id
+              AND tok.i >= s.span_start
+              AND tok.i < s.span_start + s.span_len
+        )
+    ), agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY i) AS clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(len(d.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_cut,
+           coalesce(a.clean, '') AS clean_text
+    FROM tokd d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id"""
+    )
+
+
+_QUERIES["dedup_cut"] = q_dedup_cut
+_ORACLES["dedup_cut"] = _dedup_cut_oracle_sql()
+
+
+_NOVELTY_N = 5
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty vs the whole corpus (Gopher's duplicate
+    fraction): share of each doc's distinct 5-grams appearing in any
+    other document, exact integer permille (dedup.ngram_novelty)."""
+    from edgar_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(
+        _t(spark, sf_dir, "documents"), n=_NOVELTY_N
+    ).orderBy("doc_id")
+
+
+def _ngram_novelty_oracle_sql(n: int = _NOVELTY_N) -> str:
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - {n - 1}, 1) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + {n - 1}),
+                                            ' ')
+                   ))) AS g
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+        ),
+        shf AS (SELECT doc_id, g FROM sh WHERE g <> ''),
+        c AS (SELECT g, count(*) AS dc FROM shf GROUP BY g)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN dc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+               CAST(1000 * (count(*)
+                            - sum(CASE WHEN dc >= 2 THEN 1 ELSE 0 END))
+                    // count(*) AS BIGINT) AS novelty_permille
+        FROM shf JOIN c USING (g)
+        GROUP BY doc_id ORDER BY doc_id"""
+
+
+_QUERIES["ngram_novelty"] = q_ngram_novelty
+_ORACLES["ngram_novelty"] = _ngram_novelty_oracle_sql()
+
+
+#: deterministic multi-script suffixes — the synthetic corpus is pure
+#: ASCII, so the driver key injects real Cyrillic/CJK/Arabic material
+#: (doc_id mod 4) to exercise every census branch end to end.
+_SCRIPT_SUFFIXES = {1: " привет мир текст", 2: " 中文字符样本文", 3: " مرحبا بالعالم"}
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script census + dominant script + purity permille over
+    deterministically script-augmented documents (text.py::script_mix);
+    the same literal character-range regexes run in DuckDB's RE2."""
+    from edgar_spark.operators.text import script_mix
+
+    d = F.col("doc_id")
+    aug = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 1, F.lit(_SCRIPT_SUFFIXES[1]))
+            .when(d % 4 == 2, F.lit(_SCRIPT_SUFFIXES[2]))
+            .when(d % 4 == 3, F.lit(_SCRIPT_SUFFIXES[3]))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_mix(aug).orderBy("doc_id")
+
+
+def _script_mix_oracle_sql() -> str:
+    from edgar_spark.operators.text import SCRIPT_RANGES
+
+    names = [n for n, _ in SCRIPT_RANGES]
+    cnts = ",\n                   ".join(
+        f"CAST(length(text) - length(regexp_replace(text, '[{rng}]', '', 'g'))"
+        f" AS BIGINT) AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    total = " + ".join(f"n_{n}" for n in names)
+    mx = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dom = "".join(
+        f"\n                    WHEN n_{n} = {mx} THEN '{n}'" for n in names
+    )
+    return f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 4 = 1 THEN '{_SCRIPT_SUFFIXES[1]}'
+                                WHEN doc_id % 4 = 2 THEN '{_SCRIPT_SUFFIXES[2]}'
+                                WHEN doc_id % 4 = 3 THEN '{_SCRIPT_SUFFIXES[3]}'
+                                ELSE '' END AS text
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   {cnts}
+            FROM aug
+        ),
+        t AS (SELECT *, CAST({total} AS BIGINT) AS n_letters FROM c)
+        SELECT doc_id, {", ".join("n_" + n for n in names)}, n_letters,
+               CASE WHEN n_letters = 0 THEN 'none'{dom}
+               END AS dominant_script,
+               CASE WHEN n_letters = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1000 * {mx} // n_letters AS BIGINT)
+               END AS purity_permille
+        FROM t ORDER BY doc_id"""
+
+
+_QUERIES["script_mix"] = q_script_mix
+_ORACLES["script_mix"] = _script_mix_oracle_sql()
+
+
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)

@@ -919,3 +919,70 @@ def winnow_fingerprints(
         (F.lit(2**20 - 1) - F.col("_key") % F.lit(2**20)).alias("pos"),
         F.expr("_key div 1048576").alias("gram_hash"),
     )
+
+
+#: Unicode script ranges for the census — literal character ranges so the
+#: same pattern string runs in Java regex (Spark) and RE2 (DuckDB).
+SCRIPT_RANGES = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("hebrew", "֐-׿"),
+    ("cjk", "぀-ヿ一-鿿"),
+    ("hangul", "가-힯"),
+]
+
+
+def script_mix(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode script census — the writing-system signal a multilingual
+    web pipeline gates on BEFORE statistical lang-ID (CLD2/fastText both
+    shortcut on script: a page that is 95% Han needs no trigram model to
+    rule out French, and mixed-script pages — Latin boilerplate around a
+    CJK body, or Cyrillic spam injected into English pages — are
+    exactly what `lang_id`'s single-label output cannot express).
+
+    Per doc: character count per script (7 major ranges), total lettered
+    chars, the DOMINANT script (ties break in SCRIPT_RANGES order —
+    Latin first, the web's prior), and ``purity_permille`` = dominant
+    share of lettered chars. Docs with no lettered chars get dominant
+    'none', purity 0.
+
+    Counting is ``length(text) - length(regexp_replace(text, '[range]',
+    ''))`` — pure JVM regex fused into the scan, zero shuffle, and the
+    identical pattern replays in DuckDB's RE2 (literal character ranges,
+    no escapes that differ between engines).
+    """
+    t = F.col(text_col)
+    counts = {
+        name: (
+            F.length(t) - F.length(F.regexp_replace(t, f"[{rng}]", ""))
+        ).cast("long")
+        for name, rng in SCRIPT_RANGES
+    }
+    sel = [counts[name].alias(f"n_{name}") for name, _ in SCRIPT_RANGES]
+    out = df.select(F.col(id_col), *sel)
+    names = [name for name, _ in SCRIPT_RANGES]
+    total = F.col(f"n_{names[0]}")
+    for n in names[1:]:
+        total = total + F.col(f"n_{n}")
+    out = out.withColumn("n_letters", total.cast("long"))
+    mx = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dom = F.when(F.col("n_letters") == 0, F.lit("none"))
+    for n in names:
+        dom = dom.when(F.col(f"n_{n}") == mx, F.lit(n))
+    return out.select(
+        id_col,
+        *[f"n_{n}" for n in names],
+        "n_letters",
+        dom.alias("dominant_script"),
+        F.when(F.col("n_letters") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(
+            "1000 * greatest("
+            + ", ".join(f"n_{n}" for n in names)
+            + ") div n_letters"
+        ))
+        .alias("purity_permille"),
+    )

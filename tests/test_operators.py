@@ -2027,3 +2027,128 @@ def test_winnow_fingerprints_reference_guarantee_and_ties(spark):
     assert {p for p, _ in got[3]} == set(range(w, 8 - k + 1 + 1))
     # sub-k doc: exactly one whole-token-array fingerprint at pos 1
     assert len(got[4]) == 1 and next(iter(got[4]))[0] == 1
+
+
+def test_cut_spans_overlap_edges_and_passthrough(spark):
+    import pandas as pd
+
+    from edgar_spark.operators.dedup import cut_spans
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d e f g h",   # two overlapping spans
+                "x y z",             # span covering the whole doc
+                "p q r s",           # no spans: pass through
+                "",                  # empty doc
+            ],
+        }
+    )
+    spans = pd.DataFrame(
+        [
+            (1, 2, 3),  # cuts b c d
+            (1, 4, 2),  # cuts d e (overlaps previous at d)
+            (1, 8, 1),  # cuts h (end-of-doc edge)
+            (2, 1, 3),  # whole doc
+        ],
+        columns=["doc_id", "span_start", "span_len"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cut_spans(
+            spark.createDataFrame(docs), spark.createDataFrame(spans)
+        ).collect()
+    }
+    assert (out[1]["n_tokens"], out[1]["n_cut"]) == (8, 5)
+    assert out[1]["clean_text"] == "a f g"
+    assert (out[2]["n_tokens"], out[2]["n_cut"], out[2]["clean_text"]) == (3, 3, "")
+    assert (out[3]["n_tokens"], out[3]["n_cut"], out[3]["clean_text"]) == (4, 0, "p q r s")
+    assert (out[4]["n_tokens"], out[4]["n_cut"], out[4]["clean_text"]) == (0, 0, "")
+
+
+def test_cut_spans_composes_with_suffix_dup_spans(spark):
+    import pandas as pd
+
+    from edgar_spark.operators.dedup import cut_spans, suffix_dup_spans
+
+    # the 3-token quote "lorem ipsum dolor" is shared -> cut from BOTH
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "alpha lorem ipsum dolor omega",
+                    "lorem ipsum dolor unique tail words",
+                ],
+            }
+        )
+    )
+    spans = suffix_dup_spans(docs, min_len=3)
+    out = {r["doc_id"]: r for r in cut_spans(docs, spans).collect()}
+    assert out[1]["clean_text"] == "alpha omega" and out[1]["n_cut"] == 3
+    assert out[2]["clean_text"] == "unique tail words" and out[2]["n_cut"] == 3
+
+
+def test_ngram_novelty_census_and_edges(spark):
+    import pandas as pd
+
+    from edgar_spark.operators.dedup import ngram_novelty
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "a b c d e f",        # grams abc bcd cde def
+                "x y z a b c",        # shares abc with 1; xyz yza zab novel
+                "totally novel here", # one 3-gram, unshared
+                "a b",                # sub-n: whole-array shingle "a b"
+                "",                   # empty: absent from output
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_novelty(spark.createDataFrame(docs), n=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["n_shingles"], out[1]["n_shared"]) == (4, 1)
+    assert out[1]["novelty_permille"] == 750
+    assert (out[2]["n_shingles"], out[2]["n_shared"]) == (4, 1)
+    assert (out[3]["n_shingles"], out[3]["n_shared"], out[3]["novelty_permille"]) == (1, 0, 1000)
+    # "a b" appears as a WHOLE shingle only in doc 4 -> novel (substring
+    # presence in doc 1 does not count: grams match exactly)
+    assert (out[4]["n_shingles"], out[4]["n_shared"]) == (1, 0)
+
+
+def test_script_mix_census_dominance_and_ties(spark):
+    import pandas as pd
+
+    from edgar_spark.operators.text import script_mix
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "hello world",                  # pure latin
+                "привет мир hello",             # cyrillic 9 > latin 5
+                "中文文本 test ハナ",            # cjk 6 > latin 4
+                "ab ой",                        # TIE latin 2 = cyr 2 -> latin
+                "123 .,!?",                     # no lettered chars
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r for r in script_mix(spark.createDataFrame(docs)).collect()
+    }
+    assert out[1]["dominant_script"] == "latin"
+    assert (out[1]["n_latin"], out[1]["n_letters"]) == (10, 10)
+    assert out[1]["purity_permille"] == 1000
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert (out[2]["n_cyrillic"], out[2]["n_latin"]) == (9, 5)
+    assert out[2]["purity_permille"] == 1000 * 9 // 14
+    assert out[3]["dominant_script"] == "cjk"
+    assert (out[3]["n_cjk"], out[3]["n_latin"]) == (6, 4)
+    assert out[4]["dominant_script"] == "latin"  # tie -> listed order
+    assert (out[5]["dominant_script"], out[5]["purity_permille"]) == ("none", 0)
+    assert out[5]["n_letters"] == 0
