@@ -233,6 +233,35 @@ OPERATOR_KEYS = [
     "soft404_detect",
     "strip_tracking",
     "url_discovery",
+    # round-5 additions
+    "ccnet_buckets",
+    "priority_sample",
+    "domain_quality",
+    "link_farm",
+    "canonical_collapse",
+    "markup_density",
+    "line_lang_mix",
+    "cdc_dedup",
+    "host_template",
+    "phrase_topk",
+    "anchor_search",
+    "incremental_dedup",
+    "corpus_datasheet",
+    "change_rate",
+    "mirror_hosts",
+    "hits_scores",
+    "shard_assign",
+    "quality_classifier",
+    "opic_scores",
+    "label_prop",
+    "temperature_mix",
+    "crawl_tiers",
+    "winnow_fingerprints",
+    "dedup_cut",
+    "ngram_novelty",
+    "script_mix",
+    "sentence_dedup",
+    "host_coupling",
 ]
 
 

@@ -887,3 +887,96 @@ def temperature_sample(
         .filter(F.col("lang_rank") <= F.col("lang_quota"))
         .select(id_col, lang_col, "lang_rank", "lang_quota")
     )
+
+
+def sentence_span_dedup(
+    df: DataFrame,
+    span_sents: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4's signature dedup rule (Raffel et al. 2020, §2.2: "we
+    discarded all but one of any three-sentence span occurring more than
+    once in the data set") — sentence-granular, cross-document AND
+    within-document, keeping exactly the FIRST occurrence in
+    ``(doc_id, position)`` order.
+
+    Sentence split is the deterministic convention ``\\.\\s+`` (period +
+    whitespace, period consumed) — lookbehind splits differ between
+    engines, this one replays verbatim in RE2. Spans are ``span_sents``
+    consecutive sentences hashed together (\\x02-joined md5); docs with
+    fewer sentences carry no spans and pass through whole. A sentence is
+    dropped when ANY non-first span occurrence covers it; survivors
+    rejoin with ``'. '`` (trailing period not restored — the split
+    consumed it; a char-exact reassembly needs `cut_spans` at token
+    grain instead).
+
+    Returns ``(id, n_sents, n_dropped, clean_text)``.
+
+    Scale shape: spans explode once (≤ one per sentence); first-vs-rest
+    is ONE row_number window on the span-hash key — a span duplicated
+    across 10^6 pages makes a hot window partition, but its rows are
+    (hash, doc, pos) triples, not text, and the window computes nothing
+    per row beyond rank. Losing spans collapse back to one small array
+    per affected doc (AQE-broadcast join — affected docs ≪ corpus) and
+    the per-sentence coverage test fuses into the projection, the same
+    shape as `dedup.cut_spans`.
+    """
+    from edgar_spark.operators.text import bind
+
+    t = F.trim(F.col(text_col))
+    sents = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\.\s+")
+    )
+    base = df.select(F.col(id_col), sents.alias("_sents"))
+
+    def spans_of(s: Column) -> Column:
+        n = F.size(s)
+        # sequence(1, 0) is DESCENDING in Spark, not empty — guard short docs
+        starts = F.when(
+            n >= span_sents, F.sequence(F.lit(1), n - span_sents + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda j: F.struct(
+                j.alias("start"),
+                F.md5(
+                    F.array_join(F.slice(s, j, span_sents), "\x02")
+                ).alias("h"),
+            ),
+        )
+
+    occ = base.select(
+        id_col, F.explode(bind(F.col("_sents"), spans_of)).alias("_sp")
+    ).select(id_col, "_sp.start", "_sp.h")
+    ranked = occ.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("h").orderBy(F.col(id_col), F.col("start"))
+        ),
+    )
+    losers = (
+        ranked.filter(F.col("_rk") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.col("start").cast("long")).alias("_drops"))
+    )
+    j = base.join(losers, id_col, "left")
+    drops = F.coalesce(F.col("_drops"), F.expr("CAST(array() AS array<bigint>)"))
+
+    def assemble(s: Column) -> Column:
+        kept = F.filter(
+            s,
+            lambda x, i: ~F.exists(
+                drops,
+                lambda d: (i + 1 >= d) & (i + 1 < d + span_sents),
+            ),
+        )
+        return F.struct(
+            F.size(s).cast("long").alias("n_sents"),
+            (F.size(s) - F.size(kept)).cast("long").alias("n_dropped"),
+            F.array_join(kept, ". ").alias("clean_text"),
+        )
+
+    return j.select(
+        id_col, bind(F.col("_sents"), assemble).alias("_r")
+    ).select(id_col, "_r.n_sents", "_r.n_dropped", "_r.clean_text")

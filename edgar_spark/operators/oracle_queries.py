@@ -9695,6 +9695,186 @@ _QUERIES["script_mix"] = q_script_mix
 _ORACLES["script_mix"] = _script_mix_oracle_sql()
 
 
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's three-sentence-span dedup (keep only the FIRST occurrence of
+    any 3-sentence span, in (doc, position) order) over documents given
+    deterministic sentence structure: tokens grouped 4-per-sentence,
+    '. '-joined (the corpus has no punctuation of its own). The small
+    shared vocabulary makes real cross-document span collisions, so the
+    drop path executes at corpus scale
+    (curation.py::sentence_span_dedup)."""
+    from edgar_spark.operators.curation import sentence_span_dedup
+    from edgar_spark.operators.text import bind, tokens
+
+    def sentencify(toks):
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.floor((n - 1) / 4).cast("int"))
+        return F.when(n == 0, F.lit("")).otherwise(
+            F.array_join(
+                F.transform(
+                    idx, lambda i: F.array_join(F.slice(toks, i * 4 + 1, 4), " ")
+                ),
+                ". ",
+            )
+        )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", bind(tokens(F.col("text")), sentencify).alias("text")
+    )
+    return sentence_span_dedup(docs).orderBy("doc_id")
+
+
+def _sentence_dedup_oracle_sql(span: int = 3) -> str:
+    return f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS toks
+            FROM documents
+        ),
+        sdoc AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN ''
+                        ELSE array_to_string(list_transform(
+                            range(0, (len(toks) - 1) // 4 + 1),
+                            i -> array_to_string(toks[i*4+1:i*4+4], ' ')
+                        ), '. ') END AS text
+            FROM tk
+        ),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\.\\s+')
+                   END AS sents
+            FROM sdoc
+        ),
+        occ AS (
+            SELECT doc_id, i AS start,
+                   md5(array_to_string(sents[i:i+{span - 1}], chr(2))) AS h
+            FROM s, unnest(
+                CASE WHEN len(sents) >= {span}
+                     THEN range(1, len(sents) - {span} + 2)
+                     ELSE [] END) AS u(i)
+        ),
+        ranked AS (
+            SELECT doc_id, start,
+                   row_number() OVER (PARTITION BY h
+                                      ORDER BY doc_id, start) AS rk
+            FROM occ
+        ),
+        drops AS (SELECT doc_id, start FROM ranked WHERE rk > 1),
+        sent AS (
+            SELECT s.doc_id, i, sents[i] AS sent
+            FROM s, unnest(range(1, len(sents) + 1)) AS u(i)
+        ),
+        kept AS (
+            SELECT sent.doc_id, i, sent.sent FROM sent
+            WHERE NOT EXISTS (
+                SELECT 1 FROM drops d
+                WHERE d.doc_id = sent.doc_id
+                  AND sent.i >= d.start AND sent.i < d.start + {span}
+            )
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(sent, '. ' ORDER BY i) AS clean
+            FROM kept GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               CAST(len(sents) AS BIGINT) AS n_sents,
+               CAST(len(sents) - coalesce(a.n_kept, 0) AS BIGINT)
+                   AS n_dropped,
+               coalesce(a.clean, '') AS clean_text
+        FROM s LEFT JOIN agg a USING (doc_id)
+        ORDER BY s.doc_id"""
+
+
+_QUERIES["sentence_dedup"] = q_sentence_dedup
+_ORACLES["sentence_dedup"] = _sentence_dedup_oracle_sql()
+
+
+def q_host_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic-coupling host similarity (Kessler 1963 brought to
+    the host graph): hosts sharing distinct OUT-LINK TARGETS are
+    topically/operationally related — the discovery signal a frontier
+    uses to group hosts beyond content mirroring (link farms share
+    targets; syndication networks share targets; co-citation is the
+    SAME call on reversed edges). Reuses `graph.mirror_hosts`' capped
+    per-key pair generation verbatim with (host, fp=link target):
+    targets cited by > 2 of the 13 synthetic hosts are dropped as
+    boilerplate-grade evidence (the cap path executes), containment ≥
+    300‰ flags relatedness, not identity."""
+    from edgar_spark.operators.graph import mirror_hosts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    total = docs.agg(F.count("*").alias("_n"))
+    links = docs.crossJoin(F.broadcast(total)).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string")).alias(
+            "host"
+        ),
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"CAST((doc_id*{k}+{c}) % _n AS STRING)")
+                    for k, c in _PR_MAPS
+                ]
+            )
+        ).alias("fp"),
+    )
+    return (
+        mirror_hosts(
+            links,
+            max_hosts_per_fp=2,
+            min_shared=2,
+            mirror_threshold_permille=300,
+        )
+        .withColumnRenamed("is_mirror", "is_related")
+        .orderBy("host_a", "host_b")
+    )
+
+
+def _host_coupling_oracle_sql() -> str:
+    links = "\n            UNION ALL ".join(
+        "SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) AS host,"
+        f" CAST((doc_id*{k}+{c}) % (SELECT c FROM n) AS VARCHAR) AS fp"
+        " FROM documents"
+        for k, c in _PR_MAPS
+    )
+    return f"""
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    d AS (
+        {links}
+    ), hf AS (SELECT DISTINCT host, fp FROM d),
+    sizes AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS n_fps FROM hf GROUP BY host
+    ),
+    elig AS (
+        SELECT host, fp FROM (
+            SELECT host, fp, count(*) OVER (PARTITION BY fp) AS nh FROM hf
+        ) WHERE nh <= 2
+    ),
+    pairs AS (
+        SELECT a.host AS host_a, b.host AS host_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM elig a JOIN elig b ON a.fp = b.fp AND a.host < b.host
+        GROUP BY a.host, b.host HAVING count(*) >= 2
+    )
+    SELECT host_a, host_b, shared_fps, sa.n_fps AS n_fps_a,
+           sb.n_fps AS n_fps_b,
+           (shared_fps * 1000) // least(sa.n_fps, sb.n_fps)
+               AS containment_permille,
+           (shared_fps * 1000) // least(sa.n_fps, sb.n_fps) >= 300
+               AS is_related
+    FROM pairs JOIN sizes sa ON pairs.host_a = sa.host
+               JOIN sizes sb ON pairs.host_b = sb.host
+    ORDER BY host_a, host_b"""
+
+
+_QUERIES["host_coupling"] = q_host_coupling
+_ORACLES["host_coupling"] = _host_coupling_oracle_sql()
+
+
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)

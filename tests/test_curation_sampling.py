@@ -297,3 +297,38 @@ def test_temperature_sample_quotas_and_ordering(spark):
     )
     for r in got:
         assert r["i"] == math.isqrt(r["n"]), r["n"]
+
+
+def test_sentence_span_dedup_c4_rule(spark):
+    import pandas as pd
+
+    from edgar_spark.operators.curation import sentence_span_dedup
+
+    shared = "one fish. two fish. red fish"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                # first occurrence in (doc, pos) order -> keeps everything
+                shared + ". unique closer",
+                # later occurrence -> the 3 shared sentences drop
+                "fresh opener. " + shared + ". own ending",
+                # a doc with < 3 sentences never forms spans
+                "tiny doc. second sentence",
+                # within-doc repetition: second occurrence drops
+                shared + ". " + shared,
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in sentence_span_dedup(spark.createDataFrame(docs)).collect()
+    }
+    assert (out[1]["n_sents"], out[1]["n_dropped"]) == (4, 0)
+    assert out[1]["clean_text"] == "one fish. two fish. red fish. unique closer"
+    assert (out[2]["n_sents"], out[2]["n_dropped"]) == (5, 3)
+    assert out[2]["clean_text"] == "fresh opener. own ending"
+    assert (out[3]["n_dropped"], out[3]["clean_text"]) == (0, "tiny doc. second sentence")
+    # doc 4: sentences 1-3 are occurrence #2 of the shared span (doc 1
+    # holds #1), and 4-6 are #3 -> everything drops
+    assert (out[4]["n_sents"], out[4]["n_dropped"], out[4]["clean_text"]) == (6, 6, "")
