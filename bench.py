@@ -262,6 +262,7 @@ OPERATOR_KEYS = [
     "script_mix",
     "sentence_dedup",
     "host_coupling",
+    "bpe_fertility",
 ]
 
 

@@ -9875,6 +9875,58 @@ _QUERIES["host_coupling"] = q_host_coupling
 _ORACLES["host_coupling"] = _host_coupling_oracle_sql()
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the standard multilingual
+    tokenizer-equity metric (pieces per word; XLM-R §A.2, BLOOM's
+    tokenizer eval): languages a BPE vocabulary serves badly fragment
+    into more pieces per word, inflating their compute cost per word of
+    signal. Composes the real trainer + encoder (same 8 merges as
+    `bpe_train`/`bpe_encode`) and rolls doc-level piece counts up to the
+    lang column — exact integer milli-fertility. The oracle wraps the
+    full unrolled trainer+encode chain as a subquery and aggregates."""
+    from edgar_spark.operators.text import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        r["pair"] for r in bpe_train(docs, n_merges=_BPE_MERGES).collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pieces",
+            F.expr(
+                "1000 * n_pieces div greatest(n_words, 1)"
+            ).alias("fertility_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_fertility_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    return f"""
+        SELECT d.lang,
+               CAST(sum(e.n_words) AS BIGINT) AS n_words,
+               CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+               CAST(1000 * sum(e.n_pieces)
+                    // greatest(sum(e.n_words), 1) AS BIGINT)
+                   AS fertility_milli
+        FROM ({_bpe_encode_oracle_sql(n_merges)}) e
+        JOIN documents d USING (doc_id)
+        GROUP BY d.lang ORDER BY d.lang"""
+
+
+_QUERIES["bpe_fertility"] = q_bpe_fertility
+_ORACLES["bpe_fertility"] = _bpe_fertility_oracle_sql()
+
+
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
