@@ -263,6 +263,7 @@ OPERATOR_KEYS = [
     "sentence_dedup",
     "host_coupling",
     "bpe_fertility",
+    "ann_recall",
 ]
 
 

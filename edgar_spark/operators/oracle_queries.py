@@ -9927,6 +9927,57 @@ _QUERIES["bpe_fertility"] = q_bpe_fertility
 _ORACLES["bpe_fertility"] = _bpe_fertility_oracle_sql()
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality eval — recall@5 of the IVF index against the exact
+    brute-force ranking, per query (the metric every ANN deployment
+    monitors; FAISS reports it as its headline number). Composes the two
+    existing keys: same queries, same k, same rounded-cosine tie rule,
+    so the recall is exactly determined and the oracle is the two
+    oracle subqueries joined. Per-query recall (not one global mean)
+    keeps the weak queries visible — a 0.9 average can hide dead
+    buckets."""
+    ex = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    iv = q_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        ex.join(iv, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+            F.count("*").cast("long").alias("k"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            "k",
+            F.expr("1000 * n_hits div k").alias("recall_permille"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_recall_oracle_sql() -> str:
+    return f"""
+        SELECT e.query_id,
+               CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(1000 * sum(CASE WHEN i.neighbor_id IS NOT NULL
+                                    THEN 1 ELSE 0 END)
+                    // count(*) AS BIGINT) AS recall_permille
+        FROM ({_ORACLES["cosine_topk"]}) e
+        LEFT JOIN ({_ORACLES["ivf_topk"]}) i
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY e.query_id ORDER BY e.query_id"""
+
+
+_QUERIES["ann_recall"] = q_ann_recall
+_ORACLES["ann_recall"] = _ann_recall_oracle_sql()
+
+
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
