@@ -327,6 +327,48 @@ AUDITS = {
     # datasheet: lang/tokens/md5 fuse into the scan; hash census + same-
     # key join-back + ONE source-grain aggregate; text never shuffles
     "corpus_datasheet": ["HashAggregate", "!BroadcastNestedLoopJoin"],
+    # OPIC: the per-round dual-consumer branch is lineage-truncated, so
+    # the FINAL plan hangs off a checkpointed leaf (Scan ExistingRDD) —
+    # one join + one partial-agged groupBy per round, never 2^rounds
+    "opic_scores": ["Scan ExistingRDD", "HashAggregate"],
+    # label propagation: same structural truncation as OPIC; votes are
+    # map-side-combined sums on the dst key
+    "label_prop": ["Scan ExistingRDD", "HashAggregate"],
+    # trained perceptron: the hashed feature table is persisted ONCE
+    # (InMemoryTableScan feeds scoring) — margins are one partial-agged
+    # doc-grain aggregate
+    "quality_classifier": ["InMemoryTableScan", "HashAggregate"],
+    # temperature sampling: lang census aggregate, quota table broadcast
+    # back, ONE per-language window — no sort-merge join of the corpus
+    "temperature_mix": ["BroadcastHashJoin", "Window", "!SortMergeJoin"],
+    # tier assignment: ONE 1-row max aggregate broadcast back (the
+    # nested-loop join is the 1-row cross join, by construction), then
+    # pure codegen projections — no keyed shuffle of the URL table
+    "crawl_tiers": ["BroadcastNestedLoopJoin", "Scan parquet", "!SortMergeJoin"],
+    # winnowing: split/gram/hash/window-min/distinct all fuse into the
+    # scan projection; fingerprints Generate out — NO shuffle at all
+    "winnow_fingerprints": ["Generate", "!Exchange"],
+    # span cut: spans collapse per doc (aggregate) and join back; the
+    # per-token coverage test is a projection, not a positional join
+    "dedup_cut": ["Generate", "HashAggregate"],
+    # novelty: gram census and membership join share the gram key; one
+    # doc-grain aggregate on top — no cross join anywhere
+    "ngram_novelty": ["Generate", "HashAggregate", "!BroadcastNestedLoopJoin"],
+    # script census: pure regex projections fused into the scan — no
+    # join, no aggregate, no shuffle of any kind
+    "script_mix": ["Scan parquet", "!Join", "!HashAggregate"],
+    # C4 sentence dedup: span explode + ONE row_number window on the
+    # span hash; losing spans aggregate per doc and join back
+    "sentence_dedup": ["Generate", "Window", "HashAggregate"],
+    # host coupling: size window + capped pair self-join + pair groupBy
+    # (mirror_hosts machinery) — pairs generate per target key only
+    "host_coupling": ["Window", "HashAggregate"],
+    # fertility: lang rollup on top of the single term shuffle the
+    # encoder already pays
+    "bpe_fertility": ["HashAggregate"],
+    # recall eval: the two rankings join on (query, neighbor) and
+    # aggregate per query — query-scale rows only
+    "ann_recall": ["HashAggregate"],
 }
 
 
